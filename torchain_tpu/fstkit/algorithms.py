@@ -160,6 +160,8 @@ def bfs_time_sort(fst: Fst) -> Fst:
     by frame index — the property the numerator computation relies on
     (kaldi/src/chain/chain-numerator.cc)."""
     n = fst.num_states
+    if n == 0:
+        raise ValueError("bfs_time_sort: empty FST")
     seen = [False] * n
     order: list[int] = []
     q = deque([0])

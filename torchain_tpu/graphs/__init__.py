@@ -1,0 +1,46 @@
+"""graphs — host-side compilers from linguistic structure to packed arrays.
+
+Replaces the offline graph machinery torchain consumed from Kaldi
+(SURVEY.md sections 2.2 and 3.5): HMM topology + context tree
+(kaldi/src/hmm/), the phone-LM estimator (kaldi/src/chain/language-model.cc),
+the denominator-graph compiler (kaldi/src/chain/chain-den-graph.cc), and the
+supervision compiler (kaldi/src/chain/chain-supervision.cc).  Everything here
+runs on host CPU at setup/data-loading time and emits packed numpy/jnp arrays
+for the device kernels in `torchain_tpu.ops`.
+"""
+
+from torchain_tpu.graphs.topology import ChainTopology, ContextTree
+from torchain_tpu.graphs.phone_lm import PhoneLmOptions, estimate_phone_lm
+from torchain_tpu.graphs.den_graph import (
+    DenGraph,
+    DenseDenGraph,
+    compile_den_graph,
+    make_den_fst,
+    make_dense_den_graph,
+    make_normalization_fst,
+)
+from torchain_tpu.graphs.supervision import (
+    Supervision,
+    SupervisionOptions,
+    alignment_to_supervision_fst,
+    compile_supervision,
+    split_alignment_into_chunks,
+)
+
+__all__ = [
+    "ChainTopology",
+    "ContextTree",
+    "PhoneLmOptions",
+    "estimate_phone_lm",
+    "DenGraph",
+    "DenseDenGraph",
+    "compile_den_graph",
+    "make_den_fst",
+    "make_dense_den_graph",
+    "make_normalization_fst",
+    "Supervision",
+    "SupervisionOptions",
+    "alignment_to_supervision_fst",
+    "compile_supervision",
+    "split_alignment_into_chunks",
+]
