@@ -1,0 +1,227 @@
+"""JAX chain kernels vs the NumPy oracle: den scan, den dense, num scan,
+and the fused chain_loss custom VJP (config-1 milestone of BASELINE.json:
+'chain loss fwd-bwd on a toy denominator graph, batch=4 CPU, allclose vs
+reference')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from torchain_tpu.fstkit import compose
+from torchain_tpu.graphs import (
+    ContextTree,
+    PhoneLmOptions,
+    SupervisionOptions,
+    alignment_to_supervision_fst,
+    compile_den_graph,
+    compile_supervision,
+    estimate_phone_lm,
+    make_den_fst,
+    make_dense_den_graph,
+    make_normalization_fst,
+)
+from torchain_tpu.graphs.supervision import pad_and_stack_supervisions
+from torchain_tpu.ops import (
+    ChainLossOptions,
+    DeviceDenGraph,
+    DeviceDenseDenGraph,
+    DeviceSupervision,
+    chain_loss,
+)
+from torchain_tpu.ops import den_dense, den_scan, num_scan, oracle
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    num_phones = 3
+    sents = [
+        list(map(int, rng.integers(1, num_phones + 1, size=rng.integers(3, 8))))
+        for _ in range(30)
+    ]
+    lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2, num_extra_lm_states=20))
+    tree = ContextTree(num_phones)
+    den_fst = make_den_fst(lm, tree)
+    graph = compile_den_graph(den_fst, tree.num_pdfs)
+    dense = make_dense_den_graph(graph, pad_to=8)
+    norm = make_normalization_fst(den_fst, graph.initial_probs)
+
+    B, T = 4, 8
+    alis = []
+    for b in range(B):
+        sent = sents[b]
+        durs = rng.integers(1, 3, size=len(sent))
+        # trim to T frames total
+        ali = []
+        left = T
+        for p, d in zip(sent, durs):
+            d = int(min(d, left - (len(sent) - len(ali) - 1)))
+            if d <= 0 or left <= 0:
+                break
+            ali.append((int(p), d))
+            left -= d
+        if left > 0:
+            ali[-1] = (ali[-1][0], ali[-1][1] + left)
+        alis.append(ali)
+    sups = []
+    for ali in alis:
+        fst = alignment_to_supervision_fst(
+            ali, tree, SupervisionOptions(left_tolerance=1, right_tolerance=1)
+        )
+        sups.append(compile_supervision(compose(fst, norm), tree.num_pdfs))
+    batch = pad_and_stack_supervisions(sups)
+
+    y = rng.normal(size=(B, T, tree.num_pdfs)).astype(np.float32) * 0.7
+    return dict(
+        graph=graph, dense=dense, tree=tree, sups=sups, batch=batch, y=y, B=B, T=T
+    )
+
+
+class TestDenScan:
+    @pytest.mark.parametrize("leaky", [0.0, 0.1])
+    def test_matches_oracle(self, setup, leaky):
+        g = DeviceDenGraph.from_host(setup["graph"])
+        y = jnp.asarray(setup["y"])
+        log_z, alphas = jax.jit(den_scan.den_forward, static_argnums=2)(y, g, leaky)
+        gamma = jax.jit(den_scan.den_backward, static_argnums=4)(
+            y, g, log_z, alphas, leaky
+        )
+        for b in range(setup["B"]):
+            oz, og = oracle.den_forward_backward(
+                setup["graph"], setup["y"][b], leaky=leaky
+            )
+            assert float(log_z[b]) == pytest.approx(oz, abs=2e-4)
+            np.testing.assert_allclose(np.asarray(gamma[b]), og, atol=2e-4)
+
+
+class TestDenDense:
+    @pytest.mark.parametrize("leaky", [0.0, 0.1])
+    def test_matches_oracle(self, setup, leaky):
+        g = DeviceDenseDenGraph.from_host(setup["dense"])
+        y = jnp.asarray(setup["y"])
+        log_z, res = jax.jit(den_dense.den_forward, static_argnums=2)(y, g, leaky)
+        gamma = den_dense.den_backward(g, res, leaky)
+        for b in range(setup["B"]):
+            oz, og = oracle.den_forward_backward(
+                setup["graph"], setup["y"][b], leaky=leaky
+            )
+            assert float(log_z[b]) == pytest.approx(oz, abs=2e-4)
+            np.testing.assert_allclose(np.asarray(gamma[b]), og, atol=2e-4)
+
+    def test_gamma_rows_sum_to_one(self, setup):
+        g = DeviceDenseDenGraph.from_host(setup["dense"])
+        y = jnp.asarray(setup["y"])
+        log_z, res = den_dense.den_forward(y, g, 0.1)
+        gamma = den_dense.den_backward(g, res, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(gamma.sum(axis=-1)), 1.0, atol=1e-4
+        )
+
+
+class TestNumScan:
+    def test_matches_oracle(self, setup):
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y = jnp.asarray(setup["y"])
+        log_p, alphas = jax.jit(num_scan.num_forward)(y, sup)
+        gamma = jax.jit(num_scan.num_backward)(y, sup, log_p, alphas)
+        for b in range(setup["B"]):
+            op, og = oracle.num_forward_backward(setup["sups"][b], setup["y"][b])
+            # padded batch shares S, K; oracle ran on per-chunk packing:
+            # values must agree regardless of padding
+            assert float(log_p[b]) == pytest.approx(op, abs=2e-4)
+            np.testing.assert_allclose(np.asarray(gamma[b]), og, atol=2e-4)
+
+
+class TestChainLoss:
+    def test_gradients_match_occupancy_identity(self, setup):
+        den = DeviceDenseDenGraph.from_host(setup["dense"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y = jnp.asarray(setup["y"])
+        opts = ChainLossOptions(
+            l2_regularize=1e-3, leaky_hmm_coefficient=0.1, xent_regularize=0.0
+        )
+
+        def loss_fn(y):
+            return chain_loss(y, None, den, sup, opts)[0]
+
+        loss, grad = jax.jit(jax.value_and_grad(loss_fn))(y)
+        assert np.isfinite(float(loss))
+        # expected gradient: -(w*(gamma_num - gamma_den) - l2*y)/weight
+        T, B = setup["T"], setup["B"]
+        weight = B * T
+        expected = np.zeros_like(setup["y"])
+        for b in range(setup["B"]):
+            _, gn = oracle.num_forward_backward(setup["sups"][b], setup["y"][b])
+            _, gd = oracle.den_forward_backward(
+                setup["graph"], setup["y"][b], leaky=0.1
+            )
+            expected[b] = -(gn - gd - 1e-3 * setup["y"][b]) / weight
+        np.testing.assert_allclose(np.asarray(grad), expected, atol=2e-5)
+
+    def test_finite_diff(self, setup):
+        den = DeviceDenseDenGraph.from_host(setup["dense"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y64 = setup["y"].astype(np.float64)
+        opts = ChainLossOptions(leaky_hmm_coefficient=0.1)
+
+        def loss_np(y):
+            return float(chain_loss(jnp.asarray(y, dtype=jnp.float32), None, den, sup, opts)[0])
+
+        grad = jax.grad(lambda y: chain_loss(y, None, den, sup, opts)[0])(
+            jnp.asarray(setup["y"])
+        )
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            b = rng.integers(setup["B"])
+            t = rng.integers(setup["T"])
+            j = rng.integers(setup["graph"].num_pdfs)
+            eps = 1e-2
+            yp = y64.copy()
+            yp[b, t, j] += eps
+            ym = y64.copy()
+            ym[b, t, j] -= eps
+            fd = (loss_np(yp) - loss_np(ym)) / (2 * eps)
+            assert float(grad[b, t, j]) == pytest.approx(fd, abs=3e-4)
+
+    def test_xent_head(self, setup):
+        den = DeviceDenseDenGraph.from_host(setup["dense"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y = jnp.asarray(setup["y"])
+        xent = jnp.asarray(setup["y"] * 0.5)
+        opts = ChainLossOptions(leaky_hmm_coefficient=0.1, xent_regularize=0.1)
+        (loss, aux), grads = jax.value_and_grad(
+            lambda y, x: chain_loss(y, x, den, sup, opts), argnums=(0, 1), has_aux=True
+        )(y, xent)
+        assert np.isfinite(float(loss))
+        assert float(aux["xent_objf"]) < 0.0
+        # xent grad = -xent_scale * w * (gamma - softmax(xent)) / weight
+        gx = np.asarray(grads[1])
+        assert np.all(np.isfinite(gx))
+        # per-frame xent grads sum to ~0 (gamma and softmax both sum to 1)
+        np.testing.assert_allclose(gx.sum(axis=-1), 0.0, atol=1e-5)
+
+    def test_objf_is_negative_and_bounded(self, setup):
+        # num is a subset of den: objf <= 0 strictly (plus small leaky slack)
+        den = DeviceDenseDenGraph.from_host(setup["dense"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y = jnp.asarray(setup["y"])
+        _, aux = chain_loss(y, None, den, sup, ChainLossOptions())
+        assert float(aux["objf"]) < 0.1
+        assert float(aux["num_failed"]) == 0.0
+
+    def test_scan_and_dense_paths_agree(self, setup):
+        y = jnp.asarray(setup["y"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        opts = ChainLossOptions(leaky_hmm_coefficient=0.05)
+        outs = []
+        for den in (
+            DeviceDenseDenGraph.from_host(setup["dense"]),
+            DeviceDenGraph.from_host(setup["graph"]),
+        ):
+            loss, aux = chain_loss(y, None, den, sup, opts)
+            grad = jax.grad(lambda y: chain_loss(y, None, den, sup, opts)[0])(y)
+            outs.append((float(loss), np.asarray(grad)))
+        assert outs[0][0] == pytest.approx(outs[1][0], abs=1e-4)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)

@@ -1,0 +1,216 @@
+"""The chain (LF-MMI) objective with custom VJP — the public loss API.
+
+Behavioral reference: kaldi/src/chain/chain-training.{h,cc}
+(`ChainTrainingOptions`, `ComputeChainObjfAndDeriv`) and torchain's
+`chain_loss` autograd Function + `ChainResults` accumulator
+(SURVEY.md section 2.1, [R] torchain/functions.py):
+
+    objf     = sum_b weight_b * (num_logprob_b - den_logprob_b)
+    l2_term  = -0.5 * l2_regularize * ||y||^2
+    oor_term = -out_of_range_regularize * sum relu(|y| - 30)^2   (soft
+               penalty on out-of-range outputs; behavioral approximation of
+               Kaldi's out-of-range handling)
+    xent     = sum gamma_num . log_softmax(xent_output)  (occupancies are a
+               constant target, Kaldi semantics)
+    loss     = -(objf + l2_term + oor_term + xent_regularize * xent) / weight
+
+Numeric-failure containment (chain-training.cc): sequences whose objective
+or occupancies go non-finite get zero fwd-bwd gradients and a penalty
+objective of -10 per frame; training continues.
+
+The VJP never differentiates through the scans: the backward pass is the
+beta recursion emitting occupancy gradients directly
+(d objf / dy = weight * (gamma_num - gamma_den)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchain_tpu.ops import den_dense, den_scan, num_scan
+from torchain_tpu.ops.device_graphs import (
+    DeviceDenGraph,
+    DeviceDenseDenGraph,
+    DeviceSupervision,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainLossOptions:
+    """Mirrors Kaldi ChainTrainingOptions (chain-training.h ~L40)."""
+
+    l2_regularize: float = 0.0
+    leaky_hmm_coefficient: float = 0.1
+    xent_regularize: float = 0.0
+    out_of_range_regularize: float = 0.01
+    out_of_range_limit: float = 30.0
+    #: penalty objf per frame substituted on numeric failure
+    failure_penalty_per_frame: float = -10.0
+
+
+def _zero_cot(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+def _tree_zero(tree):
+    return jax.tree.map(_zero_cot, tree)
+
+
+# ---------------------------------------------------------------------------
+# core log-probs with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chain_logprobs(y, den, sup, leaky):
+    """Returns (num_logprob [B], den_logprob [B], gamma_num [B, T, P]).
+
+    gamma_num (the numerator occupancies / xent targets) is exposed as a
+    CONSTANT output: its cotangent is intentionally dropped in the VJP,
+    matching Kaldi's treatment of xent_output_deriv as a fixed target."""
+    out, _ = _chain_logprobs_fwd(y, den, sup, leaky)
+    return out
+
+
+def _den_forward(y, den, leaky):
+    if isinstance(den, DeviceDenseDenGraph):
+        return den_dense.den_forward(y, den, leaky)
+    log_z, alphas = den_scan.den_forward(y, den, leaky)
+    return log_z, dict(alphas=alphas)
+
+
+def _den_backward(y, den, leaky, log_z, res):
+    if isinstance(den, DeviceDenseDenGraph):
+        return den_dense.den_backward(den, res, leaky)
+    return den_scan.den_backward(y, den, log_z, res["alphas"], leaky)
+
+
+def _chain_logprobs_fwd(y, den, sup, leaky):
+    num_logp, num_alphas = num_scan.num_forward(y, sup)
+    den_logz, den_res = _den_forward(y, den, leaky)
+    gamma_num = num_scan.num_backward(y, sup, num_logp, num_alphas)
+    out = (num_logp, den_logz, gamma_num)
+    residuals = (y, den, sup, den_logz, den_res, gamma_num)
+    return out, residuals
+
+
+def _chain_logprobs_bwd(leaky, residuals, cts):
+    y, den, sup, den_logz, den_res, gamma_num = residuals
+    g_num, g_den, _g_gamma_dropped = cts
+    gamma_den = _den_backward(y, den, leaky, den_logz, den_res)
+    # numeric-failure containment: zero the gradient of any sequence whose
+    # occupancies went non-finite (chain-training.cc failure path)
+    ok = (
+        jnp.isfinite(jnp.sum(gamma_den, axis=(1, 2)))
+        & jnp.isfinite(jnp.sum(gamma_num, axis=(1, 2)))
+        & jnp.isfinite(g_num)
+        & jnp.isfinite(g_den)
+    )
+    dy = jnp.where(
+        ok[:, None, None],
+        g_num[:, None, None] * gamma_num + g_den[:, None, None] * gamma_den,
+        0.0,
+    )
+    return dy.astype(y.dtype), _tree_zero(den), _tree_zero(sup)
+
+
+chain_logprobs.defvjp(_chain_logprobs_fwd, _chain_logprobs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# full objective
+# ---------------------------------------------------------------------------
+
+
+def chain_loss(
+    nnet_output: jnp.ndarray,  # [B, T, P] chain-head log-prob outputs
+    xent_output: jnp.ndarray | None,  # [B, T, P] xent-head logits, or None
+    den: DeviceDenseDenGraph | DeviceDenGraph,
+    sup: DeviceSupervision,
+    opts: ChainLossOptions = ChainLossOptions(),
+) -> tuple[jnp.ndarray, dict]:
+    """Returns (loss scalar to minimize, aux dict of per-batch statistics).
+
+    aux keys: objf (per-frame MMI objective), l2_term, oor_term, xent_objf
+    (all already normalized by `weight`), weight, num_failed."""
+    y = nnet_output
+    B, T, P = y.shape
+    num_logp, den_logz, gamma_num = chain_logprobs(
+        y, den, sup, opts.leaky_hmm_coefficient
+    )
+    seq_w = sup.weight  # [B]
+    per_seq = num_logp - den_logz
+    ok = jnp.isfinite(per_seq)
+    # where() zeroes the cotangent of failed sequences automatically
+    per_seq = jnp.where(ok, per_seq, opts.failure_penalty_per_frame * T)
+    objf = jnp.sum(seq_w * per_seq)
+    weight = jnp.sum(seq_w) * T
+
+    l2_term = -0.5 * opts.l2_regularize * jnp.sum(jnp.square(y))
+    oor = jnp.maximum(jnp.abs(y) - opts.out_of_range_limit, 0.0)
+    oor_term = -opts.out_of_range_regularize * jnp.sum(jnp.square(oor))
+
+    if xent_output is not None:
+        xent_lp = jax.nn.log_softmax(xent_output, axis=-1)
+        xent_objf = jnp.sum(gamma_num * xent_lp * seq_w[:, None, None])
+    else:
+        xent_objf = jnp.zeros(())
+
+    total = objf + l2_term + oor_term + opts.xent_regularize * xent_objf
+    loss = -total / weight
+    aux = dict(
+        objf=objf / weight,
+        l2_term=l2_term / weight,
+        oor_term=oor_term / weight,
+        xent_objf=xent_objf / weight,
+        weight=weight,
+        num_failed=jnp.sum(~ok).astype(jnp.float32),
+    )
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# host-side running statistics (torchain `ChainResults` parity)
+# ---------------------------------------------------------------------------
+
+
+class ChainResults:
+    """Running accumulator of chain statistics, printed per interval —
+    behavioral parity with torchain's ChainResults ([R]
+    torchain/functions.py, SURVEY.md section 2.1)."""
+
+    def __init__(self) -> None:
+        self.tot_objf = 0.0
+        self.tot_l2 = 0.0
+        self.tot_xent = 0.0
+        self.tot_weight = 0.0
+        self.tot_failed = 0.0
+        self.steps = 0
+
+    def add(self, aux: dict) -> None:
+        w = float(aux["weight"])
+        self.tot_objf += float(aux["objf"]) * w
+        self.tot_l2 += float(aux["l2_term"]) * w
+        self.tot_xent += float(aux["xent_objf"]) * w
+        self.tot_weight += w
+        self.tot_failed += float(aux.get("num_failed", 0.0))
+        self.steps += 1
+
+    @property
+    def objf(self) -> float:
+        return self.tot_objf / max(self.tot_weight, 1e-20)
+
+    def __str__(self) -> str:
+        w = max(self.tot_weight, 1e-20)
+        return (
+            f"chain objf/frame={self.tot_objf / w:.4f} "
+            f"l2={self.tot_l2 / w:.4f} xent={self.tot_xent / w:.4f} "
+            f"weight={self.tot_weight:.0f} failed_seqs={self.tot_failed:.0f}"
+        )

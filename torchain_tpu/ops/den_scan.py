@@ -1,0 +1,98 @@
+"""Denominator forward-backward, v1: log-semiring `lax.scan` over sparse
+arcs.
+
+Behavioral reference: kaldi/src/chain/chain-denominator.cc
+(`DenominatorComputation::Forward/Backward`) and the per-arc CUDA kernels in
+chain-kernels.cu — re-expressed as a single traced scan in the LOG semiring
+(equivalent objective to Kaldi's prob-space-with-renormalization; different
+conditioning strategy, see SURVEY.md section 7 hard-part 2).  This is the
+exactness/reference path: fully general (any arc structure), numerically
+bulletproof, used by tests and by graphs too irregular for the dense MXU
+path in den_dense.py.
+
+Gradients are NOT taken by autodiff through the scan: the occupancy
+identity d(log Z)/dy[t,j] = gamma[t,j] means the backward pass IS the beta
+recursion, wired up via jax.custom_vjp in chain_loss.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from torchain_tpu.ops.device_graphs import DeviceDenGraph
+
+NEG_INF = -jnp.inf
+
+
+def _seg_logsumexp(vals: jnp.ndarray, seg: jnp.ndarray, num_seg: int) -> jnp.ndarray:
+    """Segment logsumexp along axis 0.  vals [A, B] -> [num_seg, B]."""
+    m = jax.ops.segment_max(vals, seg, num_segments=num_seg)  # [S, B]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jax.ops.segment_sum(jnp.exp(vals - m_safe[seg]), seg, num_segments=num_seg)
+    return jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-300)) + m_safe, NEG_INF)
+
+
+def _leak(log_alpha: jnp.ndarray, log_init: jnp.ndarray, leaky: float) -> jnp.ndarray:
+    """alpha' = alpha + leaky * init * sum(alpha)   (log space, [B, S])."""
+    if leaky <= 0.0:
+        return log_alpha
+    tot = jax.nn.logsumexp(log_alpha, axis=-1, keepdims=True)
+    return jnp.logaddexp(log_alpha, jnp.log(leaky) + log_init[None, :] + tot)
+
+
+def den_forward(
+    y: jnp.ndarray,  # [B, T, P] nnet log-prob outputs
+    g: DeviceDenGraph,
+    leaky: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (log_z [B], alphas [T+1, B, S]) where alphas are post-leak."""
+    B = y.shape[0]
+    a0 = _leak(jnp.broadcast_to(g.log_init, (B, g.num_states)), g.log_init, leaky)
+
+    def step(alpha, y_t):
+        # arc values [A, B]: alpha'[src] + w + y_t[pdf]
+        arc = alpha[:, g.in_src].T + g.in_logw[:, None] + y_t[:, g.in_pdf].T
+        nxt = _seg_logsumexp(arc, g.in_dst, g.num_states).T  # [B, S]
+        nxt = _leak(nxt, g.log_init, leaky)
+        return nxt, nxt
+
+    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1))
+    alphas = jnp.concatenate([a0[None], alphas], axis=0)
+    log_z = jax.nn.logsumexp(aT, axis=-1)
+    return log_z, alphas
+
+
+def den_backward(
+    y: jnp.ndarray,  # [B, T, P]
+    g: DeviceDenGraph,
+    log_z: jnp.ndarray,  # [B]
+    alphas: jnp.ndarray,  # [T+1, B, S]
+    leaky: float = 0.0,
+) -> jnp.ndarray:
+    """Returns gamma [B, T, P] = d(log Z)/dy (denominator occupancies)."""
+    B, T, P = y.shape
+    S = g.num_states
+    log_leaky = jnp.log(leaky) if leaky > 0.0 else None
+
+    def step(b, inputs):
+        # b: [B, S] = log dZ/dalpha'_t ; process frame t (0-based y index)
+        y_t, alpha_prev = inputs  # y[:, t], alphas[t] (post-leak at t)
+        if log_leaky is not None:
+            tot = jax.nn.logsumexp(g.log_init[None, :] + b, axis=-1, keepdims=True)
+            btilde = jnp.logaddexp(b, log_leaky + tot)
+        else:
+            btilde = b
+        # occupancies: arc posterior [A, B]
+        arc_w = g.in_logw[:, None] + y_t[:, g.in_pdf].T + btilde[:, g.in_dst].T
+        arc_post = alpha_prev[:, g.in_src].T + arc_w
+        gamma_t = jax.ops.segment_sum(
+            jnp.exp(arc_post - log_z[None, :]), g.in_pdf, num_segments=P
+        ).T  # [B, P]
+        nb = _seg_logsumexp(arc_w, g.in_src, S).T  # [B, S]
+        return nb, gamma_t
+
+    bT = jnp.zeros((B, S))
+    ys = jnp.swapaxes(y, 0, 1)  # [T, B, P]
+    _, gammas = jax.lax.scan(step, bT, (ys, alphas[:-1]), reverse=True)
+    return jnp.swapaxes(gammas, 0, 1)  # [B, T, P]

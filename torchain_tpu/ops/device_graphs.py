@@ -1,0 +1,122 @@
+"""Device-side (jnp) containers for the packed graphs.
+
+These are the JAX pytree twins of the host-side `graphs.DenGraph` /
+`graphs.DenseDenGraph` / `graphs.Supervision` (the moral equivalent of
+Kaldi's DenominatorGraph CuArrays and NnetChainSupervision —
+kaldi/src/chain/chain-den-graph.h, kaldi/src/nnet3/nnet-chain-example.h —
+re-packed for XLA).  Static shape metadata lives in meta_fields so jit
+caches on it."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import register_dataclass
+
+from torchain_tpu.graphs.den_graph import DenGraph, DenseDenGraph
+from torchain_tpu.graphs.supervision import Supervision
+
+
+@register_dataclass
+@dataclasses.dataclass
+class DeviceDenGraph:
+    """Sparse arc-list denominator graph for the log-semiring scan path."""
+
+    in_src: jnp.ndarray  # int32 [A]
+    in_pdf: jnp.ndarray  # int32 [A]
+    in_logw: jnp.ndarray  # float32 [A]
+    in_dst: jnp.ndarray  # int32 [A]
+    log_init: jnp.ndarray  # float32 [S]
+    num_states: int = dataclasses.field(metadata=dict(static=True))
+    num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_host(g: DenGraph) -> "DeviceDenGraph":
+        in_dst = np.repeat(
+            np.arange(g.num_states, dtype=np.int32), np.diff(g.in_offsets)
+        )
+        with np.errstate(divide="ignore"):
+            log_init = np.log(g.initial_probs.astype(np.float64)).astype(np.float32)
+        return DeviceDenGraph(
+            in_src=jnp.asarray(g.in_src),
+            in_pdf=jnp.asarray(g.in_pdf),
+            in_logw=jnp.asarray(g.in_logw),
+            in_dst=jnp.asarray(in_dst),
+            log_init=jnp.asarray(log_init),
+            num_states=int(g.num_states),
+            num_pdfs=int(g.num_pdfs),
+        )
+
+
+@register_dataclass
+@dataclasses.dataclass
+class DeviceDenseDenGraph:
+    """Dense Moore-machine denominator graph for the MXU matmul path.
+
+    One-hot matrices E_mat [E, S] (expanded -> original segment sum) and
+    P_mat [P, E] (pdf broadcast) turn every irregular gather/scatter of the
+    recursion into a dense matmul."""
+
+    V: jnp.ndarray  # float32 [S, E]
+    E_mat: jnp.ndarray  # float32 [E, S] one-hot
+    P_mat: jnp.ndarray  # float32 [P, E] one-hot
+    init_orig: jnp.ndarray  # float32 [S]
+    num_orig: int = dataclasses.field(metadata=dict(static=True))
+    num_exp: int = dataclasses.field(metadata=dict(static=True))
+    num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_host(d: DenseDenGraph, dtype=jnp.float32) -> "DeviceDenseDenGraph":
+        E_mat = np.zeros((d.num_exp, d.num_orig), dtype=np.float32)
+        E_mat[np.arange(d.real_exp), d.orig_of_exp[: d.real_exp]] = 1.0
+        P_mat = np.zeros((d.num_pdfs, d.num_exp), dtype=np.float32)
+        P_mat[d.pdf_of_exp[: d.real_exp], np.arange(d.real_exp)] = 1.0
+        return DeviceDenseDenGraph(
+            V=jnp.asarray(d.V, dtype=dtype),
+            E_mat=jnp.asarray(E_mat, dtype=dtype),
+            P_mat=jnp.asarray(P_mat, dtype=dtype),
+            init_orig=jnp.asarray(d.initial_probs),
+            num_orig=int(d.num_orig),
+            num_exp=int(d.num_exp),
+            num_pdfs=int(d.num_pdfs),
+        )
+
+
+@register_dataclass
+@dataclasses.dataclass
+class DeviceSupervision:
+    """Batched packed numerator supervision [B, T, S, K] (see
+    graphs.supervision.Supervision for the layout contract)."""
+
+    in_src: jnp.ndarray  # int32 [B, T, S, K]
+    in_pdf: jnp.ndarray  # int32 [B, T, S, K]
+    in_logw: jnp.ndarray  # float32 [B, T, S, K]
+    final_logw: jnp.ndarray  # float32 [B, S]
+    weight: jnp.ndarray  # float32 [B]
+    num_frames: int = dataclasses.field(metadata=dict(static=True))
+    max_states: int = dataclasses.field(metadata=dict(static=True))
+    max_arcs: int = dataclasses.field(metadata=dict(static=True))
+    num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_host(s: Supervision) -> "DeviceSupervision":
+        """From a batched (pad_and_stack_supervisions) or single supervision;
+        a single one gets a leading batch dim of 1."""
+        in_src = s.in_src if s.in_src.ndim == 4 else s.in_src[None]
+        in_pdf = s.in_pdf if s.in_pdf.ndim == 4 else s.in_pdf[None]
+        in_logw = s.in_logw if s.in_logw.ndim == 4 else s.in_logw[None]
+        final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
+        B = in_src.shape[0]
+        return DeviceSupervision(
+            in_src=jnp.asarray(in_src),
+            in_pdf=jnp.asarray(in_pdf),
+            in_logw=jnp.asarray(in_logw),
+            final_logw=jnp.asarray(final),
+            weight=jnp.full((B,), s.weight, dtype=jnp.float32),
+            num_frames=int(s.num_frames),
+            max_states=int(s.max_states),
+            max_arcs=int(s.max_arcs),
+            num_pdfs=int(s.num_pdfs),
+        )

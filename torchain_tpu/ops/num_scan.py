@@ -1,0 +1,127 @@
+"""Numerator (supervision) forward-backward: log-semiring scan over the
+packed per-frame arc tensors.
+
+Behavioral reference: kaldi/src/chain/chain-numerator.cc
+(`NumeratorComputation`): log-domain recursion over the time-sorted
+supervision FST, gathering nnet log-probs by (frame, pdf), emitting
+occupancy derivatives.  Re-designed for TPU: the frame-local packing
+(graphs/supervision.py) turns Kaldi's ragged time-sorted state ranges into
+dense [B, T, S, K] tables so each step is two gathers and a masked
+logsumexp — no scatter, no raggedness, fully vectorized over the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from torchain_tpu.ops.device_graphs import DeviceSupervision
+
+NEG_INF = -jnp.inf
+
+
+def _gather_states(alpha: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """alpha [B, S], idx [B, S, K] (values in [0, S), -1 = pad) -> [B, S, K]."""
+    B, S = alpha.shape
+    flat = jnp.take_along_axis(
+        alpha, jnp.clip(idx, 0, S - 1).reshape(B, -1), axis=1
+    )
+    return flat.reshape(idx.shape)
+
+
+def _gather_pdfs(y_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
+    """y_t [B, P], pdf [B, S, K] -> [B, S, K]."""
+    B = y_t.shape[0]
+    return jnp.take_along_axis(y_t, pdf.reshape(B, -1), axis=1).reshape(pdf.shape)
+
+
+def num_forward(
+    y: jnp.ndarray,  # [B, T, P]
+    sup: DeviceSupervision,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (log_prob [B], alphas [T+1, B, S])."""
+    B, T, P = y.shape
+    S = sup.max_states
+    a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
+
+    def step(alpha, inputs):
+        y_t, src, pdf, logw = inputs
+        vals = jnp.where(
+            src >= 0,
+            _gather_states(alpha, src) + logw + _gather_pdfs(y_t, pdf),
+            NEG_INF,
+        )  # [B, S, K]
+        nxt = jax.nn.logsumexp(vals, axis=-1)
+        return nxt, nxt
+
+    ys = jnp.swapaxes(y, 0, 1)  # [T, B, P]
+    srcs = jnp.swapaxes(sup.in_src, 0, 1)  # [T, B, S, K]
+    pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
+    logws = jnp.swapaxes(sup.in_logw, 0, 1)
+    aT, alphas = jax.lax.scan(step, a0, (ys, srcs, pdfs, logws))
+    alphas = jnp.concatenate([a0[None], alphas], axis=0)
+    log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
+    return log_p, alphas
+
+
+def num_backward(
+    y: jnp.ndarray,  # [B, T, P]
+    sup: DeviceSupervision,
+    log_p: jnp.ndarray,  # [B]
+    alphas: jnp.ndarray,  # [T+1, B, S]
+) -> jnp.ndarray:
+    """Returns gamma [B, T, P] = d(log_prob)/dy (numerator occupancies).
+    Sequences with non-finite log_p yield zero gamma (the caller applies the
+    numeric-failure policy)."""
+    B, T, P = y.shape
+    S, K = sup.max_states, sup.max_arcs
+    safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
+    valid = jnp.isfinite(log_p)
+
+    def step(b, inputs):
+        # b [B, S]: log beta of frame t+1 states; process frame step t
+        y_t, src, pdf, logw, alpha_t = inputs
+        mask = src >= 0
+        arc_w = jnp.where(
+            mask, logw + _gather_pdfs(y_t, pdf) + b[:, :, None], NEG_INF
+        )  # in-arc weight + beta(dst): [B, S(dst), K]
+        arc_post = _gather_states(alpha_t, src) + arc_w
+        post = jnp.where(
+            mask & valid[:, None, None],
+            jnp.exp(arc_post - safe_logp[:, None, None]),
+            0.0,
+        )
+        # scatter into pdf space: flat one-hot scatter-add per batch row
+        flat_idx = (
+            jnp.arange(B)[:, None, None] * P + pdf
+        ).reshape(-1)
+        gamma_t = (
+            jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
+        )
+        # pull beta back to frame-t states: scatter-max? no — logsumexp over
+        # arcs grouped by src slot, via scatter-add in exp domain around a
+        # per-batch max for stability
+        m = jnp.max(jnp.where(mask, arc_w, NEG_INF), axis=(1, 2), keepdims=True)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        contrib = jnp.where(mask, jnp.exp(arc_w - m_safe), 0.0)
+        src_idx = (
+            jnp.arange(B)[:, None, None] * S + jnp.clip(src, 0, S - 1)
+        ).reshape(-1)
+        acc = (
+            jnp.zeros((B * S,))
+            .at[src_idx]
+            .add(jnp.where(mask, contrib, 0.0).reshape(-1))
+            .reshape(B, S)
+        )
+        nb = jnp.where(acc > 0, jnp.log(jnp.maximum(acc, 1e-300)) + m_safe[:, :, 0], NEG_INF)
+        return nb, gamma_t
+
+    bT = sup.final_logw  # [B, S]
+    ys = jnp.swapaxes(y, 0, 1)
+    srcs = jnp.swapaxes(sup.in_src, 0, 1)
+    pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
+    logws = jnp.swapaxes(sup.in_logw, 0, 1)
+    _, gammas = jax.lax.scan(
+        step, bT, (ys, srcs, pdfs, logws, alphas[:-1]), reverse=True
+    )
+    return jnp.swapaxes(gammas, 0, 1)
