@@ -1,0 +1,100 @@
+"""Benchmark: chain-training throughput in audio-seconds/s/chip.
+
+Runs the full jitted train step (TDNN-F + dense-MXU chain loss) at a
+realistic configuration on whatever accelerator is available (the driver
+runs this on one real TPU chip) and prints ONE JSON line.
+
+Baseline note: the reference (torchain) publishes no numbers
+(BASELINE.md); `vs_baseline` is measured against 1000 audio-s/s — the
+order-of-magnitude throughput of the Kaldi-era single-GPU chain setups the
+reference targeted (BASELINE.md ecosystem anchors).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import TDNNF, TdnnfConfig
+    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.train import create_train_state, make_train_step
+
+    # realistic scale: ~40 phones, pruned bigram LM, T_out=50 (1.5 s audio
+    # per chunk at 10 ms input frames, frame-subsampling 3), batch 64
+    B, T_OUT, FEAT = 64, 50, 40
+    corpus = synthetic_dataset(
+        num_utts=2 * B,
+        num_phones=40,
+        feat_dim=FEAT,
+        utt_frames_out=(T_OUT, T_OUT + 10),
+        seed=0,
+    )
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=768,
+        bottleneck_dim=96,
+        prefinal_dim=256,
+        num_layers=9,
+    )
+    model = TDNNF(cfg)
+    left, right = cfg.context
+    dataset = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=T_OUT,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+    )
+    batch = next(dataset.batches(B, shuffle=False))
+    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    sup = DeviceSupervision.from_host(batch.sup)
+    feats = jnp.asarray(batch.feats)
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    state = create_train_state(model, feats, tx)
+    step_fn = make_train_step(
+        ChainLossOptions(
+            l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
+        )
+    )
+
+    # warmup/compile
+    for _ in range(2):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    b_actual = batch.feats.shape[0]
+    audio_seconds_per_batch = b_actual * batch.sup.num_frames * 3 * 0.010
+    value = audio_seconds_per_batch * iters / dt / max(1, len(jax.devices()))
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

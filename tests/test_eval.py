@@ -1,0 +1,67 @@
+"""Decoder + WER tests: oracle-posterior decoding must recover transcripts
+exactly; the trained-model path is exercised by test_e2e_recipe."""
+
+import numpy as np
+import pytest
+
+from torchain_tpu.data import synthetic_dataset
+from torchain_tpu.eval import make_decoding_graph, viterbi_decode, wer
+from torchain_tpu.eval.wer import edit_distance
+from torchain_tpu.graphs import ContextTree, PhoneLmOptions, estimate_phone_lm
+
+
+class TestWer:
+    def test_edit_distance_cases(self):
+        assert edit_distance([1, 2, 3], [1, 2, 3]) == (0, 0, 0, 0)
+        assert edit_distance([1, 2, 3], [1, 9, 3]) == (1, 0, 0, 1)
+        assert edit_distance([1, 2, 3], [1, 3]) == (0, 1, 0, 1)
+        assert edit_distance([1, 3], [1, 2, 3]) == (0, 0, 1, 1)
+        assert edit_distance([], [1, 2]) == (0, 0, 2, 2)
+
+    def test_corpus_wer(self):
+        out = wer([[1, 2, 3], [4, 5]], [[1, 2], [4, 5]])
+        assert out["wer"] == pytest.approx(100.0 * 1 / 5)
+        assert out["dele"] == 1
+
+
+class TestViterbi:
+    def test_oracle_posteriors_recover_transcript(self):
+        """Feed posteriors that are exactly right (huge margin on the true
+        pdf at each frame): the decoder must read back the exact phone
+        sequence for every utterance."""
+        rng = np.random.default_rng(0)
+        num_phones = 6
+        sents = [
+            list(map(int, rng.integers(1, num_phones + 1, size=rng.integers(3, 7))))
+            for _ in range(20)
+        ]
+        lm = estimate_phone_lm(
+            sents, PhoneLmOptions(ngram_order=2, num_extra_lm_states=100)
+        )
+        tree = ContextTree(num_phones)
+        graph = make_decoding_graph(lm, tree)
+
+        for sent in sents[:8]:
+            durs = rng.integers(1, 4, size=len(sent))
+            # true pdf sequence under the chain topology
+            pdfs = []
+            for p, d in zip(sent, durs):
+                pdfs += [tree.pdf(int(p), 0)] + [tree.pdf(int(p), 1)] * (int(d) - 1)
+            T = len(pdfs)
+            y = np.full((T, tree.num_pdfs), -10.0, dtype=np.float32)
+            y[np.arange(T), pdfs] = 10.0
+            hyp, score = viterbi_decode(graph, y)
+            assert hyp == [int(p) for p in sent], (sent, hyp)
+            assert np.isfinite(score)
+
+    def test_garbage_posteriors_still_decode(self):
+        rng = np.random.default_rng(1)
+        sents = [[1, 2], [2, 1], [1, 1, 2]]
+        lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+        tree = ContextTree(2)
+        graph = make_decoding_graph(lm, tree)
+        y = rng.normal(size=(12, tree.num_pdfs)).astype(np.float32)
+        hyp, score = viterbi_decode(graph, y)
+        assert isinstance(hyp, list)
+        assert np.isfinite(score)
+        assert all(1 <= p <= 2 for p in hyp)

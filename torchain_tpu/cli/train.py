@@ -1,0 +1,214 @@
+"""End-to-end chain training recipe driver.
+
+Parity target: torchain's example/train.py CLI ([R] example/, SURVEY.md
+sections 2.1 and 3.1) — argparse flags mirroring ChainTrainingOptions
+(l2-regularize, leaky-hmm-coefficient, xent-regularize, lr), staged
+execution (prepare -> train -> decode -> score), per-interval ChainResults
+logging, checkpointing — rebuilt over the TPU stack.  With --synthetic the
+recipe is fully self-contained (no external corpus needed).
+
+Usage:
+  python -m torchain_tpu.cli.train --synthetic --steps 200 --decode
+  python -m torchain_tpu.cli.train --synthetic --model tdnnf --epochs 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--synthetic", action="store_true", help="use the built-in synthetic corpus")
+    p.add_argument("--num-utts", type=int, default=64)
+    p.add_argument("--num-phones", type=int, default=12)
+    p.add_argument("--feat-dim", type=int, default=24)
+    p.add_argument("--context-width", type=int, default=1, choices=(1, 2))
+    p.add_argument("--model", choices=("tdnn", "tdnnf", "conformer"), default="tdnnf")
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--bottleneck-dim", type=int, default=64)
+    p.add_argument("--num-layers", type=int, default=5)
+    p.add_argument("--chunk-frames", type=int, default=30, help="output-rate chunk size")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optimizer", choices=("adam", "sgd"), default="adam")
+    p.add_argument("--l2-regularize", type=float, default=5e-4)
+    p.add_argument("--leaky-hmm-coefficient", type=float, default=0.1)
+    p.add_argument("--xent-regularize", type=float, default=0.1)
+    p.add_argument("--left-tolerance", type=int, default=2)
+    p.add_argument("--right-tolerance", type=int, default=2)
+    p.add_argument("--semi-ortho-every", type=int, default=4)
+    p.add_argument("--data-parallel", type=int, default=-1)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics-out", default=None)
+    p.add_argument("--decode", action="store_true", help="decode + score after training")
+    p.add_argument("--decode-beam", type=float, default=16.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+    if not args.synthetic:
+        print(
+            "Only --synthetic corpora are wired up in-round; mount a corpus "
+            "adapter under torchain_tpu/data to train on external data.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+    import jax
+    import jax.numpy as jnp
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.eval import make_decoding_graph, viterbi_decode, wer
+    from torchain_tpu.graphs import SupervisionOptions, estimate_phone_lm, PhoneLmOptions
+    from torchain_tpu.models import (
+        TDNN,
+        TDNNF,
+        Conformer,
+        ConformerConfig,
+        TdnnConfig,
+        TdnnfConfig,
+    )
+    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.parallel import MeshConfig
+    from torchain_tpu.train import Trainer, TrainerConfig
+    from torchain_tpu.train.step import make_forward_fn
+
+    t0 = time.time()
+    print(f"[stage 0] preparing synthetic corpus ({args.num_utts} utts)")
+    corpus = synthetic_dataset(
+        num_utts=args.num_utts,
+        num_phones=args.num_phones,
+        feat_dim=args.feat_dim,
+        context_width=args.context_width,
+        seed=args.seed,
+    )
+
+    if args.model == "tdnn":
+        cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)
+        model = TDNN(cfg)
+    elif args.model == "tdnnf":
+        cfg = TdnnfConfig(
+            num_pdfs=corpus.tree.num_pdfs,
+            hidden_dim=args.hidden_dim,
+            bottleneck_dim=args.bottleneck_dim,
+            num_layers=args.num_layers,
+        )
+        model = TDNNF(cfg)
+    else:
+        cfg = ConformerConfig(
+            num_pdfs=corpus.tree.num_pdfs, dim=args.hidden_dim, num_layers=args.num_layers
+        )
+        model = Conformer(cfg)
+    left, right = cfg.context
+    fsf = cfg.frame_subsampling_factor
+
+    print(f"[stage 1] dataset: chunk={args.chunk_frames} ctx=({left},{right})")
+    dataset = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=args.chunk_frames,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(
+            left_tolerance=args.left_tolerance,
+            right_tolerance=args.right_tolerance,
+            frame_subsampling_factor=fsf,
+        ),
+        seed=args.seed,
+    )
+
+    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    tcfg = TrainerConfig(
+        lr=args.lr,
+        optimizer=args.optimizer,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        semi_ortho_every=args.semi_ortho_every if args.model == "tdnnf" else 0,
+        checkpoint_dir=args.checkpoint_dir,
+        mesh=MeshConfig(data=args.data_parallel, model=args.model_parallel),
+        loss=ChainLossOptions(
+            l2_regularize=args.l2_regularize,
+            leaky_hmm_coefficient=args.leaky_hmm_coefficient,
+            xent_regularize=args.xent_regularize,
+        ),
+        log_every=20,
+    )
+    t_in = args.chunk_frames * fsf + left + right
+    example = np.zeros((2, t_in, args.feat_dim), np.float32)
+    trainer = Trainer(model, den, tcfg, example)
+    if args.checkpoint_dir and trainer.restore_checkpoint():
+        print(f"[stage 2] resumed from step {int(trainer.state.step)}")
+
+    print(f"[stage 2] training {args.model} on {len(dataset.chunks)} chunks")
+    if args.steps:
+        # step-bounded run: iterate manually
+        from torchain_tpu.ops.device_graphs import DeviceSupervision
+
+        done = False
+        with trainer.mesh:
+            while not done:
+                for batch in dataset.batches(args.batch_size):
+                    feats, sup = trainer._put_batch(batch)
+                    trainer.state, metrics = trainer.train_step(
+                        trainer.state, feats, trainer.den, sup
+                    )
+                    trainer.results.add({k: float(v) for k, v in metrics.items()})
+                    if int(trainer.state.step) >= args.steps:
+                        done = True
+                        break
+        results = trainer.results
+    else:
+        results = trainer.fit(dataset)
+    print(f"[stage 2] done: {results} ({time.time() - t0:.1f}s)")
+    if args.metrics_out:
+        trainer.dump_metrics(args.metrics_out)
+    if args.checkpoint_dir:
+        trainer.save_checkpoint()
+
+    out = dict(objf=results.objf, steps=int(trainer.state.step))
+    if args.decode:
+        print("[stage 3] decoding with the training LM")
+        refs = []
+        for u in corpus.utts:
+            seq = []
+            for p, _ in u.alignment:
+                seq.append(p)
+            refs.append(seq)
+        lm = estimate_phone_lm(refs, PhoneLmOptions(ngram_order=2, num_extra_lm_states=500))
+        dgraph = make_decoding_graph(lm, corpus.tree)
+        forward = make_forward_fn(model)
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats:
+            variables["batch_stats"] = trainer.state.batch_stats
+        hyps = []
+        for u in corpus.utts:
+            T_in_utt = u.feats.shape[0]
+            t_out = T_in_utt // fsf
+            idx = np.clip(
+                np.arange(-left, t_out * fsf + right), 0, T_in_utt - 1
+            )
+            feats = jnp.asarray(u.feats[idx][None])
+            y = np.asarray(forward(variables, feats))[0]
+            hyp, _ = viterbi_decode(dgraph, y, beam=args.decode_beam)
+            hyps.append(hyp)
+        score = wer(refs, hyps)
+        print(f"[stage 4] PER {score['wer']:.2f}% ({score})")
+        out["per"] = score["wer"]
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

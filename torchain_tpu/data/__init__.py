@@ -1,0 +1,20 @@
+"""data — feature extraction and chunk loading.
+
+Replaces the Kaldi feature pipeline (compute-mfcc-feats / compute-fbank-feats
++ apply-cmvn) and the egs archive machinery (nnet3-chain-get-egs /
+shuffle / merge — SURVEY.md section 2.2 "Chain egs format & binaries") with
+pure-JAX DSP and a host-side chunk loader emitting packed batches.
+"""
+
+from torchain_tpu.data.features import FbankOptions, fbank, mfcc, cmvn
+from torchain_tpu.data.loader import ChainBatch, ChainDataset, synthetic_dataset
+
+__all__ = [
+    "FbankOptions",
+    "fbank",
+    "mfcc",
+    "cmvn",
+    "ChainBatch",
+    "ChainDataset",
+    "synthetic_dataset",
+]

@@ -1,0 +1,237 @@
+"""Chunk loader: utterances + alignments -> packed training batches.
+
+The TPU-native replacement for Kaldi's egs pipeline (nnet3-chain-get-egs |
+copy | shuffle | merge — SURVEY.md sections 2.2 and 3.5): chunking, acoustic
+context padding, frame subsampling, supervision compilation and minibatch
+merging all happen here, producing the same LOGICAL records (features with
+left/right context at input rate + per-chunk supervision FST tensors)
+without any ark/scp machinery.  Shape contract (SURVEY.md section 3.2):
+feats are [B, T_in, F] with T_in = T_out * frame_subsampling_factor +
+left_context + right_context.
+
+Also provides `synthetic_dataset`, a self-contained learnable toy corpus
+(per-pdf Gaussian feature emissions over random phone sequences) used by
+tests, benchmarks and the e2e recipe when no external corpus is mounted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from torchain_tpu.fstkit import Fst, compose
+from torchain_tpu.graphs import (
+    ContextTree,
+    PhoneLmOptions,
+    SupervisionOptions,
+    alignment_to_supervision_fst,
+    compile_den_graph,
+    compile_supervision,
+    estimate_phone_lm,
+    make_den_fst,
+    make_dense_den_graph,
+    make_normalization_fst,
+)
+from torchain_tpu.graphs.den_graph import DenGraph, DenseDenGraph
+from torchain_tpu.graphs.supervision import (
+    Supervision,
+    pad_and_stack_supervisions,
+    split_alignment_into_chunks,
+    subsample_alignment,
+)
+from torchain_tpu.ops.device_graphs import DeviceSupervision
+
+
+@dataclasses.dataclass
+class ChainBatch:
+    """One training minibatch (host numpy; train step moves it on-device)."""
+
+    feats: np.ndarray  # [B, T_in, F] float32
+    sup: Supervision  # batched packed supervision (B leading dim)
+
+    @property
+    def batch_size(self) -> int:
+        return self.feats.shape[0]
+
+
+@dataclasses.dataclass
+class Utterance:
+    feats: np.ndarray  # [T_in_total, F] input-rate features
+    alignment: list[tuple[int, int]]  # (phone, duration) at INPUT rate
+    utt_id: str = ""
+
+
+class ChainDataset:
+    """Chunking + supervision-compiling batch iterator.
+
+    Equal-length chunks are grouped so every batch shares T_out (Kaldi's
+    merge-egs constraint), with supervision tensors padded to the batch-wide
+    (max_states, max_arcs)."""
+
+    def __init__(
+        self,
+        utts: list[Utterance],
+        tree: ContextTree,
+        norm_fst: Fst,
+        chunk_frames_out: int = 50,
+        left_context: int = 10,
+        right_context: int = 10,
+        sup_opts: SupervisionOptions = SupervisionOptions(),
+        seed: int = 0,
+    ):
+        self.tree = tree
+        self.norm_fst = norm_fst
+        self.left_context = left_context
+        self.right_context = right_context
+        self.sup_opts = sup_opts
+        self.fsf = sup_opts.frame_subsampling_factor
+        self.chunk_frames_out = chunk_frames_out
+        self.rng = np.random.default_rng(seed)
+        # each chunk: (utt_idx, c0_out, T_out, chunk_alignment, left_ctx)
+        self.chunks: list[tuple] = []
+        self.utts = utts
+        self.num_dropped = 0
+        for ui, utt in enumerate(utts):
+            ali_out = subsample_alignment(utt.alignment, self.fsf)
+            for c0, chunk_ali, left_ctx in split_alignment_into_chunks(
+                ali_out, chunk_frames_out
+            ):
+                t_out = sum(d for _, d in chunk_ali)
+                self.chunks.append((ui, c0, t_out, chunk_ali, left_ctx))
+
+    def _chunk_feats(self, utt: Utterance, c0_out: int, t_out: int) -> np.ndarray:
+        """Input-rate features for chunk with context, edge-padded."""
+        t0 = c0_out * self.fsf - self.left_context
+        t1 = (c0_out + t_out) * self.fsf + self.right_context
+        T = utt.feats.shape[0]
+        idx = np.clip(np.arange(t0, t1), 0, T - 1)
+        return utt.feats[idx]
+
+    def _chunk_supervision(
+        self, chunk_ali: list[tuple[int, int]], left_ctx: int
+    ) -> Supervision | None:
+        try:
+            fst = alignment_to_supervision_fst(
+                chunk_ali, self.tree, self.sup_opts, left_context_phone=left_ctx
+            )
+            return compile_supervision(
+                compose(fst, self.norm_fst), self.tree.num_pdfs
+            )
+        except ValueError:
+            self.num_dropped += 1  # Kaldi drops failed egs the same way
+            return None
+
+    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
+        """Yield ChainBatch objects; chunks grouped by T_out."""
+        by_len: dict[int, list[tuple]] = {}
+        for c in self.chunks:
+            by_len.setdefault(c[2], []).append(c)
+        order = sorted(by_len)
+        if shuffle:
+            for k in order:
+                self.rng.shuffle(by_len[k])
+        for t_out in order:
+            group = by_len[t_out]
+            for i in range(0, len(group), batch_size):
+                part = group[i : i + batch_size]
+                if drop_last and len(part) < batch_size:
+                    continue
+                feats, sups = [], []
+                for ui, c0, t, chunk_ali, left_ctx in part:
+                    sup = self._chunk_supervision(chunk_ali, left_ctx)
+                    if sup is None:
+                        continue
+                    feats.append(self._chunk_feats(self.utts[ui], c0, t))
+                    sups.append(sup)
+                if not sups or (drop_last and len(sups) < batch_size):
+                    continue
+                yield ChainBatch(
+                    feats=np.stack(feats).astype(np.float32),
+                    sup=pad_and_stack_supervisions(sups),
+                )
+
+
+@dataclasses.dataclass
+class SyntheticCorpus:
+    utts: list[Utterance]
+    tree: ContextTree
+    den_graph: DenGraph
+    dense_den: DenseDenGraph
+    norm_fst: Fst
+    den_fst: Fst
+    feat_dim: int
+    pdf_means: np.ndarray  # [num_pdfs, feat_dim] generative means
+
+
+def synthetic_dataset(
+    num_utts: int = 32,
+    num_phones: int = 8,
+    feat_dim: int = 24,
+    utt_frames_out: tuple[int, int] = (40, 80),
+    frame_subsampling_factor: int = 3,
+    context_width: int = 1,
+    noise: float = 0.5,
+    seed: int = 0,
+) -> SyntheticCorpus:
+    """A learnable toy corpus: random phone sequences; each (input) frame's
+    features are drawn from a Gaussian whose mean identifies the active
+    pdf.  A model that learns the mapping drives the chain objective toward
+    zero, so end-to-end tests/benches have a real learning signal."""
+    rng = np.random.default_rng(seed)
+    tree = ContextTree(num_phones, context_width=context_width)
+    # transcripts
+    sents = []
+    alis_out = []
+    for _ in range(num_utts):
+        t_out = int(rng.integers(*utt_frames_out))
+        phones = []
+        durs = []
+        left = t_out
+        while left > 0:
+            p = int(rng.integers(1, num_phones + 1))
+            d = int(min(rng.integers(1, 6), left))
+            phones.append(p)
+            durs.append(d)
+            left -= d
+        sents.append(phones)
+        alis_out.append(list(zip(phones, durs)))
+    lm = estimate_phone_lm(
+        sents, PhoneLmOptions(ngram_order=2, num_extra_lm_states=200)
+    )
+    den_fst = make_den_fst(lm, tree)
+    graph = compile_den_graph(den_fst, tree.num_pdfs)
+    dense = make_dense_den_graph(graph)
+    norm = make_normalization_fst(den_fst, graph.initial_probs)
+
+    pdf_means = rng.normal(size=(tree.num_pdfs, feat_dim)).astype(np.float32) * 2.0
+    utts = []
+    for ui, ali_out in enumerate(alis_out):
+        # expand to input rate and emit per-frame features by active pdf
+        ali_in = [(p, d * frame_subsampling_factor) for p, d in ali_out]
+        frames = []
+        left_phone = 0
+        for p, d in ali_in:
+            pdf0 = tree.pdf(p, 0, left_phone)
+            pdf1 = tree.pdf(p, 1, left_phone)
+            pdfs = [pdf0] * frame_subsampling_factor + [pdf1] * (
+                d - frame_subsampling_factor
+            )
+            frames.extend(pdfs)
+            left_phone = p
+        feats = pdf_means[np.array(frames)] + rng.normal(
+            size=(len(frames), feat_dim)
+        ).astype(np.float32) * noise
+        utts.append(
+            Utterance(feats=feats.astype(np.float32), alignment=ali_in, utt_id=f"utt{ui}")
+        )
+    return SyntheticCorpus(
+        utts=utts,
+        tree=tree,
+        den_graph=graph,
+        dense_den=dense,
+        norm_fst=norm,
+        den_fst=den_fst,
+        feat_dim=feat_dim,
+        pdf_means=pdf_means,
+    )

@@ -1,0 +1,19 @@
+"""eval — posterior export, Viterbi decoding, error-rate scoring.
+
+Replaces the reference recipe's decode stage (SURVEY.md section 3.4:
+posterior ark export -> latgen-faster-mapped -> scoring) with an in-repo
+path: jitted forward for chain-head pseudo-loglikes, a token-passing
+Viterbi decoder over the phone-level decoding graph (acoustic scale 1.0,
+chain convention), and WER/PER scoring.
+"""
+
+from torchain_tpu.eval.decoder import DecodingGraph, make_decoding_graph, viterbi_decode
+from torchain_tpu.eval.wer import edit_distance, wer
+
+__all__ = [
+    "DecodingGraph",
+    "make_decoding_graph",
+    "viterbi_decode",
+    "edit_distance",
+    "wer",
+]

@@ -40,13 +40,15 @@ from torchain_tpu.graphs.topology import BOUNDARY, ChainTopology, ContextTree
 # ---------------------------------------------------------------------------
 
 
-def make_den_fst(
+def expand_lm_to_hmm(
     phone_lm: Fst,
     tree: ContextTree,
     topo: ChainTopology = ChainTopology(),
-) -> Fst:
-    """Expand an epsilon-free phone LM into the denominator HMM acceptor over
-    labels (pdf_id + 1).
+) -> tuple[Fst, list[int]]:
+    """Expand an epsilon-free phone LM into an HMM acceptor over labels
+    (pdf_id + 1), also returning per-arc output phone labels (the phone
+    ENTERED on phone-entry arcs, 0 elsewhere) in `fst.all_arcs()` order —
+    what a decoding graph needs to read phone sequences off a Viterbi path.
 
     States are of two kinds:
       * boundary states (lm_state, prev_phone): between phones; prev_phone
@@ -60,6 +62,7 @@ def make_den_fst(
     need_loop_ctx = tree.context_dependent(1)
 
     out = Fst()
+    olabel_per_state: dict[int, list[int]] = {}  # src state -> olabels
     state_of: dict[tuple, int] = {}
 
     def state(key: tuple) -> int:
@@ -78,6 +81,10 @@ def make_den_fst(
             stack.append(key)
         return state(key)
 
+    def add_arc(src: int, label: int, weight: float, dst: int, phone: int):
+        out.add_arc(src, label, weight, dst)
+        olabel_per_state.setdefault(src, []).append(phone)
+
     while stack:
         key = stack.pop()
         kind = key[0]
@@ -91,15 +98,35 @@ def make_den_fst(
                 pdf0 = tree.pdf(q, 0, prev)
                 loop_key = ("loop", ld, q, prev if need_loop_ctx else BOUNDARY)
                 bnd_key = ("bnd", ld, q if need_prev else BOUNDARY)
-                out.add_arc(src, pdf0 + 1, w + topo.log_continue, visit(loop_key))
-                out.add_arc(src, pdf0 + 1, w + topo.log_end, visit(bnd_key))
+                add_arc(src, pdf0 + 1, w + topo.log_continue, visit(loop_key), q)
+                add_arc(src, pdf0 + 1, w + topo.log_end, visit(bnd_key), q)
         else:
             _, ld, q, left = key
             pdf1 = tree.pdf(q, 1, left)
             bnd_key = ("bnd", ld, q if need_prev else BOUNDARY)
-            out.add_arc(src, pdf1 + 1, topo.log_continue, src)
-            out.add_arc(src, pdf1 + 1, topo.log_end, visit(bnd_key))
-    return connect(out)
+            add_arc(src, pdf1 + 1, topo.log_continue, src, 0)
+            add_arc(src, pdf1 + 1, topo.log_end, visit(bnd_key), 0)
+    # NOTE: no connect() here — arc/olabel alignment must stay intact; the
+    # expansion only creates reachable states, and every state reaches a
+    # final state in any LM trained with EOS counts.
+    arc_olabel = [
+        ol
+        for s in range(out.num_states)
+        for ol in olabel_per_state.get(s, [])
+    ]
+    assert len(arc_olabel) == out.num_arcs
+    return out, arc_olabel
+
+
+def make_den_fst(
+    phone_lm: Fst,
+    tree: ContextTree,
+    topo: ChainTopology = ChainTopology(),
+) -> Fst:
+    """Denominator HMM acceptor over (pdf_id + 1) labels (see
+    expand_lm_to_hmm); output labels dropped, dead states trimmed."""
+    fst, _ = expand_lm_to_hmm(phone_lm, tree, topo)
+    return connect(fst)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,28 @@
+"""models — acoustic encoders with chain + xent heads (flax).
+
+The model zoo the reference ecosystem trains with chain loss (SURVEY.md
+section 2 / BASELINE.json configs): TDNN (dilated-conv context splicing),
+TDNN-F (factored layers with the semi-orthogonal constraint), and a
+conformer encoder.  All emit two heads over shared trunk features:
+chain-head raw outputs y (unnormalized log-likelihoods, no prior division)
+and xent-head logits for the cross-entropy regularizer
+(kaldi chain recipes' output / output-xent pair).
+"""
+
+from torchain_tpu.models.tdnn import TDNN, TDNNF, TdnnConfig, TdnnfConfig
+from torchain_tpu.models.conformer import Conformer, ConformerConfig
+from torchain_tpu.models.semi_orthogonal import (
+    constrain_semi_orthogonal,
+    semi_orthogonal_step,
+)
+
+__all__ = [
+    "TDNN",
+    "TDNNF",
+    "TdnnConfig",
+    "TdnnfConfig",
+    "Conformer",
+    "ConformerConfig",
+    "constrain_semi_orthogonal",
+    "semi_orthogonal_step",
+]

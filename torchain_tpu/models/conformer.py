@@ -1,0 +1,135 @@
+"""Conformer acoustic encoder (flax) for chain training at scale.
+
+The model family BASELINE.json config 4 calls for ("Conformer encoder +
+chain loss, model-sharded across chips").  Standard conformer blocks
+(Gulati et al. 2020): half-step feed-forward sandwiches around
+multi-head self-attention (with a T5-style relative position bias) and a
+depthwise-convolution module; a strided conv frontend performs the
+frame-subsampling-factor reduction.  Designed MXU-first: all hot paths are
+dense matmuls/convs in bf16-friendly shapes; the `model` mesh axis shards
+attention heads and FFN hidden dims via the sharding rules in
+torchain_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from torchain_tpu.models.tdnn import Prefinal
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    num_pdfs: int = 120
+    dim: int = 256
+    num_layers: int = 8
+    num_heads: int = 4
+    ffn_mult: int = 4
+    conv_kernel: int = 15
+    frame_subsampling_factor: int = 3
+    frontend_kernel: int = 5
+    rel_pos_buckets: int = 32
+    prefinal_dim: int = 256
+    dropout: float = 0.0
+
+    @property
+    def context(self) -> tuple[int, int]:
+        c = (self.frontend_kernel - 1) // 2
+        return c, c
+
+
+class RelPositionBias(nn.Module):
+    """T5-style bucketed relative position bias shared across layers."""
+
+    num_heads: int
+    num_buckets: int = 32
+
+    @nn.compact
+    def __call__(self, T: int):
+        emb = self.param(
+            "rel_bias",
+            nn.initializers.normal(0.02),
+            (2 * self.num_buckets + 1, self.num_heads),
+        )
+        rel = np.arange(T)[None, :] - np.arange(T)[:, None]  # static
+        idx = np.clip(rel, -self.num_buckets, self.num_buckets) + self.num_buckets
+        return jnp.transpose(emb[idx], (2, 0, 1))  # [H, T, T]
+
+
+class ConformerBlock(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, bias, train: bool = False):
+        cfg = self.cfg
+
+        # FFN half-step 1
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(cfg.dim * cfg.ffn_mult, name="ffn1_in")(h)
+        h = nn.swish(h)
+        h = nn.Dense(cfg.dim, name="ffn1_out")(h)
+        x = x + 0.5 * h
+
+        # self-attention with relative position bias
+        h = nn.LayerNorm()(x)
+        B, T, D = h.shape
+        H = cfg.num_heads
+        qkv = nn.Dense(3 * D, name="attn_qkv")(h).reshape(B, T, 3, H, D // H)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(D // H)
+        logits = logits + bias[None]
+        att = jnp.einsum("bhts,bshd->bthd", nn.softmax(logits, axis=-1), v)
+        h = nn.Dense(D, name="attn_out")(att.reshape(B, T, D))
+        x = x + h
+
+        # convolution module
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(2 * cfg.dim, name="conv_in")(h)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(
+            cfg.dim,
+            kernel_size=(cfg.conv_kernel,),
+            feature_group_count=cfg.dim,
+            padding="SAME",
+            name="depthwise",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, axis_name=None)(h)
+        h = nn.swish(h)
+        h = nn.Dense(cfg.dim, name="conv_out")(h)
+        x = x + h
+
+        # FFN half-step 2
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(cfg.dim * cfg.ffn_mult, name="ffn2_in")(h)
+        h = nn.swish(h)
+        h = nn.Dense(cfg.dim, name="ffn2_out")(h)
+        x = x + 0.5 * h
+        return nn.LayerNorm()(x)
+
+
+class Conformer(nn.Module):
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.config
+        x = nn.Conv(
+            cfg.dim,
+            kernel_size=(cfg.frontend_kernel,),
+            strides=(cfg.frame_subsampling_factor,),
+            padding="VALID",
+            name="frontend",
+        )(feats)
+        x = nn.swish(x)
+        bias = RelPositionBias(cfg.num_heads, cfg.rel_pos_buckets, name="rel_pos")(
+            x.shape[1]
+        )
+        for i in range(cfg.num_layers):
+            x = ConformerBlock(cfg, name=f"block{i}")(x, bias, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="xent_head")(x, train)
+        return chain, xent

@@ -1,0 +1,199 @@
+"""TDNN and TDNN-F acoustic encoders (flax).
+
+Behavioral reference: Kaldi chain recipes' TDNN (context-spliced affine
+layers = dilated 1-D convolutions) and TDNN-F (factored layers with a
+semi-orthogonal bottleneck, batchnorm, and scaled bypass connections —
+Povey et al. 2018), e.g. the mini-librispeech/librispeech tdnn/tdnnf
+configs torchain's example trains ([R] example/train.py, SURVEY.md
+section 2.1).  Re-designed as flax modules over [B, T, F] tensors with
+VALID convolutions: the loader supplies exactly `left_context` +
+`right_context` extra input frames and one layer strides by
+frame_subsampling_factor, reproducing Kaldi's frame-rate contract
+(SURVEY.md section 3.2).
+
+Every model returns (chain_out, xent_out): [B, T_out, num_pdfs] each.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Prefinal(nn.Module):
+    """Kaldi's prefinal-chain / prefinal-xent block: linear bottleneck +
+    relu + batchnorm + affine to pdfs."""
+
+    dim: int
+    num_pdfs: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.dim)(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
+        return nn.Dense(self.num_pdfs)(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnConfig:
+    num_pdfs: int = 120
+    hidden_dim: int = 512
+    prefinal_dim: int = 256
+    #: (kernel, dilation, stride) per layer; exactly one stride equals
+    #: frame_subsampling_factor
+    layers: Sequence[tuple[int, int, int]] = (
+        (5, 1, 1),
+        (3, 1, 3),
+        (3, 3, 1),
+        (3, 3, 1),
+        (3, 3, 1),
+    )
+
+    @property
+    def frame_subsampling_factor(self) -> int:
+        f = 1
+        for _, _, s in self.layers:
+            f *= s
+        return f
+
+    @property
+    def context(self) -> tuple[int, int]:
+        """(left, right) input frames consumed beyond T_out * fsf."""
+        left = 0
+        rate = 1
+        for k, d, s in self.layers:
+            left += (k // 2) * d * rate
+            rate *= s
+        return left, left  # symmetric kernels
+
+
+class TDNN(nn.Module):
+    """Plain TDNN: dilated VALID convs + relu + batchnorm."""
+
+    config: TdnnConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats
+        for i, (k, d, s) in enumerate(self.config.layers):
+            x = nn.Conv(
+                self.config.hidden_dim,
+                kernel_size=(k,),
+                kernel_dilation=(d,),
+                strides=(s,),
+                padding="VALID",
+                name=f"tdnn{i}",
+            )(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
+        chain = Prefinal(self.config.prefinal_dim, self.config.num_pdfs, name="chain_head")(x, train)
+        xent = Prefinal(self.config.prefinal_dim, self.config.num_pdfs, name="xent_head")(x, train)
+        return chain, xent
+
+
+class TdnnfLayer(nn.Module):
+    """One factored layer: semi-orthogonal linear (context [-d, 0]) ->
+    bottleneck -> affine (context [0, +d]) -> relu -> batchnorm, with a
+    scaled bypass (Kaldi tdnnf-layer semantics)."""
+
+    hidden_dim: int
+    bottleneck_dim: int
+    dilation: int = 1
+    stride: int = 1
+    bypass_scale: float = 0.66
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # first factor: kernel covers (t - d, t); named linear_pre so the
+        # periodic semi-orthogonal projection finds it
+        h = nn.Conv(
+            self.bottleneck_dim,
+            kernel_size=(2,),
+            kernel_dilation=(self.dilation,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=False,
+            name="linear_pre",
+        )(x)
+        # second factor: kernel covers (t, t + d)
+        h = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(2,),
+            kernel_dilation=(self.dilation,),
+            padding="VALID",
+            name="affine",
+        )(h)
+        h = nn.relu(h)
+        h = nn.BatchNorm(use_running_average=not train, axis_name=None)(h)
+        # bypass: crop x to align with h (d left from factor 1, d right from
+        # factor 2, then stride)
+        d = self.dilation
+        crop = x[:, d :: self.stride, :]
+        crop = crop[:, : h.shape[1], :]
+        if crop.shape[-1] == h.shape[-1]:
+            h = h + self.bypass_scale * crop
+        return h
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnfConfig:
+    num_pdfs: int = 120
+    hidden_dim: int = 768
+    bottleneck_dim: int = 96
+    prefinal_dim: int = 256
+    num_layers: int = 9
+    #: layer index that strides by frame_subsampling_factor
+    subsample_layer: int = 1
+    frame_subsampling_factor: int = 3
+    #: dilation per layer after the subsample layer (Kaldi time-stride 3)
+    dilation: int = 3
+
+    def layer_geometry(self) -> list[tuple[int, int]]:
+        """(dilation, stride) per tdnnf layer."""
+        out = []
+        for i in range(self.num_layers):
+            if i == 0:
+                out.append((1, 1))
+            elif i == self.subsample_layer:
+                out.append((1, self.frame_subsampling_factor))
+            else:
+                out.append((self.dilation, 1))
+        return out
+
+    @property
+    def context(self) -> tuple[int, int]:
+        left = right = 0
+        rate = 1
+        for d, s in self.layer_geometry():
+            left += d * rate  # factor 1 looks back d (pre-stride rate)
+            rate *= s
+            right += d * rate  # factor 2 looks ahead d (post-stride rate)
+        return left, right
+
+
+class TDNNF(nn.Module):
+    """Factored TDNN stack with chain + xent heads."""
+
+    config: TdnnfConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.config
+        x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), name="input_proj")(feats)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
+        for i, (d, s) in enumerate(cfg.layer_geometry()):
+            x = TdnnfLayer(
+                hidden_dim=cfg.hidden_dim,
+                bottleneck_dim=cfg.bottleneck_dim,
+                dilation=d,
+                stride=s,
+                name=f"tdnnf{i}",
+            )(x, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="xent_head")(x, train)
+        return chain, xent

@@ -1,0 +1,95 @@
+"""The jitted chain training step.
+
+Call-stack parity with the reference hot path (SURVEY.md section 3.3):
+model forward (two heads) -> fused chain loss (custom VJP fwd-bwd) ->
+grads -> optimizer update, all inside ONE jit so XLA fuses the whole
+minibatch into a single device program (the reference crossed
+Python->C->CUDA per step; here the boundary is crossed once at jit time).
+
+Under a (data, model) mesh with sharded inputs, jit/GSPMD inserts the
+gradient psum over ICI automatically — loss statistics are global sums,
+so objf/weight semantics match the single-chip run exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from torchain_tpu.ops import ChainLossOptions, chain_loss
+from torchain_tpu.ops.device_graphs import (
+    DeviceDenGraph,
+    DeviceDenseDenGraph,
+    DeviceSupervision,
+)
+from torchain_tpu.train.state import ChainTrainState
+
+
+def make_train_step(loss_opts: ChainLossOptions, use_xent: bool = True):
+    """Returns jitted (state, feats, den, sup) -> (state, metrics)."""
+
+    @jax.jit
+    def train_step(
+        state: ChainTrainState,
+        feats: jnp.ndarray,  # [B, T_in, F]
+        den,
+        sup: DeviceSupervision,
+    ):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                (chain_out, xent_out), updates = state.apply_fn(
+                    variables, feats, train=True, mutable=["batch_stats"]
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                chain_out, xent_out = state.apply_fn(variables, feats, train=True)
+                new_stats = state.batch_stats
+            loss, aux = chain_loss(
+                chain_out, xent_out if use_xent else None, den, sup, loss_opts
+            )
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        metrics = dict(aux)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(loss_opts: ChainLossOptions):
+    """Returns jitted (state, feats, den, sup) -> metrics (no update)."""
+
+    @jax.jit
+    def eval_step(state: ChainTrainState, feats, den, sup):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        chain_out, xent_out = state.apply_fn(variables, feats, train=False)
+        _, aux = chain_loss(chain_out, xent_out, den, sup, loss_opts)
+        return aux
+
+    return eval_step
+
+
+def make_forward_fn(model):
+    """Posterior export path (SURVEY.md section 3.4): jitted inference
+    forward returning raw chain-head outputs — chain models decode the raw
+    output as pseudo-loglikes with acoustic scale 1.0 and no prior division
+    (latgen-faster-mapped usage in chain recipes)."""
+
+    @jax.jit
+    def forward(variables, feats):
+        chain_out, _ = model.apply(variables, feats, train=False)
+        return chain_out
+
+    return forward

@@ -1,0 +1,175 @@
+"""Trainer: the end-to-end chain training driver.
+
+Parity target: the torchain example recipe's training stage ([R]
+example/train.py — argparse, per-iteration ChainResults printing, periodic
+checkpoints; SURVEY.md sections 2.1 and 5), rebuilt with: device-mesh
+sharding, optax optimizers, periodic semi-orthogonal constraint (TDNN-F),
+structured JSONL metrics, and orbax checkpointing with full train-state
+(model + optimizer + loader position) restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torchain_tpu.data.loader import ChainBatch, ChainDataset
+from torchain_tpu.models import constrain_semi_orthogonal
+from torchain_tpu.ops import ChainLossOptions, ChainResults
+from torchain_tpu.ops.device_graphs import DeviceSupervision
+from torchain_tpu.parallel import MeshConfig, batch_sharding, make_mesh, replicated
+from torchain_tpu.train.state import ChainTrainState, create_train_state
+from torchain_tpu.train.step import make_train_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    lr: float = 1e-3
+    momentum: float = 0.9
+    optimizer: str = "adam"  # adam | sgd
+    grad_clip: float = 5.0
+    loss: ChainLossOptions = dataclasses.field(default_factory=ChainLossOptions)
+    batch_size: int = 16
+    num_epochs: int = 2
+    #: apply the semi-orthogonal constraint every N steps (0 = never)
+    semi_ortho_every: int = 4
+    log_every: int = 20
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 500
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    use_xent: bool = True
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        opt = optax.adam(cfg.lr)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(cfg.lr, momentum=cfg.momentum)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
+
+
+class Trainer:
+    def __init__(self, model, den_device, cfg: TrainerConfig, example_feats):
+        self.cfg = cfg
+        self.model = model
+        self.den = den_device
+        self.mesh = make_mesh(cfg.mesh)
+        self.tx = make_optimizer(cfg)
+        self.state = create_train_state(model, jnp.asarray(example_feats), self.tx)
+        self.train_step = make_train_step(cfg.loss, use_xent=cfg.use_xent)
+        self.results = ChainResults()
+        self.metrics_log: list[dict] = []
+        self._ckpt_mgr = None
+        if cfg.checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            path = pathlib.Path(cfg.checkpoint_dir).absolute()
+            path.mkdir(parents=True, exist_ok=True)
+            self._ckpt_mgr = ocp.CheckpointManager(
+                path, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+            )
+
+    # -- sharding ---------------------------------------------------------
+
+    def _put_batch(self, batch: ChainBatch):
+        bsh = lambda x: jax.device_put(
+            x, batch_sharding(self.mesh, np.ndim(x))
+        )
+        feats = bsh(jnp.asarray(batch.feats))
+        sup_host = DeviceSupervision.from_host(batch.sup)
+        sup = jax.tree.map(bsh, sup_host)
+        return feats, sup
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        payload = dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+        )
+        self._ckpt_mgr.save(
+            int(self.state.step), args=ocp.args.StandardSave(payload)
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_checkpoint(self) -> bool:
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        target = dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+        )
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.latest_step(),
+            args=ocp.args.StandardRestore(target),
+        )
+        self.state = self.state.replace(**restored)
+        return True
+
+    # -- main loop --------------------------------------------------------
+
+    def fit(self, dataset: ChainDataset, log_fn=print) -> ChainResults:
+        cfg = self.cfg
+        t_start = time.time()
+        frames_done = 0
+        with self.mesh:
+            for epoch in range(cfg.num_epochs):
+                for batch in dataset.batches(cfg.batch_size):
+                    feats, sup = self._put_batch(batch)
+                    self.state, metrics = self.train_step(
+                        self.state, feats, self.den, sup
+                    )
+                    step = int(self.state.step)
+                    if cfg.semi_ortho_every and step % cfg.semi_ortho_every == 0:
+                        self.state = self.state.replace(
+                            params=constrain_semi_orthogonal(self.state.params)
+                        )
+                    host = {k: float(v) for k, v in metrics.items()}
+                    self.results.add(host)
+                    frames_done += batch.feats.shape[0] * batch.sup.num_frames
+                    if step % cfg.log_every == 0:
+                        host["step"] = step
+                        host["epoch"] = epoch
+                        host["wall_s"] = time.time() - t_start
+                        host["frames_per_s"] = frames_done / host["wall_s"]
+                        self.metrics_log.append(host)
+                        log_fn(
+                            f"step {step} epoch {epoch}: "
+                            f"objf={host['objf']:.4f} loss={host['loss']:.4f} "
+                            f"grad={host['grad_norm']:.3f}"
+                        )
+                    if (
+                        self._ckpt_mgr is not None
+                        and step % cfg.checkpoint_every == 0
+                    ):
+                        self.save_checkpoint()
+            if self._ckpt_mgr is not None:
+                self.save_checkpoint()
+        return self.results
+
+    def dump_metrics(self, path: str):
+        with open(path, "w") as f:
+            for m in self.metrics_log:
+                f.write(json.dumps(m) + "\n")
