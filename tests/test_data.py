@@ -1,0 +1,132 @@
+"""Feature extraction + chunk loader + checkpoint round-trip tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from torchain_tpu.data import ChainDataset, FbankOptions, cmvn, fbank, mfcc, synthetic_dataset
+from torchain_tpu.data.features import mel_filterbank, num_frames
+from torchain_tpu.graphs import SupervisionOptions
+
+
+class TestFeatures:
+    def test_fbank_shapes_and_finiteness(self):
+        opts = FbankOptions(num_mel_bins=23)
+        rng = np.random.default_rng(0)
+        wave = jnp.asarray(rng.normal(size=(2, 16000)).astype(np.float32))
+        f = fbank(wave, opts)
+        assert f.shape == (2, num_frames(16000, opts), 23)
+        assert np.all(np.isfinite(np.asarray(f)))
+
+    def test_mfcc_shapes(self):
+        opts = FbankOptions(num_mel_bins=23, num_ceps=13)
+        wave = jnp.asarray(np.random.default_rng(1).normal(size=(8000,)).astype(np.float32))
+        m = mfcc(wave, opts)
+        assert m.shape == (num_frames(8000, opts), 13)
+
+    def test_mel_filterbank_covers_spectrum(self):
+        opts = FbankOptions(num_mel_bins=40)
+        fb = mel_filterbank(opts)
+        # every mel bin has some support; interior fft bins covered
+        assert (fb.sum(axis=0) > 0).all()
+        mid = fb[10 : fb.shape[0] - 10].sum(axis=1)
+        assert (mid > 0).all()
+
+    def test_pure_tone_hits_right_bin(self):
+        opts = FbankOptions(num_mel_bins=30)
+        t = np.arange(16000) / opts.sample_rate
+        for freq in (300.0, 1000.0, 3000.0):
+            wave = jnp.asarray(np.sin(2 * np.pi * freq * t).astype(np.float32))
+            f = np.asarray(fbank(wave, opts)).mean(axis=0)
+            peak_bin = int(f.argmax())
+            # find which mel bin the tone frequency falls into
+            fb = mel_filterbank(opts)
+            fft_bin = int(round(freq * opts.fft_size / opts.sample_rate))
+            expected = int(fb[fft_bin].argmax())
+            assert abs(peak_bin - expected) <= 1
+
+    def test_cmvn(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(100, 13)).astype(np.float32) * 3 + 5)
+        out = np.asarray(cmvn(x))
+        np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+
+class TestLoader:
+    def test_batches_shapes_and_contract(self):
+        corpus = synthetic_dataset(num_utts=12, num_phones=4, feat_dim=8, seed=1)
+        left, right, fsf = 6, 4, 3
+        ds = ChainDataset(
+            corpus.utts,
+            corpus.tree,
+            corpus.norm_fst,
+            chunk_frames_out=15,
+            left_context=left,
+            right_context=right,
+            sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+        n = 0
+        for batch in ds.batches(4):
+            B, T_in, F = batch.feats.shape
+            assert B == 4 and F == 8
+            # SURVEY.md 3.2 shape contract
+            assert T_in == batch.sup.num_frames * fsf + left + right
+            assert batch.sup.in_src.shape[0] == B
+            n += 1
+        assert n >= 1
+        assert ds.num_dropped == 0
+
+    def test_deterministic_given_seed(self):
+        corpus = synthetic_dataset(num_utts=8, num_phones=4, feat_dim=8, seed=2)
+        def collect(seed):
+            ds = ChainDataset(
+                corpus.utts, corpus.tree, corpus.norm_fst,
+                chunk_frames_out=15, left_context=2, right_context=2,
+                sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+                seed=seed,
+            )
+            return [b.feats.sum() for b in ds.batches(2)]
+        assert collect(7) == collect(7)
+
+
+class TestCheckpoint:
+    def test_orbax_round_trip(self, tmp_path):
+        import optax
+
+        from torchain_tpu.models import TDNNF, TdnnfConfig
+        from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+        from torchain_tpu.train import Trainer, TrainerConfig
+
+        corpus = synthetic_dataset(num_utts=8, num_phones=4, feat_dim=8, seed=3)
+        cfg = TdnnfConfig(
+            num_pdfs=corpus.tree.num_pdfs, hidden_dim=32, bottleneck_dim=8,
+            prefinal_dim=16, num_layers=2,
+        )
+        model = TDNNF(cfg)
+        left, right = cfg.context
+        den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+        t_in = 10 * 3 + left + right
+        example = np.zeros((2, t_in, 8), np.float32)
+        tcfg = TrainerConfig(
+            num_epochs=1, batch_size=2, checkpoint_dir=str(tmp_path / "ckpt"),
+            log_every=1000, semi_ortho_every=0,
+        )
+        ds = ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=10,
+            left_context=left, right_context=right,
+            sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+        tr = Trainer(model, den, tcfg, example)
+        tr.fit(ds, log_fn=lambda s: None)
+        step_after = int(tr.state.step)
+        params_after = tr.state.params
+
+        tr2 = Trainer(model, den, tcfg, example)
+        assert int(tr2.state.step) == 0
+        assert tr2.restore_checkpoint()
+        assert int(tr2.state.step) == step_after
+        a = jnp.concatenate([x.ravel() for x in __import__("jax").tree.leaves(params_after)])
+        b = jnp.concatenate([x.ravel() for x in __import__("jax").tree.leaves(tr2.state.params)])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

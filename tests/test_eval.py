@@ -54,6 +54,30 @@ class TestViterbi:
             assert hyp == [int(p) for p in sent], (sent, hyp)
             assert np.isfinite(score)
 
+    def test_native_matches_numpy(self):
+        """The C++ decoder core must agree with the numpy reference on
+        scores and (given identical tie-free inputs) on the phone path."""
+        from torchain_tpu.eval.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(42)
+        num_phones = 5
+        sents = [
+            list(map(int, rng.integers(1, num_phones + 1, size=rng.integers(3, 7))))
+            for _ in range(15)
+        ]
+        lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+        tree = ContextTree(num_phones)
+        graph = make_decoding_graph(lm, tree)
+        for _ in range(10):
+            T = int(rng.integers(5, 25))
+            y = (rng.normal(size=(T, tree.num_pdfs)) * 2).astype(np.float32)
+            hyp_np, score_np = viterbi_decode(graph, y, backend="numpy")
+            hyp_cc, score_cc = viterbi_decode(graph, y, backend="native")
+            assert score_cc == pytest.approx(score_np, abs=1e-3)
+            assert hyp_cc == hyp_np
+
     def test_garbage_posteriors_still_decode(self):
         rng = np.random.default_rng(1)
         sents = [[1, 2], [2, 1], [1, 1, 2]]

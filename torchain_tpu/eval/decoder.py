@@ -78,13 +78,24 @@ def viterbi_decode(
     loglikes: np.ndarray,  # [T, P] chain-head outputs (acoustic scale 1.0)
     beam: float = 16.0,
     use_final: bool = True,
+    backend: str = "auto",  # auto | native | numpy
 ) -> tuple[list[int], float]:
     """Best-path decode; returns (phone_sequence, path_score).
 
-    Vectorized token passing: each frame scores every arc, takes a segment
-    max per destination state (argmax kept as backpointer), then prunes
-    tokens outside `beam` of the frame-best.
+    backend="auto" uses the C++ core (csrc/decoder.cc, built on demand)
+    and falls back to this vectorized numpy token-passing implementation,
+    which remains the tested reference: each frame scores every arc, takes
+    a segment max per destination state (argmax kept as backpointer), then
+    prunes tokens outside `beam` of the frame-best.
     """
+    if backend in ("auto", "native"):
+        from torchain_tpu.eval.native import native_viterbi
+
+        out = native_viterbi(graph, np.asarray(loglikes, np.float32), beam, use_final)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native decoder unavailable (csrc build failed)")
     T, P = loglikes.shape
     if P != graph.num_pdfs:
         raise ValueError("pdf dim mismatch")

@@ -1,0 +1,93 @@
+"""ctypes bridge to the native decoder (csrc/decoder.cc).
+
+Replaces the role of torchain's C FFI layer ([R] src/, SURVEY.md L1/L2) for
+the host-side decode path: a flat C ABI over packed arrays, loaded with
+ctypes (no pybind11 dependency).  Builds lazily with `make -C csrc` on
+first use; callers fall back to the numpy reference implementation when no
+toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
+_SO = _CSRC / "libtorchain_tpu_native.so"
+_lib = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_CSRC)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO.exists()
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not _SO.exists() and not _build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        _load_failed = True
+        return None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.tt_viterbi_decode.restype = ctypes.c_int
+    lib.tt_viterbi_decode.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, f32p, i32p,
+        f32p, f32p,
+        ctypes.c_float, ctypes.c_int,
+        i32p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_viterbi(graph, loglikes: np.ndarray, beam: float, use_final: bool):
+    """Returns (phones, score) or None if the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    T = loglikes.shape[0]
+    out_phones = np.zeros(T, dtype=np.int32)
+    out_len = ctypes.c_int32(0)
+    out_score = ctypes.c_float(0.0)
+    rc = lib.tt_viterbi_decode(
+        graph.num_states,
+        graph.src.shape[0],
+        graph.num_pdfs,
+        T,
+        np.ascontiguousarray(graph.src, np.int32),
+        np.ascontiguousarray(graph.dst, np.int32),
+        np.ascontiguousarray(graph.pdf, np.int32),
+        np.ascontiguousarray(graph.weight, np.float32),
+        np.ascontiguousarray(graph.olabel, np.int32),
+        np.ascontiguousarray(graph.final_logw, np.float32),
+        np.ascontiguousarray(loglikes, np.float32),
+        beam,
+        int(use_final),
+        out_phones,
+        ctypes.byref(out_len),
+        ctypes.byref(out_score),
+    )
+    if rc != 0:
+        return None
+    return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)

@@ -84,9 +84,12 @@ class Trainer:
     # -- sharding ---------------------------------------------------------
 
     def _put_batch(self, batch: ChainBatch):
-        bsh = lambda x: jax.device_put(
-            x, batch_sharding(self.mesh, np.ndim(x))
-        )
+        # batch axis must divide the data-mesh size to shard; fall back to
+        # replicated placement otherwise (tiny/tail batches)
+        if batch.feats.shape[0] % self.mesh.shape["data"] == 0:
+            bsh = lambda x: jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+        else:
+            bsh = lambda x: jax.device_put(x, replicated(self.mesh))
         feats = bsh(jnp.asarray(batch.feats))
         sup_host = DeviceSupervision.from_host(batch.sup)
         sup = jax.tree.map(bsh, sup_host)
