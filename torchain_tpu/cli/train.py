@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--xent-regularize", type=float, default=0.1)
     p.add_argument("--left-tolerance", type=int, default=2)
     p.add_argument("--right-tolerance", type=int, default=2)
+    p.add_argument(
+        "--e2e",
+        action="store_true",
+        help="flat-start: train from transcripts only (no alignments)",
+    )
     p.add_argument("--semi-ortho-every", type=int, default=4)
     p.add_argument("--data-parallel", type=int, default=-1)
     p.add_argument("--model-parallel", type=int, default=1)
@@ -113,21 +118,39 @@ def main(argv=None) -> dict:
     left, right = cfg.context
     fsf = cfg.frame_subsampling_factor
 
-    print(f"[stage 1] dataset: chunk={args.chunk_frames} ctx=({left},{right})")
-    dataset = ChainDataset(
-        corpus.utts,
-        corpus.tree,
-        corpus.norm_fst,
-        chunk_frames_out=args.chunk_frames,
-        left_context=left,
-        right_context=right,
-        sup_opts=SupervisionOptions(
-            left_tolerance=args.left_tolerance,
-            right_tolerance=args.right_tolerance,
-            frame_subsampling_factor=fsf,
-        ),
-        seed=args.seed,
+    print(
+        f"[stage 1] dataset: chunk={args.chunk_frames} ctx=({left},{right})"
+        + (" e2e/flat-start" if args.e2e else "")
     )
+    if args.e2e:
+        from torchain_tpu.data import E2eChainDataset
+
+        dataset = E2eChainDataset(
+            corpus.utts,
+            corpus.tree,
+            corpus.norm_fst,
+            chunk_frames_out=args.chunk_frames,
+            left_context=left,
+            right_context=right,
+            frame_subsampling_factor=fsf,
+            seed=args.seed,
+        )
+        dataset.chunks = []  # interface parity for the log line below
+    else:
+        dataset = ChainDataset(
+            corpus.utts,
+            corpus.tree,
+            corpus.norm_fst,
+            chunk_frames_out=args.chunk_frames,
+            left_context=left,
+            right_context=right,
+            sup_opts=SupervisionOptions(
+                left_tolerance=args.left_tolerance,
+                right_tolerance=args.right_tolerance,
+                frame_subsampling_factor=fsf,
+            ),
+            seed=args.seed,
+        )
 
     den = DeviceDenseDenGraph.from_host(corpus.dense_den)
     tcfg = TrainerConfig(

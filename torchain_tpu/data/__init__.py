@@ -7,7 +7,13 @@ pure-JAX DSP and a host-side chunk loader emitting packed batches.
 """
 
 from torchain_tpu.data.features import FbankOptions, fbank, mfcc, cmvn
-from torchain_tpu.data.loader import ChainBatch, ChainDataset, synthetic_dataset
+from torchain_tpu.data.loader import (
+    ChainBatch,
+    ChainDataset,
+    E2eChainDataset,
+    Utterance,
+    synthetic_dataset,
+)
 
 __all__ = [
     "FbankOptions",
@@ -16,5 +22,7 @@ __all__ = [
     "cmvn",
     "ChainBatch",
     "ChainDataset",
+    "E2eChainDataset",
+    "Utterance",
     "synthetic_dataset",
 ]

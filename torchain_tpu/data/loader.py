@@ -152,6 +152,89 @@ class ChainDataset:
                 )
 
 
+class E2eChainDataset:
+    """Flat-start (alignment-free) batch iterator: whole utterances,
+    bucketed to a common output length per batch (features and transcripts
+    trimmed to the bucket boundary), cyclic e2e numerator graphs.
+
+    Kaldi parity: the e2e egs path of flat-start LF-MMI
+    (chain-generic-numerator.h); transcripts come from `Utterance.alignment`
+    phone identities — durations are ignored."""
+
+    def __init__(
+        self,
+        utts: list[Utterance],
+        tree: ContextTree,
+        norm_fst: Fst,
+        chunk_frames_out: int = 50,
+        left_context: int = 10,
+        right_context: int = 10,
+        frame_subsampling_factor: int = 3,
+        seed: int = 0,
+    ):
+        from torchain_tpu.graphs.e2e import (
+            compile_e2e_supervision,
+            make_e2e_supervision_fst,
+            pad_and_stack_e2e,
+        )
+
+        self._compile = compile_e2e_supervision
+        self._make_fst = make_e2e_supervision_fst
+        self._stack = pad_and_stack_e2e
+        self.tree = tree
+        self.norm_fst = norm_fst
+        self.left_context = left_context
+        self.right_context = right_context
+        self.fsf = frame_subsampling_factor
+        self.chunk_frames_out = chunk_frames_out
+        self.rng = np.random.default_rng(seed)
+        self.utts = utts
+        self.num_dropped = 0
+
+    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
+        order = list(range(len(self.utts)))
+        if shuffle:
+            self.rng.shuffle(order)
+        t_out = self.chunk_frames_out
+        feats_buf, sups_buf = [], []
+        for ui in order:
+            utt = self.utts[ui]
+            total_out = utt.feats.shape[0] // self.fsf
+            if total_out < t_out:
+                self.num_dropped += 1
+                continue
+            phones = [p for p, _ in utt.alignment]
+            # trim: keep phones whose (approximate) start lies in the window
+            durs_in = [d for _, d in utt.alignment]
+            starts = np.cumsum([0] + durs_in)[:-1] // self.fsf
+            keep = [p for p, s in zip(phones, starts) if s < t_out]
+            if not keep or len(keep) > t_out:
+                self.num_dropped += 1
+                continue
+            try:
+                fst = self._make_fst(keep, self.tree, self.norm_fst)
+                sup = self._compile(fst, t_out, self.tree.num_pdfs)
+            except ValueError:
+                self.num_dropped += 1
+                continue
+            t0 = -self.left_context
+            t1 = t_out * self.fsf + self.right_context
+            idx = np.clip(np.arange(t0, t1), 0, utt.feats.shape[0] - 1)
+            feats_buf.append(utt.feats[idx])
+            sups_buf.append(sup)
+            if len(sups_buf) == batch_size:
+                yield ChainBatch(
+                    feats=np.stack(feats_buf).astype(np.float32),
+                    sup=self._stack(sups_buf),
+                )
+                feats_buf, sups_buf = [], []
+        if feats_buf and not drop_last:
+            yield ChainBatch(
+                feats=np.stack(feats_buf).astype(np.float32),
+                sup=self._stack(sups_buf),
+            )
+
+
 @dataclasses.dataclass
 class SyntheticCorpus:
     utts: list[Utterance]

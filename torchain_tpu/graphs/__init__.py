@@ -19,6 +19,13 @@ from torchain_tpu.graphs.den_graph import (
     make_dense_den_graph,
     make_normalization_fst,
 )
+from torchain_tpu.graphs.e2e import (
+    E2eSupervision,
+    compile_e2e_supervision,
+    make_e2e_supervision_fst,
+    pad_and_stack_e2e,
+    transcript_to_e2e_fst,
+)
 from torchain_tpu.graphs.supervision import (
     Supervision,
     SupervisionOptions,
@@ -38,6 +45,11 @@ __all__ = [
     "make_den_fst",
     "make_dense_den_graph",
     "make_normalization_fst",
+    "E2eSupervision",
+    "compile_e2e_supervision",
+    "make_e2e_supervision_fst",
+    "pad_and_stack_e2e",
+    "transcript_to_e2e_fst",
     "Supervision",
     "SupervisionOptions",
     "alignment_to_supervision_fst",

@@ -32,12 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.ops import den_dense, den_scan, num_scan
+from torchain_tpu.ops import den_dense, den_scan, num_e2e, num_scan
 from torchain_tpu.ops.device_graphs import (
     DeviceDenGraph,
     DeviceDenseDenGraph,
     DeviceSupervision,
 )
+from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,10 +93,22 @@ def _den_backward(y, den, leaky, log_z, res):
     return den_scan.den_backward(y, den, log_z, res["alphas"], leaky)
 
 
+def _num_forward_backward(y, sup):
+    """Dispatch on supervision flavor: frame-synchronous tolerance lattices
+    (NumeratorComputation) vs cyclic e2e graphs
+    (GenericNumeratorComputation)."""
+    if isinstance(sup, DeviceE2eSupervision):
+        num_logp, alphas = num_e2e.e2e_forward(y, sup)
+        gamma_num = num_e2e.e2e_backward(y, sup, num_logp, alphas)
+    else:
+        num_logp, alphas = num_scan.num_forward(y, sup)
+        gamma_num = num_scan.num_backward(y, sup, num_logp, alphas)
+    return num_logp, gamma_num
+
+
 def _chain_logprobs_fwd(y, den, sup, leaky):
-    num_logp, num_alphas = num_scan.num_forward(y, sup)
+    num_logp, gamma_num = _num_forward_backward(y, sup)
     den_logz, den_res = _den_forward(y, den, leaky)
-    gamma_num = num_scan.num_backward(y, sup, num_logp, num_alphas)
     out = (num_logp, den_logz, gamma_num)
     residuals = (y, den, sup, den_logz, den_res, gamma_num)
     return out, residuals

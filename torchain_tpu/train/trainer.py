@@ -91,7 +91,13 @@ class Trainer:
         else:
             bsh = lambda x: jax.device_put(x, replicated(self.mesh))
         feats = bsh(jnp.asarray(batch.feats))
-        sup_host = DeviceSupervision.from_host(batch.sup)
+        from torchain_tpu.graphs.e2e import E2eSupervision
+        from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
+
+        if isinstance(batch.sup, E2eSupervision):
+            sup_host = DeviceE2eSupervision.from_host(batch.sup)
+        else:
+            sup_host = DeviceSupervision.from_host(batch.sup)
         sup = jax.tree.map(bsh, sup_host)
         return feats, sup
 
