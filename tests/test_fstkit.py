@@ -174,6 +174,44 @@ class TestCompose:
             compose(a, a)
 
 
+class TestMergeBisimilar:
+    def test_merges_identical_suffix_states(self):
+        from torchain_tpu.fstkit import merge_bisimilar
+
+        # two parallel branches with identical futures must collapse
+        fst = Fst()
+        fst.add_states(6)
+        fst.add_arc(0, 1, -0.1, 1)
+        fst.add_arc(0, 2, -0.2, 2)
+        fst.add_arc(1, 3, -0.3, 3)  # states 3 and 4 are bisimilar
+        fst.add_arc(2, 3, -0.3, 4)
+        fst.add_arc(3, 4, -0.4, 5)
+        fst.add_arc(4, 4, -0.4, 5)
+        fst.set_final(5, 0.0)
+        merged = merge_bisimilar(fst)
+        # 3/4 collapse, after which 1/2 share identical futures too
+        assert merged.num_states == 4
+        a, b = path_set(fst), path_set(merged)
+        assert a.keys() == b.keys()
+        for k in a:
+            assert b[k] == pytest.approx(a[k], abs=1e-9)
+
+    def test_language_preserved_on_random_fsts(self):
+        from torchain_tpu.fstkit import merge_bisimilar
+
+        rng = random.Random(11)
+        for _ in range(15):
+            fst = random_acyclic_fst(rng)
+            if fst.num_states == 0:
+                continue
+            merged = merge_bisimilar(fst)
+            assert merged.num_states <= fst.num_states
+            a, b = path_set(fst), path_set(merged)
+            assert a.keys() == b.keys()
+            for k in a:
+                assert b[k] == pytest.approx(a[k], abs=1e-9)
+
+
 class TestSorts:
     def test_topsort_orders_arcs_forward(self):
         rng = random.Random(5)

@@ -57,6 +57,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--decode-beam", type=float, default=16.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize() (reads the "
+        "standard coordinator env vars / TPU metadata) and shard the "
+        "utterance list across hosts",
+    )
     return p
 
 
@@ -71,6 +78,15 @@ def main(argv=None) -> dict:
         sys.exit(2)
 
     import jax
+
+    if args.distributed:
+        # multi-host pod: one process per host; GSPMD spans hosts via DCN
+        # (SURVEY.md section 2.3 rebuild plan)
+        jax.distributed.initialize()
+        print(
+            f"[distributed] process {jax.process_index()}/{jax.process_count()} "
+            f"local devices: {jax.local_device_count()}"
+        )
     import jax.numpy as jnp
 
     from torchain_tpu.data import ChainDataset, synthetic_dataset
@@ -98,6 +114,9 @@ def main(argv=None) -> dict:
         context_width=args.context_width,
         seed=args.seed,
     )
+    if args.distributed and jax.process_count() > 1:
+        # per-host data shard (graphs are identical everywhere: same seed)
+        corpus.utts = corpus.utts[jax.process_index() :: jax.process_count()]
 
     if args.model == "tdnn":
         cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)

@@ -79,12 +79,16 @@ class ChainDataset:
         right_context: int = 10,
         sup_opts: SupervisionOptions = SupervisionOptions(),
         seed: int = 0,
+        sup_round_states: int = 4,
+        sup_round_arcs: int = 8,
     ):
         self.tree = tree
         self.norm_fst = norm_fst
         self.left_context = left_context
         self.right_context = right_context
         self.sup_opts = sup_opts
+        self.sup_round_states = sup_round_states
+        self.sup_round_arcs = sup_round_arcs
         self.fsf = sup_opts.frame_subsampling_factor
         self.chunk_frames_out = chunk_frames_out
         self.rng = np.random.default_rng(seed)
@@ -148,7 +152,11 @@ class ChainDataset:
                     continue
                 yield ChainBatch(
                     feats=np.stack(feats).astype(np.float32),
-                    sup=pad_and_stack_supervisions(sups),
+                    sup=pad_and_stack_supervisions(
+                        sups,
+                        round_states_to=self.sup_round_states,
+                        round_arcs_to=self.sup_round_arcs,
+                    ),
                 )
 
 

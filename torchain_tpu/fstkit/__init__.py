@@ -24,6 +24,7 @@ from torchain_tpu.fstkit.algorithms import (
     compose,
     connect,
     enumerate_paths,
+    merge_bisimilar,
     reverse,
     rm_epsilon,
     shortest_distance,
@@ -40,6 +41,7 @@ __all__ = [
     "compose",
     "connect",
     "enumerate_paths",
+    "merge_bisimilar",
     "reverse",
     "rm_epsilon",
     "shortest_distance",

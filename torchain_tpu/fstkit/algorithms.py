@@ -252,6 +252,73 @@ def compose(a: Fst, b: Fst) -> Fst:
     return connect(out)
 
 
+def merge_bisimilar(fst: Fst, weight_decimals: int = 6) -> Fst:
+    """Merge forward-bisimilar states: states with identical
+    (final weight, multiset of (label, weight, dst-class)) signatures are
+    collapsed, by partition refinement to a fixed point.
+
+    Sound in the log (sum) semiring: in-arcs are preserved individually, so
+    merged states accumulate the same forward mass and emit identical
+    futures — total path weights are unchanged.  This is the minimization
+    role Kaldi's den-graph pipeline gets from fst::Minimize
+    (chain-den-graph.cc), adapted to nondeterministic acceptors."""
+    n = fst.num_states
+    if n == 0:
+        return fst.copy()
+    # initial partition: by final weight
+    cls = {}
+    key_of = [None] * n
+    for s in range(n):
+        k = round(fst.final(s), weight_decimals) if fst.is_final(s) else None
+        key_of[s] = k
+    keys = {k: i for i, k in enumerate(sorted(set(key_of), key=repr))}
+    part = [keys[key_of[s]] for s in range(n)]
+    while True:
+        sigs: dict[tuple, int] = {}
+        new_part = [0] * n
+        for s in range(n):
+            sig = (
+                part[s],
+                tuple(
+                    sorted(
+                        (a.label, round(a.weight, weight_decimals), part[a.dst])
+                        for a in fst.arcs(s)
+                    )
+                ),
+            )
+            if sig not in sigs:
+                sigs[sig] = len(sigs)
+            new_part[s] = sigs[sig]
+        if new_part == part:
+            break
+        part = new_part
+    num_classes = max(part) + 1
+    if num_classes == n:
+        return fst.copy()
+    # representative state per class; class of start must become state 0
+    out = Fst()
+    class_id = {}
+
+    def cid(c: int) -> int:
+        if c not in class_id:
+            class_id[c] = out.add_state()
+        return class_id[c]
+
+    assert cid(part[0]) == 0
+    emitted = set()
+    for s in range(n):
+        c = part[s]
+        if c in emitted:
+            continue
+        emitted.add(c)
+        src = cid(c)
+        for a in fst.arcs(s):
+            out.add_arc(src, a.label, a.weight, cid(part[a.dst]))
+        if fst.is_final(s):
+            out.set_final(src, fst.final(s))
+    return out
+
+
 def shortest_distance(
     fst: Fst, reverse_dir: bool = False, semiring: str = "log"
 ) -> list[float]:

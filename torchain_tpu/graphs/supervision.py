@@ -326,17 +326,27 @@ def compile_supervision(
     )
 
 
-def pad_and_stack_supervisions(sups: list[Supervision]) -> Supervision:
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_and_stack_supervisions(
+    sups: list[Supervision],
+    round_states_to: int = 1,
+    round_arcs_to: int = 1,
+) -> Supervision:
     """Stack per-chunk supervisions into batched tensors with shared padding
     (the moral equivalent of nnet3-chain-merge-egs producing
-    num_sequences>1)."""
+    num_sequences>1).  `round_states_to`/`round_arcs_to` bucket the padded
+    (S, K) dims so consecutive batches share shapes and the jitted train
+    step doesn't recompile per batch."""
     if not sups:
         raise ValueError("no supervisions")
     T = max(s.num_frames for s in sups)
     if any(s.num_frames != T for s in sups):
         raise ValueError("all chunks in a batch must share num_frames")
-    S = max(s.max_states for s in sups)
-    K = max(s.max_arcs for s in sups)
+    S = _round_up(max(s.max_states for s in sups), round_states_to)
+    K = _round_up(max(s.max_arcs for s in sups), round_arcs_to)
     P = sups[0].num_pdfs
     B = len(sups)
     in_src = np.full((B, T, S, K), -1, dtype=np.int32)

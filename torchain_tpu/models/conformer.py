@@ -14,6 +14,7 @@ torchain_tpu.parallel.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,6 +36,8 @@ class ConformerConfig:
     rel_pos_buckets: int = 32
     prefinal_dim: int = 256
     dropout: float = 0.0
+    #: compute dtype of the trunk (params stay float32)
+    dtype: Any = jnp.float32
 
     @property
     def context(self) -> tuple[int, int]:
@@ -69,44 +72,47 @@ class ConformerBlock(nn.Module):
 
         # FFN half-step 1
         h = nn.LayerNorm()(x)
-        h = nn.Dense(cfg.dim * cfg.ffn_mult, name="ffn1_in")(h)
+        h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn1_in")(h)
         h = nn.swish(h)
-        h = nn.Dense(cfg.dim, name="ffn1_out")(h)
+        h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn1_out")(h)
         x = x + 0.5 * h
 
         # self-attention with relative position bias
         h = nn.LayerNorm()(x)
         B, T, D = h.shape
         H = cfg.num_heads
-        qkv = nn.Dense(3 * D, name="attn_qkv")(h).reshape(B, T, 3, H, D // H)
+        qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h).reshape(B, T, 3, H, D // H)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(D // H)
+        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / np.sqrt(D // H)
         logits = logits + bias[None]
-        att = jnp.einsum("bhts,bshd->bthd", nn.softmax(logits, axis=-1), v)
-        h = nn.Dense(D, name="attn_out")(att.reshape(B, T, D))
+        att = jnp.einsum(
+            "bhts,bshd->bthd", nn.softmax(logits, axis=-1).astype(v.dtype), v
+        )
+        h = nn.Dense(D, dtype=cfg.dtype, name="attn_out")(att.reshape(B, T, D))
         x = x + h
 
         # convolution module
         h = nn.LayerNorm()(x)
-        h = nn.Dense(2 * cfg.dim, name="conv_in")(h)
+        h = nn.Dense(2 * cfg.dim, dtype=cfg.dtype, name="conv_in")(h)
         h = nn.glu(h, axis=-1)
         h = nn.Conv(
             cfg.dim,
             kernel_size=(cfg.conv_kernel,),
             feature_group_count=cfg.dim,
             padding="SAME",
+            dtype=cfg.dtype,
             name="depthwise",
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, axis_name=None)(h)
+        h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(h)
         h = nn.swish(h)
-        h = nn.Dense(cfg.dim, name="conv_out")(h)
+        h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="conv_out")(h)
         x = x + h
 
         # FFN half-step 2
         h = nn.LayerNorm()(x)
-        h = nn.Dense(cfg.dim * cfg.ffn_mult, name="ffn2_in")(h)
+        h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn2_in")(h)
         h = nn.swish(h)
-        h = nn.Dense(cfg.dim, name="ffn2_out")(h)
+        h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn2_out")(h)
         x = x + 0.5 * h
         return nn.LayerNorm()(x)
 
@@ -122,14 +128,15 @@ class Conformer(nn.Module):
             kernel_size=(cfg.frontend_kernel,),
             strides=(cfg.frame_subsampling_factor,),
             padding="VALID",
+            dtype=cfg.dtype,
             name="frontend",
-        )(feats)
+        )(feats.astype(cfg.dtype))
         x = nn.swish(x)
         bias = RelPositionBias(cfg.num_heads, cfg.rel_pos_buckets, name="rel_pos")(
             x.shape[1]
         )
         for i in range(cfg.num_layers):
             x = ConformerBlock(cfg, name=f"block{i}")(x, bias, train)
-        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="chain_head")(x, train)
-        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="xent_head")(x, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent

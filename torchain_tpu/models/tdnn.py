@@ -17,7 +17,7 @@ Every model returns (chain_out, xent_out): [B, T_out, num_pdfs] each.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,17 +25,19 @@ import jax.numpy as jnp
 
 class Prefinal(nn.Module):
     """Kaldi's prefinal-chain / prefinal-xent block: linear bottleneck +
-    relu + batchnorm + affine to pdfs."""
+    relu + batchnorm + affine to pdfs.  Always emits float32 (the chain
+    loss runs its scans in f32 regardless of trunk compute dtype)."""
 
     dim: int
     num_pdfs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.dim)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
-        return nn.Dense(self.num_pdfs)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(x)
+        return nn.Dense(self.num_pdfs, dtype=jnp.float32)(x.astype(jnp.float32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +45,9 @@ class TdnnConfig:
     num_pdfs: int = 120
     hidden_dim: int = 512
     prefinal_dim: int = 256
+    #: compute dtype of the trunk (params stay float32); bf16 doubles MXU
+    #: throughput on TPU
+    dtype: Any = jnp.float32
     #: (kernel, dilation, stride) per layer; exactly one stride equals
     #: frame_subsampling_factor
     layers: Sequence[tuple[int, int, int]] = (
@@ -78,20 +83,22 @@ class TDNN(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        x = feats
-        for i, (k, d, s) in enumerate(self.config.layers):
+        cfg = self.config
+        x = feats.astype(cfg.dtype)
+        for i, (k, d, s) in enumerate(cfg.layers):
             x = nn.Conv(
-                self.config.hidden_dim,
+                cfg.hidden_dim,
                 kernel_size=(k,),
                 kernel_dilation=(d,),
                 strides=(s,),
                 padding="VALID",
+                dtype=cfg.dtype,
                 name=f"tdnn{i}",
             )(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
-        chain = Prefinal(self.config.prefinal_dim, self.config.num_pdfs, name="chain_head")(x, train)
-        xent = Prefinal(self.config.prefinal_dim, self.config.num_pdfs, name="xent_head")(x, train)
+            x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(x)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent
 
 
@@ -105,6 +112,7 @@ class TdnnfLayer(nn.Module):
     dilation: int = 1
     stride: int = 1
     bypass_scale: float = 0.66
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,6 +125,7 @@ class TdnnfLayer(nn.Module):
             strides=(self.stride,),
             padding="VALID",
             use_bias=False,
+            dtype=self.dtype,
             name="linear_pre",
         )(x)
         # second factor: kernel covers (t, t + d)
@@ -125,10 +134,11 @@ class TdnnfLayer(nn.Module):
             kernel_size=(2,),
             kernel_dilation=(self.dilation,),
             padding="VALID",
+            dtype=self.dtype,
             name="affine",
         )(h)
         h = nn.relu(h)
-        h = nn.BatchNorm(use_running_average=not train, axis_name=None)(h)
+        h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(h)
         # bypass: crop x to align with h (d left from factor 1, d right from
         # factor 2, then stride)
         d = self.dilation
@@ -146,6 +156,7 @@ class TdnnfConfig:
     bottleneck_dim: int = 96
     prefinal_dim: int = 256
     num_layers: int = 9
+    dtype: Any = jnp.float32
     #: layer index that strides by frame_subsampling_factor
     subsample_layer: int = 1
     frame_subsampling_factor: int = 3
@@ -183,17 +194,20 @@ class TDNNF(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         cfg = self.config
-        x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), name="input_proj")(feats)
+        x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), dtype=cfg.dtype, name="input_proj")(
+            feats.astype(cfg.dtype)
+        )
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, axis_name=None)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(x)
         for i, (d, s) in enumerate(cfg.layer_geometry()):
             x = TdnnfLayer(
                 hidden_dim=cfg.hidden_dim,
                 bottleneck_dim=cfg.bottleneck_dim,
                 dilation=d,
                 stride=s,
+                dtype=cfg.dtype,
                 name=f"tdnnf{i}",
             )(x, train)
-        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="chain_head")(x, train)
-        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, name="xent_head")(x, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent

@@ -80,8 +80,29 @@ def chain_logprobs(y, den, sup, leaky):
     return out
 
 
+def _use_pallas(den, B, T):
+    """Opt-in (TORCHAIN_USE_PALLAS=1): measured on TPU v5e at chain scale,
+    the fused Pallas kernels are not yet faster than the unrolled XLA scan
+    (the per-frame matmuls are tiny and the fori_loop serializes), so the
+    XLA path stays default; the kernels remain available and tested for
+    larger-graph experiments."""
+    import os
+
+    if os.environ.get("TORCHAIN_USE_PALLAS", "0") != "1":
+        return False
+    from torchain_tpu.ops import den_pallas
+
+    if jax.default_backend() == "cpu":
+        return False
+    return den_pallas.fits_vmem(den, B, T)
+
+
 def _den_forward(y, den, leaky):
     if isinstance(den, DeviceDenseDenGraph):
+        if _use_pallas(den, y.shape[0], y.shape[1]):
+            from torchain_tpu.ops import den_pallas
+
+            return den_pallas.den_forward(y, den, leaky)
         return den_dense.den_forward(y, den, leaky)
     log_z, alphas = den_scan.den_forward(y, den, leaky)
     return log_z, dict(alphas=alphas)
@@ -89,6 +110,10 @@ def _den_forward(y, den, leaky):
 
 def _den_backward(y, den, leaky, log_z, res):
     if isinstance(den, DeviceDenseDenGraph):
+        if "pe" in res:  # produced by the Pallas forward
+            from torchain_tpu.ops import den_pallas
+
+            return den_pallas.den_backward(den, res, leaky)
         return den_dense.den_backward(den, res, leaky)
     return den_scan.den_backward(y, den, log_z, res["alphas"], leaky)
 

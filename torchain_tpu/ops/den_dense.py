@@ -32,8 +32,23 @@ import jax.numpy as jnp
 from torchain_tpu.ops.device_graphs import DeviceDenseDenGraph
 
 
+#: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
+#: sequential-loop overhead but inflates the program; measured on TPU v5e,
+#: unroll=1 wins at mini scale — revisit per config with
+#: tools/profile_step.py before changing.
+import os as _os
+
+UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
+
+
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU default rounds f32 multiplicands to bf16, which
+    # breaks the gamma-sums-to-one invariant at ~1e-3; these matmuls are
+    # latency-bound (measured), so the extra passes are free
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def den_forward(
@@ -64,7 +79,7 @@ def den_forward(
         return sigma_next, (jnp.log(c[:, 0]), sigma_hat)
 
     _, (logc, sigma_hats) = jax.lax.scan(
-        step, sigma0, jnp.swapaxes(p, 0, 1)
+        step, sigma0, jnp.swapaxes(p, 0, 1), unroll=UNROLL
     )  # logc [T, B]; sigma_hats [T, B, S] = carry at entry of each frame
     log_z = jnp.sum(logc, axis=0) + jnp.sum(ymax, axis=-1)
     if leaky > 0.0:
@@ -138,6 +153,7 @@ def den_backward(
 
     ps = jnp.swapaxes(p, 0, 1)  # [T, B, P]
     (_, _), gammas = jax.lax.scan(
-        step, (bhT, GT), (ps, sigma_hats, F_prev, ymax.T), reverse=True
+        step, (bhT, GT), (ps, sigma_hats, F_prev, ymax.T), reverse=True,
+        unroll=UNROLL,
     )
     return jnp.swapaxes(gammas, 0, 1)  # [B, T, P]

@@ -22,6 +22,15 @@ import jax.numpy as jnp
 
 from torchain_tpu.ops.device_graphs import DeviceDenGraph
 
+#: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
+#: sequential-loop overhead but inflates the program; measured on TPU v5e,
+#: unroll=1 wins at mini scale — revisit per config with
+#: tools/profile_step.py before changing.
+import os as _os
+
+UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
+
+
 NEG_INF = -jnp.inf
 
 
@@ -57,7 +66,7 @@ def den_forward(
         nxt = _leak(nxt, g.log_init, leaky)
         return nxt, nxt
 
-    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1))
+    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1), unroll=UNROLL)
     alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_z = jax.nn.logsumexp(aT, axis=-1)
     return log_z, alphas
@@ -94,5 +103,5 @@ def den_backward(
 
     bT = jnp.zeros((B, S))
     ys = jnp.swapaxes(y, 0, 1)  # [T, B, P]
-    _, gammas = jax.lax.scan(step, bT, (ys, alphas[:-1]), reverse=True)
+    _, gammas = jax.lax.scan(step, bT, (ys, alphas[:-1]), reverse=True, unroll=UNROLL)
     return jnp.swapaxes(gammas, 0, 1)  # [B, T, P]

@@ -19,6 +19,15 @@ from jax.tree_util import register_dataclass
 
 from torchain_tpu.graphs.e2e import E2eSupervision
 
+#: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
+#: sequential-loop overhead but inflates the program; measured on TPU v5e,
+#: unroll=1 wins at mini scale — revisit per config with
+#: tools/profile_step.py before changing.
+import os as _os
+
+UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
+
+
 NEG_INF = -jnp.inf
 
 
@@ -88,7 +97,7 @@ def e2e_forward(
         nxt = jax.nn.logsumexp(vals, axis=-1)
         return nxt, nxt
 
-    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1))
+    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1), unroll=UNROLL)
     alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
@@ -137,6 +146,7 @@ def e2e_backward(
 
     bT = sup.final_logw
     _, gammas = jax.lax.scan(
-        step, bT, (jnp.swapaxes(y, 0, 1), alphas[:-1]), reverse=True
+        step, bT, (jnp.swapaxes(y, 0, 1), alphas[:-1]), reverse=True,
+        unroll=UNROLL,
     )
     return jnp.swapaxes(gammas, 0, 1)

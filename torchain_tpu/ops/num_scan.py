@@ -17,6 +17,15 @@ import jax.numpy as jnp
 
 from torchain_tpu.ops.device_graphs import DeviceSupervision
 
+#: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
+#: sequential-loop overhead but inflates the program; measured on TPU v5e,
+#: unroll=1 wins at mini scale — revisit per config with
+#: tools/profile_step.py before changing.
+import os as _os
+
+UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
+
+
 NEG_INF = -jnp.inf
 
 
@@ -58,7 +67,7 @@ def num_forward(
     srcs = jnp.swapaxes(sup.in_src, 0, 1)  # [T, B, S, K]
     pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
     logws = jnp.swapaxes(sup.in_logw, 0, 1)
-    aT, alphas = jax.lax.scan(step, a0, (ys, srcs, pdfs, logws))
+    aT, alphas = jax.lax.scan(step, a0, (ys, srcs, pdfs, logws), unroll=UNROLL)
     alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
@@ -122,6 +131,7 @@ def num_backward(
     pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
     logws = jnp.swapaxes(sup.in_logw, 0, 1)
     _, gammas = jax.lax.scan(
-        step, bT, (ys, srcs, pdfs, logws, alphas[:-1]), reverse=True
+        step, bT, (ys, srcs, pdfs, logws, alphas[:-1]), reverse=True,
+        unroll=UNROLL,
     )
     return jnp.swapaxes(gammas, 0, 1)
