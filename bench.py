@@ -28,7 +28,8 @@ def main():
     from torchain_tpu.ops.device_graphs import DeviceSupervision
     from torchain_tpu.train import create_train_state, make_train_step
 
-    # realistic scale: ~40 phones, pruned bigram LM, T_out=50 (1.5 s audio
+    # realistic scale: ~40 phones, pruned TRIGRAM phone LM (den graph
+    # ~2k states / ~4k expanded, Kaldi-recipe scale), T_out=50 (1.5 s audio
     # per chunk at 10 ms input frames, frame-subsampling 3), batch 64
     B, T_OUT, FEAT = 64, 50, 40
     corpus = synthetic_dataset(
@@ -37,6 +38,8 @@ def main():
         feat_dim=FEAT,
         utt_frames_out=(T_OUT, T_OUT + 10),
         seed=0,
+        lm_order=3,
+        lm_extra_states=1000,
     )
     cfg = TdnnfConfig(
         num_pdfs=corpus.tree.num_pdfs,

@@ -91,6 +91,7 @@ class ChainDataset:
         self.sup_round_arcs = sup_round_arcs
         self.fsf = sup_opts.frame_subsampling_factor
         self.chunk_frames_out = chunk_frames_out
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         # each chunk: (utt_idx, c0_out, T_out, chunk_alignment, left_ctx)
         self.chunks: list[tuple] = []
@@ -126,15 +127,28 @@ class ChainDataset:
             self.num_dropped += 1  # Kaldi drops failed egs the same way
             return None
 
-    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
-        """Yield ChainBatch objects; chunks grouped by T_out."""
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epoch: int | None = None,
+    ):
+        """Yield ChainBatch objects; chunks grouped by T_out.
+
+        Passing `epoch` makes shuffling a pure function of (seed, epoch) so
+        a resumed run replays the identical batch order — the dataloader
+        state a checkpoint needs is just the epoch number."""
+        rng = (
+            np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
+        )
         by_len: dict[int, list[tuple]] = {}
         for c in self.chunks:
             by_len.setdefault(c[2], []).append(c)
         order = sorted(by_len)
         if shuffle:
             for k in order:
-                self.rng.shuffle(by_len[k])
+                rng.shuffle(by_len[k])
         for t_out in order:
             group = by_len[t_out]
             for i in range(0, len(group), batch_size):
@@ -264,6 +278,8 @@ def synthetic_dataset(
     context_width: int = 1,
     noise: float = 0.5,
     seed: int = 0,
+    lm_order: int = 2,
+    lm_extra_states: int = 200,
 ) -> SyntheticCorpus:
     """A learnable toy corpus: random phone sequences; each (input) frame's
     features are drawn from a Gaussian whose mean identifies the active
@@ -288,7 +304,7 @@ def synthetic_dataset(
         sents.append(phones)
         alis_out.append(list(zip(phones, durs)))
     lm = estimate_phone_lm(
-        sents, PhoneLmOptions(ngram_order=2, num_extra_lm_states=200)
+        sents, PhoneLmOptions(ngram_order=lm_order, num_extra_lm_states=lm_extra_states)
     )
     den_fst = make_den_fst(lm, tree)
     graph = compile_den_graph(den_fst, tree.num_pdfs)

@@ -71,6 +71,8 @@ class Trainer:
         self.train_step = make_train_step(cfg.loss, use_xent=cfg.use_xent)
         self.results = ChainResults()
         self.metrics_log: list[dict] = []
+        self.start_epoch = 0
+        self.current_epoch = 0
         self._ckpt_mgr = None
         if cfg.checkpoint_dir:
             import orbax.checkpoint as ocp
@@ -113,6 +115,7 @@ class Trainer:
             batch_stats=self.state.batch_stats,
             opt_state=self.state.opt_state,
             step=self.state.step,
+            epoch=np.asarray(self.current_epoch, np.int32),
         )
         self._ckpt_mgr.save(
             int(self.state.step), args=ocp.args.StandardSave(payload)
@@ -129,11 +132,16 @@ class Trainer:
             batch_stats=self.state.batch_stats,
             opt_state=self.state.opt_state,
             step=self.state.step,
+            epoch=np.asarray(0, np.int32),
         )
         restored = self._ckpt_mgr.restore(
             self._ckpt_mgr.latest_step(),
             args=ocp.args.StandardRestore(target),
         )
+        # resume at the NEXT epoch boundary (mid-epoch batches are not
+        # replayed; shuffling is (seed, epoch)-deterministic)
+        self.start_epoch = int(restored.pop("epoch")) + 1
+        self.current_epoch = self.start_epoch
         self.state = self.state.replace(**restored)
         return True
 
@@ -144,8 +152,9 @@ class Trainer:
         t_start = time.time()
         frames_done = 0
         with self.mesh:
-            for epoch in range(cfg.num_epochs):
-                for batch in dataset.batches(cfg.batch_size):
+            for epoch in range(self.start_epoch, cfg.num_epochs):
+                self.current_epoch = epoch
+                for batch in dataset.batches(cfg.batch_size, epoch=epoch):
                     feats, sup = self._put_batch(batch)
                     self.state, metrics = self.train_step(
                         self.state, feats, self.den, sup
