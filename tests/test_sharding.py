@@ -35,6 +35,73 @@ def test_dryrun_multichip(n):
     g.dryrun_multichip(n)  # asserts finiteness internally
 
 
+def test_conformer_model_parallel_matches_single_device():
+    """Config-4 shape (BASELINE.json): conformer with weights sharded over
+    the model axis; GSPMD must reproduce the unsharded loss."""
+    import numpy as np
+    import optax
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import Conformer, ConformerConfig
+    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.parallel import (
+        MeshConfig,
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_params,
+    )
+    from torchain_tpu.train import create_train_state, make_train_step
+
+    corpus = synthetic_dataset(num_utts=8, num_phones=4, feat_dim=8, seed=5)
+    cfg = ConformerConfig(
+        num_pdfs=corpus.tree.num_pdfs, dim=64, num_layers=2, num_heads=2,
+        prefinal_dim=32,
+    )
+    model = Conformer(cfg)
+    left, right = cfg.context
+    ds = ChainDataset(
+        corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=10,
+        left_context=left, right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+    )
+    batch = next(ds.batches(4, shuffle=False))
+    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    sup = DeviceSupervision.from_host(batch.sup)
+    feats = jnp.asarray(batch.feats)
+    tx = optax.adam(1e-3)
+    step_fn = make_train_step(ChainLossOptions(leaky_hmm_coefficient=0.1))
+
+    state = create_train_state(model, feats, tx)
+    _, m_ref = step_fn(state, feats, den, sup)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    with mesh:
+        sharded = state.replace(
+            # low threshold so the conformer FFN/attention kernels shard
+            params=shard_params(mesh, state.params, min_shard_size=256),
+            batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        )
+        feats_s = jax.device_put(feats, batch_sharding(mesh, 3))
+        sup_s = jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), sup
+        )
+        den_s = jax.device_put(den, replicated(mesh))
+        _, m_tp = step_fn(sharded, feats_s, den_s, sup_s)
+    assert float(m_tp["loss"]) == pytest.approx(float(m_ref["loss"]), abs=2e-4)
+    assert float(m_tp["grad_norm"]) == pytest.approx(
+        float(m_ref["grad_norm"]), rel=1e-3
+    )
+    # confirm something actually got sharded over 'model'
+    from torchain_tpu.parallel import param_sharding_rules
+
+    specs = jax.tree.leaves(param_sharding_rules(mesh, state.params, 256))
+    assert any("model" in str(s.spec) for s in specs)
+
+
 def test_sharded_loss_matches_single_device():
     """Same batch, same params: a (data=4, model=2) mesh run must produce
     the same loss and gradient norm as an unsharded run (GSPMD collectives

@@ -130,6 +130,17 @@ def mfcc(wave: jnp.ndarray, opts: FbankOptions = FbankOptions()) -> jnp.ndarray:
     return jnp.dot(fbank(wave, opts), jnp.asarray(dct_matrix(opts)))
 
 
+def append_ivectors(feats: jnp.ndarray, ivectors: jnp.ndarray) -> jnp.ndarray:
+    """Append per-utterance auxiliary vectors (i-vectors / speaker
+    embeddings) to every frame: feats [..., T, F] + ivectors [..., D] ->
+    [..., T, F+D].  Kaldi chain egs carried ivectors as a separate NnetIo
+    input consumed this way (SURVEY.md section 2.2 egs row)."""
+    tiled = jnp.broadcast_to(
+        ivectors[..., None, :], feats.shape[:-1] + (ivectors.shape[-1],)
+    )
+    return jnp.concatenate([feats, tiled], axis=-1)
+
+
 def cmvn(feats: jnp.ndarray, norm_var: bool = True) -> jnp.ndarray:
     """Per-utterance cepstral mean (and variance) normalization over the
     time axis (axis -2), Kaldi apply-cmvn semantics."""

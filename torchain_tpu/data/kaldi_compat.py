@@ -1,0 +1,132 @@
+"""Kaldi-format corpus adapter: build Utterances from standard data dirs.
+
+The reference consumed Kaldi egs archives; real deployments of this
+framework instead read the PORTABLE pieces of a Kaldi data directory and
+do the egs work in-process (data/loader.py):
+
+  * features:     text ark (`feats.ark` written with ark,t: — see
+                  torchain_tpu.io.read_ark_text) or .npy/.npz per utt
+  * alignments:   Kaldi `ali-to-phones --write-lengths=true` text output:
+                  `utt_id phone1 ,dur1 ; phone2 ,dur2 ; ...`
+                  (also accepts the simpler `utt phone:dur phone:dur ...`)
+  * transcripts:  `text`-style `utt_id phone1 phone2 ...` (integer phones)
+                  for the e2e/flat-start path
+  * phone table:  `phones.txt` symbol table (symbol -> int)
+
+No Kaldi binaries or compiled IO are required; everything is line-based
+text that Kaldi tools can import/export losslessly.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from torchain_tpu.data.loader import Utterance
+from torchain_tpu.io import read_ark_text
+
+
+def read_phone_table(path: str) -> dict[str, int]:
+    """phones.txt: `symbol id` per line."""
+    table: dict[str, int] = {}
+    for line in open(path):
+        parts = line.split()
+        if len(parts) >= 2:
+            table[parts[0]] = int(parts[1])
+    return table
+
+
+def parse_write_lengths_line(line: str) -> tuple[str, list[tuple[int, int]]]:
+    """One line of `ali-to-phones --write-lengths=true` output:
+    `utt 5 ,12 ; 28 ,5 ; 1 ,31`"""
+    head, _, rest = line.strip().partition(" ")
+    ali: list[tuple[int, int]] = []
+    for seg in rest.split(";"):
+        seg = seg.strip()
+        if not seg:
+            continue
+        phone_s, _, dur_s = seg.partition(",")
+        ali.append((int(phone_s.strip()), int(dur_s.strip())))
+    return head, ali
+
+
+def parse_colon_line(line: str) -> tuple[str, list[tuple[int, int]]]:
+    """`utt phone:dur phone:dur ...`"""
+    parts = line.split()
+    ali = []
+    for tok in parts[1:]:
+        p, _, d = tok.partition(":")
+        ali.append((int(p), int(d)))
+    return parts[0], ali
+
+
+def read_alignments(path: str) -> dict[str, list[tuple[int, int]]]:
+    """Auto-detects the two text alignment formats above."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    for line in open(path):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            if "," in line:
+                utt, ali = parse_write_lengths_line(line)
+            else:
+                utt, ali = parse_colon_line(line)
+        except ValueError as e:
+            raise ValueError(f"bad alignment line {line!r}: {e}") from e
+        if not ali or any(p < 1 or d < 1 for p, d in ali):
+            raise ValueError(f"invalid alignment for {utt}: {ali}")
+        out[utt] = ali
+    return out
+
+
+def read_transcripts(path: str) -> dict[str, list[int]]:
+    """`text` file with integer phone ids."""
+    out: dict[str, list[int]] = {}
+    for line in open(path):
+        parts = line.split()
+        if len(parts) >= 2:
+            out[parts[0]] = [int(p) for p in parts[1:]]
+    return out
+
+
+def load_kaldi_dir(
+    data_dir: str,
+    feats_file: str = "feats.ark",
+    ali_file: str = "ali.txt",
+    strict: bool = False,
+) -> list[Utterance]:
+    """Assemble Utterances from a directory holding `feats.ark` (text) and
+    `ali.txt`.  Utterances missing either side are skipped (or raise when
+    strict=True).  Feature length is cross-checked against the alignment."""
+    root = pathlib.Path(data_dir)
+    feats = read_ark_text(str(root / feats_file))
+    alis = read_alignments(str(root / ali_file))
+    utts: list[Utterance] = []
+    skipped = []
+    for utt_id in sorted(feats):
+        if utt_id not in alis:
+            skipped.append(utt_id)
+            continue
+        f = feats[utt_id]
+        ali = alis[utt_id]
+        ali_len = sum(d for _, d in ali)
+        if abs(ali_len - f.shape[0]) > 2:  # Kaldi-style off-by-a-couple slack
+            skipped.append(utt_id)
+            continue
+        if ali_len != f.shape[0]:  # clip to the shorter
+            t = min(ali_len, f.shape[0])
+            f = f[:t]
+            clipped, left = [], t
+            for p, d in ali:
+                d = min(d, left)
+                if d <= 0:
+                    break
+                clipped.append((p, d))
+                left -= d
+            ali = clipped
+        utts.append(Utterance(feats=f.astype(np.float32), alignment=ali, utt_id=utt_id))
+    if skipped and strict:
+        raise ValueError(f"missing/mismatched utterances: {skipped[:10]}...")
+    return utts
