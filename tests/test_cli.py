@@ -1,0 +1,44 @@
+"""CLI recipe smoke tests (tiny settings, CPU)."""
+
+import json
+
+import pytest
+
+from torchain_tpu.cli.train import build_argparser, main
+
+
+def run_cli(args):
+    return main(args)
+
+
+@pytest.mark.slow
+def test_cli_train_decode_valid():
+    out = run_cli(
+        [
+            "--synthetic", "--num-utts", "14", "--num-phones", "4",
+            "--feat-dim", "10", "--hidden-dim", "48", "--bottleneck-dim", "12",
+            "--num-layers", "2", "--epochs", "2", "--chunk-frames", "12",
+            "--batch-size", "4", "--decode", "--valid-utts", "2",
+        ]
+    )
+    assert out["steps"] > 0
+    assert "per" in out and out["per"] <= 100.0
+    assert "valid_objf" in out and out["valid_objf"] < 0.5
+
+
+@pytest.mark.slow
+def test_cli_e2e_mode():
+    out = run_cli(
+        [
+            "--synthetic", "--e2e", "--num-utts", "10", "--num-phones", "4",
+            "--feat-dim", "10", "--hidden-dim", "48", "--bottleneck-dim", "12",
+            "--num-layers", "2", "--epochs", "1", "--chunk-frames", "12",
+            "--batch-size", "4",
+        ]
+    )
+    assert out["steps"] > 0
+
+
+def test_argparser_help():
+    p = build_argparser()
+    assert any("--leaky-hmm-coefficient" in str(a.option_strings) for a in p._actions)

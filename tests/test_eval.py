@@ -78,6 +78,36 @@ class TestViterbi:
             assert score_cc == pytest.approx(score_np, abs=1e-3)
             assert hyp_cc == hyp_np
 
+    def test_lattice_agrees_with_viterbi(self):
+        from torchain_tpu.eval import lattice_best_path, lattice_decode
+        from torchain_tpu.fstkit import total_weight
+
+        rng = np.random.default_rng(7)
+        num_phones = 4
+        sents = [
+            list(map(int, rng.integers(1, num_phones + 1, size=rng.integers(3, 6))))
+            for _ in range(12)
+        ]
+        lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+        tree = ContextTree(num_phones)
+        graph = make_decoding_graph(lm, tree)
+        for _ in range(5):
+            T = int(rng.integers(6, 15))
+            y = (rng.normal(size=(T, tree.num_pdfs)) * 2).astype(np.float32)
+            hyp, score = viterbi_decode(graph, y, beam=1e9, backend="numpy")
+            lat = lattice_decode(graph, y, beam=1e9)
+            # tropical total == Viterbi best score
+            assert total_weight(lat, semiring="tropical") == pytest.approx(
+                score, abs=1e-3
+            )
+            lhyp, lscore = lattice_best_path(lat)
+            assert lscore == pytest.approx(score, abs=1e-3)
+            assert lhyp == hyp
+            # tighter beams prune mass monotonically (log semiring)
+            wide = total_weight(lattice_decode(graph, y, beam=1e9))
+            narrow = total_weight(lattice_decode(graph, y, beam=2.0))
+            assert narrow <= wide + 1e-6
+
     def test_garbage_posteriors_still_decode(self):
         rng = np.random.default_rng(1)
         sents = [[1, 2], [2, 1], [1, 1, 2]]

@@ -54,6 +54,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--decode", action="store_true", help="decode + score after training")
+    p.add_argument(
+        "--valid-utts",
+        type=int,
+        default=0,
+        help="hold out the last N utterances and report validation objf "
+        "(nnet3-chain-compute-prob parity)",
+    )
     p.add_argument("--decode-beam", type=float, default=16.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
@@ -117,6 +124,10 @@ def main(argv=None) -> dict:
     if args.distributed and jax.process_count() > 1:
         # per-host data shard (graphs are identical everywhere: same seed)
         corpus.utts = corpus.utts[jax.process_index() :: jax.process_count()]
+    valid_utts = []
+    if args.valid_utts > 0:
+        valid_utts = corpus.utts[-args.valid_utts :]
+        corpus.utts = corpus.utts[: -args.valid_utts]
 
     if args.model == "tdnn":
         cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)
@@ -220,6 +231,23 @@ def main(argv=None) -> dict:
         trainer.save_checkpoint()
 
     out = dict(objf=results.objf, steps=int(trainer.state.step))
+    if valid_utts and not args.e2e:
+        valid_ds = ChainDataset(
+            valid_utts,
+            corpus.tree,
+            corpus.norm_fst,
+            chunk_frames_out=args.chunk_frames,
+            left_context=left,
+            right_context=right,
+            sup_opts=SupervisionOptions(
+                left_tolerance=args.left_tolerance,
+                right_tolerance=args.right_tolerance,
+                frame_subsampling_factor=fsf,
+            ),
+        )
+        vres = trainer.evaluate(valid_ds)
+        print(f"[stage 2v] valid: {vres}")
+        out["valid_objf"] = vres.objf
     if args.decode:
         print("[stage 3] decoding with the training LM")
         refs = []

@@ -209,14 +209,24 @@ class E2eChainDataset:
         self.right_context = right_context
         self.fsf = frame_subsampling_factor
         self.chunk_frames_out = chunk_frames_out
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.utts = utts
         self.num_dropped = 0
 
-    def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epoch: int | None = None,
+    ):
+        rng = (
+            np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
+        )
         order = list(range(len(self.utts)))
         if shuffle:
-            self.rng.shuffle(order)
+            rng.shuffle(order)
         t_out = self.chunk_frames_out
         feats_buf, sups_buf = [], []
         for ui in order:

@@ -27,7 +27,7 @@ from torchain_tpu.ops import ChainLossOptions, ChainResults
 from torchain_tpu.ops.device_graphs import DeviceSupervision
 from torchain_tpu.parallel import MeshConfig, batch_sharding, make_mesh, replicated
 from torchain_tpu.train.state import ChainTrainState, create_train_state
-from torchain_tpu.train.step import make_train_step
+from torchain_tpu.train.step import make_eval_step, make_train_step
 
 
 @dataclasses.dataclass
@@ -186,6 +186,23 @@ class Trainer:
             if self._ckpt_mgr is not None:
                 self.save_checkpoint()
         return self.results
+
+    def evaluate(self, dataset: ChainDataset, max_batches: int = 0) -> ChainResults:
+        """Validation pass (nnet3-chain-compute-prob parity): objf over a
+        held-out dataset, no parameter updates."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.cfg.loss)
+        results = ChainResults()
+        with self.mesh:
+            for i, batch in enumerate(
+                dataset.batches(self.cfg.batch_size, shuffle=False, drop_last=False)
+            ):
+                if max_batches and i >= max_batches:
+                    break
+                feats, sup = self._put_batch(batch)
+                aux = self._eval_step(self.state, feats, self.den, sup)
+                results.add({k: float(v) for k, v in aux.items()})
+        return results
 
     def dump_metrics(self, path: str):
         with open(path, "w") as f:
