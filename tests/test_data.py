@@ -130,3 +130,56 @@ class TestCheckpoint:
         a = jnp.concatenate([x.ravel() for x in __import__("jax").tree.leaves(params_after)])
         b = jnp.concatenate([x.ravel() for x in __import__("jax").tree.leaves(tr2.state.params)])
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_mid_epoch_resume_completes_run(self, tmp_path):
+        """Interrupt mid-epoch, restore, finish: total steps must equal an
+        uninterrupted run (exact batch-skip resume)."""
+        import optax
+
+        from torchain_tpu.models import TDNNF, TdnnfConfig
+        from torchain_tpu.ops import DeviceDenseDenGraph
+        from torchain_tpu.train import Trainer, TrainerConfig
+
+        corpus = synthetic_dataset(num_utts=12, num_phones=4, feat_dim=8, seed=4)
+        cfg = TdnnfConfig(
+            num_pdfs=corpus.tree.num_pdfs, hidden_dim=32, bottleneck_dim=8,
+            prefinal_dim=16, num_layers=2,
+        )
+        model = TDNNF(cfg)
+        left, right = cfg.context
+        den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+        example = np.zeros((2, 10 * 3 + left + right, 8), np.float32)
+        ds = ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=10,
+            left_context=left, right_context=right,
+            sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+        mk = lambda d: TrainerConfig(
+            num_epochs=2, batch_size=2, checkpoint_dir=d, log_every=1000,
+            semi_ortho_every=0, checkpoint_every=10**9,
+        )
+        # uninterrupted reference
+        tr_ref = Trainer(model, den, mk(None), example)
+        tr_ref.fit(ds, log_fn=lambda s: None)
+        total_steps = int(tr_ref.state.step)
+        assert total_steps >= 4
+
+        # interrupted: stop after 3 batches of epoch 0 (simulate by fitting
+        # with num_epochs=1 and manually saving mid-way)
+        d = str(tmp_path / "ck")
+        tr1 = Trainer(model, den, mk(d), example)
+        with tr1.mesh:
+            for bi, batch in enumerate(ds.batches(2, epoch=0)):
+                feats, sup = tr1._put_batch(batch)
+                tr1.state, _ = tr1.train_step(tr1.state, feats, tr1.den, sup)
+                tr1.batch_in_epoch = bi + 1
+                if bi == 2:
+                    break
+        tr1.current_epoch = 0
+        tr1.save_checkpoint()
+
+        tr2 = Trainer(model, den, mk(d), example)
+        assert tr2.restore_checkpoint()
+        assert tr2.start_epoch == 0 and tr2.skip_batches == 3
+        tr2.fit(ds, log_fn=lambda s: None)
+        assert int(tr2.state.step) == total_steps

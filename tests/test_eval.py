@@ -108,6 +108,31 @@ class TestViterbi:
             narrow = total_weight(lattice_decode(graph, y, beam=2.0))
             assert narrow <= wide + 1e-6
 
+    def test_nbest_matches_enumeration(self):
+        from torchain_tpu.eval import lattice_decode, lattice_nbest
+        from torchain_tpu.fstkit import enumerate_paths
+
+        rng = np.random.default_rng(9)
+        sents = [[1, 2], [2, 1], [1, 1], [2, 2]]
+        lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+        tree = ContextTree(2)
+        graph = make_decoding_graph(lm, tree)
+        y = (rng.normal(size=(8, tree.num_pdfs)) * 1.5).astype(np.float32)
+        lat = lattice_decode(graph, y, beam=1e9)
+        nbest = lattice_nbest(lat, 5)
+        # oracle: enumerate all paths, dedup phone sequences by max score
+        acc = {}
+        for labels, w in enumerate_paths(lat):
+            seq = tuple(l for l in labels if l > 0)
+            acc[seq] = max(acc.get(seq, -1e30), w)
+        oracle = sorted(acc.items(), key=lambda kv: -kv[1])[:5]
+        assert [tuple(p) for p, _ in nbest] == [list(p) and p for p, _ in oracle]
+        for (p1, s1), (p2, s2) in zip(nbest, oracle):
+            assert s1 == pytest.approx(s2, abs=1e-4)
+        # scores strictly non-increasing
+        scores = [s for _, s in nbest]
+        assert scores == sorted(scores, reverse=True)
+
     def test_garbage_posteriors_still_decode(self):
         rng = np.random.default_rng(1)
         sents = [[1, 2], [2, 1], [1, 1, 2]]

@@ -8,7 +8,12 @@ chain convention), and WER/PER scoring.
 """
 
 from torchain_tpu.eval.decoder import DecodingGraph, make_decoding_graph, viterbi_decode
-from torchain_tpu.eval.lattice import lattice_best_path, lattice_decode, rescore_lattice
+from torchain_tpu.eval.lattice import (
+    lattice_best_path,
+    lattice_decode,
+    lattice_nbest,
+    rescore_lattice,
+)
 from torchain_tpu.eval.wer import edit_distance, wer
 
 __all__ = [
@@ -17,6 +22,7 @@ __all__ = [
     "viterbi_decode",
     "lattice_best_path",
     "lattice_decode",
+    "lattice_nbest",
     "rescore_lattice",
     "edit_distance",
     "wer",

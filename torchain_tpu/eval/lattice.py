@@ -112,6 +112,59 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
     return phones, float(score)
 
 
+def lattice_nbest(lat: Fst, n: int) -> list[tuple[list[int], float]]:
+    """N-best paths by k-best Viterbi over the acyclic lattice: every state
+    keeps its top-n (score, predecessor) partial hypotheses in topological
+    order (the lattice-to-nbest role of Kaldi's scoring pipeline).
+
+    Returns [(phones, score)] best-first; duplicate phone sequences from
+    distinct paths are merged keeping the best score."""
+    from torchain_tpu.fstkit.algorithms import _topo_order_subgraph
+
+    if lat.num_states == 0:
+        return []
+    order = _topo_order_subgraph(lat, eps_only=False)
+    if order is None:
+        raise ValueError("lattice must be acyclic")
+    # hyp: (score, phone_tuple) per state; entries are deduped by phone
+    # sequence (best score kept) and truncated to 2n, which makes the
+    # sequence-level top-n exact in practice (distinct sequences compete,
+    # not raw paths)
+    keep = 2 * n
+    hyps: list[list[tuple[float, tuple[int, ...]]]] = [
+        [] for _ in range(lat.num_states)
+    ]
+    hyps[0] = [(0.0, ())]
+    finals: list[tuple[float, tuple[int, ...]]] = []
+
+    def _prune(cand: list[tuple[float, tuple[int, ...]]]):
+        best: dict[tuple[int, ...], float] = {}
+        for sc, ph in cand:
+            if ph not in best or sc > best[ph]:
+                best[ph] = sc
+        out = sorted(((sc, ph) for ph, sc in best.items()), key=lambda x: -x[0])
+        return out[:keep]
+
+    for s in order:
+        if not hyps[s]:
+            continue
+        hyps[s] = _prune(hyps[s])
+        if lat.is_final(s):
+            for sc, ph in hyps[s]:
+                finals.append((sc + lat.final(s), ph))
+        for a in lat.arcs(s):
+            ext = (a.label,) if a.label > 0 else ()
+            cand = hyps[a.dst]
+            for sc, ph in hyps[s]:
+                cand.append((sc + a.weight, ph + ext))
+    best: dict[tuple[int, ...], float] = {}
+    for sc, ph in finals:
+        if ph not in best or sc > best[ph]:
+            best[ph] = sc
+    ranked = sorted(best.items(), key=lambda kv: -kv[1])[:n]
+    return [(list(ph), sc) for ph, sc in ranked]
+
+
 def rescore_lattice(lat: Fst, acoustic_scale: float = 1.0) -> Fst:
     """Scale lattice weights (the lattice-scale step of Kaldi scoring
     pipelines).  With separate graph/acoustic tracking out of scope in the

@@ -73,6 +73,8 @@ class Trainer:
         self.metrics_log: list[dict] = []
         self.start_epoch = 0
         self.current_epoch = 0
+        self.batch_in_epoch = 0
+        self.skip_batches = 0
         self._ckpt_mgr = None
         if cfg.checkpoint_dir:
             import orbax.checkpoint as ocp
@@ -116,6 +118,7 @@ class Trainer:
             opt_state=self.state.opt_state,
             step=self.state.step,
             epoch=np.asarray(self.current_epoch, np.int32),
+            batch_in_epoch=np.asarray(self.batch_in_epoch, np.int32),
         )
         self._ckpt_mgr.save(
             int(self.state.step), args=ocp.args.StandardSave(payload)
@@ -133,15 +136,20 @@ class Trainer:
             opt_state=self.state.opt_state,
             step=self.state.step,
             epoch=np.asarray(0, np.int32),
+            batch_in_epoch=np.asarray(0, np.int32),
         )
         restored = self._ckpt_mgr.restore(
             self._ckpt_mgr.latest_step(),
             args=ocp.args.StandardRestore(target),
         )
-        # resume at the NEXT epoch boundary (mid-epoch batches are not
-        # replayed; shuffling is (seed, epoch)-deterministic)
-        self.start_epoch = int(restored.pop("epoch")) + 1
+        # exact resume: same epoch, skipping already-consumed batches —
+        # shuffling is a pure function of (seed, epoch), so the skipped
+        # prefix is identical to the original run's
+        self.start_epoch = int(restored.pop("epoch"))
+        self.skip_batches = int(restored.pop("batch_in_epoch"))
         self.current_epoch = self.start_epoch
+        # orbax restores onto a single device; re-place on the mesh
+        restored = jax.device_put(restored, replicated(self.mesh))
         self.state = self.state.replace(**restored)
         return True
 
@@ -154,7 +162,13 @@ class Trainer:
         with self.mesh:
             for epoch in range(self.start_epoch, cfg.num_epochs):
                 self.current_epoch = epoch
-                for batch in dataset.batches(cfg.batch_size, epoch=epoch):
+                self.batch_in_epoch = 0
+                for bi, batch in enumerate(
+                    dataset.batches(cfg.batch_size, epoch=epoch)
+                ):
+                    if epoch == self.start_epoch and bi < self.skip_batches:
+                        continue
+                    self.batch_in_epoch = bi + 1
                     feats, sup = self._put_batch(batch)
                     self.state, metrics = self.train_step(
                         self.state, feats, self.den, sup
