@@ -207,8 +207,6 @@ def main(argv=None) -> dict:
     print(f"[stage 2] training {args.model} on {len(dataset.chunks)} chunks")
     if args.steps:
         # step-bounded run: iterate manually
-        from torchain_tpu.ops.device_graphs import DeviceSupervision
-
         done = False
         with trainer.mesh:
             while not done:

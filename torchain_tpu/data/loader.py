@@ -40,8 +40,6 @@ from torchain_tpu.graphs.supervision import (
     split_alignment_into_chunks,
     subsample_alignment,
 )
-from torchain_tpu.ops.device_graphs import DeviceSupervision
-
 
 @dataclasses.dataclass
 class ChainBatch:

@@ -8,13 +8,10 @@ chain-supervision.cc, and Kaldi's `SortBreadthFirstSearch`
 
 from __future__ import annotations
 
-import heapq
-import itertools
-import math
 from collections import deque
 from typing import Iterator
 
-from torchain_tpu.fstkit.fst import EPSILON, NEG_INF, Arc, Fst, log_add
+from torchain_tpu.fstkit.fst import EPSILON, NEG_INF, Fst, log_add
 
 
 def connect(fst: Fst) -> Fst:

@@ -20,13 +20,12 @@ payload (kaldi/src/nnet3/nnet-chain-example.h).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
-from torchain_tpu.fstkit import Fst, bfs_time_sort, compose, connect
+from torchain_tpu.fstkit import Fst, bfs_time_sort, connect
 from torchain_tpu.fstkit.fst import NEG_INF
-from torchain_tpu.graphs.topology import BOUNDARY, ChainTopology, ContextTree
+from torchain_tpu.graphs.topology import BOUNDARY, ContextTree
 
 
 @dataclasses.dataclass(frozen=True)

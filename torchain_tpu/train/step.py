@@ -13,18 +13,12 @@ so objf/weight semantics match the single-chip run exactly.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from torchain_tpu.ops import ChainLossOptions, chain_loss
-from torchain_tpu.ops.device_graphs import (
-    DeviceDenGraph,
-    DeviceDenseDenGraph,
-    DeviceSupervision,
-)
+from torchain_tpu.ops.device_graphs import DeviceSupervision
 from torchain_tpu.train.state import ChainTrainState
 
 

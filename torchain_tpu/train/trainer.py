@@ -14,7 +14,6 @@ import dataclasses
 import json
 import pathlib
 import time
-from typing import Iterable
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ from torchain_tpu.models import constrain_semi_orthogonal
 from torchain_tpu.ops import ChainLossOptions, ChainResults
 from torchain_tpu.ops.device_graphs import DeviceSupervision
 from torchain_tpu.parallel import MeshConfig, batch_sharding, make_mesh, replicated
-from torchain_tpu.train.state import ChainTrainState, create_train_state
+from torchain_tpu.train.state import create_train_state
 from torchain_tpu.train.step import make_eval_step, make_train_step
 
 
