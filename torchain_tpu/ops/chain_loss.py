@@ -202,12 +202,14 @@ def chain_loss(
         xent_objf = jnp.zeros(())
 
     total = objf + l2_term + oor_term + opts.xent_regularize * xent_objf
-    loss = -total / weight
+    # guard: an all-zero-weight batch must not produce inf/nan loss
+    weight_safe = jnp.maximum(weight, 1e-8)
+    loss = -total / weight_safe
     aux = dict(
-        objf=objf / weight,
-        l2_term=l2_term / weight,
-        oor_term=oor_term / weight,
-        xent_objf=xent_objf / weight,
+        objf=objf / weight_safe,
+        l2_term=l2_term / weight_safe,
+        oor_term=oor_term / weight_safe,
+        xent_objf=xent_objf / weight_safe,
         weight=weight,
         num_failed=jnp.sum(~ok).astype(jnp.float32),
     )
