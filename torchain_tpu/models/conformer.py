@@ -36,7 +36,9 @@ class ConformerConfig:
     rel_pos_buckets: int = 32
     prefinal_dim: int = 256
     dropout: float = 0.0
-    #: compute dtype of the trunk (params stay float32)
+    #: compute dtype of the trunk (params stay float32).  NOTE: measured on
+    #: TPU v5e, bf16 is SLOWER for this conformer (bf16 layernorm/softmax
+    #: fall off fast paths in the current XLA build); keep f32
     dtype: Any = jnp.float32
 
     @property
