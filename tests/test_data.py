@@ -183,3 +183,33 @@ class TestCheckpoint:
         assert tr2.start_epoch == 0 and tr2.skip_batches == 3
         tr2.fit(ds, log_fn=lambda s: None)
         assert int(tr2.state.step) == total_steps
+
+
+class TestPrefetcher:
+    def test_order_and_completion(self):
+        from torchain_tpu.data import Prefetcher
+
+        out = list(Prefetcher(iter(range(50)), depth=3))
+        assert out == list(range(50))
+
+    def test_exception_propagates(self):
+        from torchain_tpu.data import Prefetcher
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = Prefetcher(gen())
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            for _ in it:
+                pass
+
+    def test_close_midway(self):
+        from torchain_tpu.data import Prefetcher
+
+        with Prefetcher(iter(range(1000)), depth=2) as p:
+            assert next(p) == 0
+        # closed without exhausting: no hang, thread drains

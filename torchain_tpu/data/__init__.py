@@ -7,6 +7,7 @@ pure-JAX DSP and a host-side chunk loader emitting packed batches.
 """
 
 from torchain_tpu.data.features import FbankOptions, fbank, mfcc, cmvn
+from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.loader import (
     ChainBatch,
     ChainDataset,
@@ -21,6 +22,7 @@ __all__ = [
     "mfcc",
     "cmvn",
     "ChainBatch",
+    "Prefetcher",
     "ChainDataset",
     "E2eChainDataset",
     "Utterance",

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from torchain_tpu.data.loader import ChainBatch, ChainDataset
+from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.models import constrain_semi_orthogonal
 from torchain_tpu.ops import ChainLossOptions, ChainResults
 from torchain_tpu.ops.device_graphs import DeviceSupervision
@@ -163,7 +164,7 @@ class Trainer:
                 self.current_epoch = epoch
                 self.batch_in_epoch = 0
                 for bi, batch in enumerate(
-                    dataset.batches(cfg.batch_size, epoch=epoch)
+                    Prefetcher(dataset.batches(cfg.batch_size, epoch=epoch))
                 ):
                     if epoch == self.start_epoch and bi < self.skip_batches:
                         continue
