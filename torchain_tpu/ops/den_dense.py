@@ -41,13 +41,22 @@ import os as _os
 UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 
 
+#: den matmul precision (env TORCHAIN_DEN_PRECISION = highest | default).
+#: HIGHEST keeps gamma-sums-to-one exact to ~1e-6 and is free at small
+#: graph scales (latency-bound).  At production graph scale (S ~ 3.5k,
+#: 4-gram biphone) the dense matmuls become FLOP-bound and HIGHEST costs
+#: ~3x; "default" (bf16 multiplicands) trades ~1e-3 occupancy error —
+#: fine for training — for that speed.
+_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("TORCHAIN_DEN_PRECISION", "highest") == "highest"
+    else jax.lax.Precision.DEFAULT
+)
+
+
 def _mm(a, b):
-    # HIGHEST precision: TPU default rounds f32 multiplicands to bf16, which
-    # breaks the gamma-sums-to-one invariant at ~1e-3; these matmuls are
-    # latency-bound (measured), so the extra passes are free
     return jnp.dot(
-        a, b, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        a, b, preferred_element_type=jnp.float32, precision=_PRECISION
     )
 
 
