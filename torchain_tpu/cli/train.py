@@ -107,7 +107,7 @@ def main(argv=None) -> dict:
         TdnnConfig,
         TdnnfConfig,
     )
-    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.parallel import MeshConfig
     from torchain_tpu.train import Trainer, TrainerConfig
     from torchain_tpu.train.step import make_forward_fn
@@ -182,7 +182,7 @@ def main(argv=None) -> dict:
             seed=args.seed,
         )
 
-    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    den = auto_den_graph(corpus.den_graph)
     tcfg = TrainerConfig(
         lr=args.lr,
         optimizer=args.optimizer,

@@ -14,6 +14,7 @@ from torchain_tpu.ops.device_graphs import (
     DeviceDenGraph,
     DeviceDenseDenGraph,
     DeviceSupervision,
+    auto_den_graph,
 )
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "ChainResults",
     "chain_loss",
     "DeviceDenGraph",
+    "auto_den_graph",
     "DeviceDenseDenGraph",
     "DeviceSupervision",
 ]

@@ -84,6 +84,30 @@ class DeviceDenseDenGraph:
         )
 
 
+#: dense-path budget for the transition matrix V [S, E] in bytes.
+#: Measured on TPU v5e: with V at 37 MB the dense/MXU path runs the full
+#: step in ~0.8-1 ms (XLA keeps the loop-invariant V on-chip); at 101 MB
+#: it falls off a cliff (50 ms den-only) and the sparse log-semiring scan
+#: wins ~2x (23 ms) — BENCH_NOTES.md.  The chain topology guarantees
+#: E = 2S (every state has exactly two in-pdf classes), so V bytes =
+#: 8*S^2*4.
+DENSE_V_BYTES_THRESHOLD = 48 * 1024 * 1024
+
+
+def auto_den_graph(host_graph, pad_to: int = 128, max_v_bytes: int | None = None):
+    """Pick the TPU-appropriate denominator representation for a host
+    `graphs.DenGraph`: dense Moore (MXU matmuls) while the transition
+    matrix fits the on-chip budget, sparse CSR (log-semiring scan)
+    beyond it."""
+    from torchain_tpu.graphs.den_graph import make_dense_den_graph
+
+    limit = DENSE_V_BYTES_THRESHOLD if max_v_bytes is None else max_v_bytes
+    dense = make_dense_den_graph(host_graph, pad_to=pad_to)
+    if dense.num_orig * dense.num_exp * 4 <= limit:
+        return DeviceDenseDenGraph.from_host(dense)
+    return DeviceDenGraph.from_host(host_graph)
+
+
 @register_dataclass
 @dataclasses.dataclass
 class DeviceSupervision:
