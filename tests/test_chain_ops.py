@@ -225,3 +225,35 @@ class TestChainLoss:
             outs.append((float(loss), np.asarray(grad)))
         assert outs[0][0] == pytest.approx(outs[1][0], abs=1e-4)
         np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+
+
+class TestDenTable:
+    @pytest.mark.parametrize("leaky", [0.0, 0.1])
+    def test_matches_oracle(self, setup, leaky):
+        from torchain_tpu.ops import den_table
+
+        g = den_table.DeviceDenTableGraph.from_host(setup["graph"])
+        y = jnp.asarray(setup["y"])
+        log_z, alphas = den_table.den_forward(y, g, leaky)
+        gamma = den_table.den_backward(y, g, log_z, alphas, leaky)
+        for b in range(setup["B"]):
+            oz, og = oracle.den_forward_backward(
+                setup["graph"], setup["y"][b], leaky=leaky
+            )
+            assert float(log_z[b]) == pytest.approx(oz, abs=2e-4)
+            np.testing.assert_allclose(np.asarray(gamma[b]), og, atol=2e-4)
+
+    def test_chain_loss_with_table_graph(self, setup):
+        from torchain_tpu.ops import den_table
+
+        den = den_table.DeviceDenTableGraph.from_host(setup["graph"])
+        sup = DeviceSupervision.from_host(setup["batch"])
+        y = jnp.asarray(setup["y"])
+        opts = ChainLossOptions(leaky_hmm_coefficient=0.05)
+        loss_t, _ = chain_loss(y, None, den, sup, opts)
+        grad_t = jax.grad(lambda y: chain_loss(y, None, den, sup, opts)[0])(y)
+        dense = DeviceDenseDenGraph.from_host(setup["dense"])
+        loss_d, _ = chain_loss(y, None, dense, sup, opts)
+        grad_d = jax.grad(lambda y: chain_loss(y, None, dense, sup, opts)[0])(y)
+        assert float(loss_t) == pytest.approx(float(loss_d), abs=1e-4)
+        np.testing.assert_allclose(np.asarray(grad_t), np.asarray(grad_d), atol=1e-5)

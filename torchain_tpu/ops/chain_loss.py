@@ -32,12 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.ops import den_dense, den_scan, num_e2e, num_scan
+from torchain_tpu.ops import den_dense, den_scan, den_table, num_e2e, num_scan
 from torchain_tpu.ops.device_graphs import (
     DeviceDenGraph,
     DeviceDenseDenGraph,
     DeviceSupervision,
 )
+from torchain_tpu.ops.den_table import DeviceDenTableGraph
 from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
 
@@ -104,6 +105,9 @@ def _den_forward(y, den, leaky):
 
             return den_pallas.den_forward(y, den, leaky)
         return den_dense.den_forward(y, den, leaky)
+    if isinstance(den, DeviceDenTableGraph):
+        log_z, alphas = den_table.den_forward(y, den, leaky)
+        return log_z, dict(alphas=alphas, table=True)
     log_z, alphas = den_scan.den_forward(y, den, leaky)
     return log_z, dict(alphas=alphas)
 
@@ -115,6 +119,8 @@ def _den_backward(y, den, leaky, log_z, res):
 
             return den_pallas.den_backward(den, res, leaky)
         return den_dense.den_backward(den, res, leaky)
+    if isinstance(den, DeviceDenTableGraph):
+        return den_table.den_backward(y, den, log_z, res["alphas"], leaky)
     return den_scan.den_backward(y, den, log_z, res["alphas"], leaky)
 
 

@@ -105,6 +105,10 @@ def auto_den_graph(host_graph, pad_to: int = 128, max_v_bytes: int | None = None
     dense = make_dense_den_graph(host_graph, pad_to=pad_to)
     if dense.num_orig * dense.num_exp * 4 <= limit:
         return DeviceDenseDenGraph.from_host(dense)
+    # NOTE: the padded-table path (den_table.DeviceDenTableGraph) measured
+    # 125x SLOWER than the segment scan at this scale on TPU v5e (its
+    # [B, S, K] constant-index gathers lower pathologically); the segment
+    # scan is the large-graph default
     return DeviceDenGraph.from_host(host_graph)
 
 
