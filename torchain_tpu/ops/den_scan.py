@@ -34,11 +34,18 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 NEG_INF = -jnp.inf
 
 
-def _seg_logsumexp(vals: jnp.ndarray, seg: jnp.ndarray, num_seg: int) -> jnp.ndarray:
+def _seg_logsumexp(
+    vals: jnp.ndarray, seg: jnp.ndarray, num_seg: int, is_sorted: bool = False
+) -> jnp.ndarray:
     """Segment logsumexp along axis 0.  vals [A, B] -> [num_seg, B]."""
-    m = jax.ops.segment_max(vals, seg, num_segments=num_seg)  # [S, B]
+    m = jax.ops.segment_max(
+        vals, seg, num_segments=num_seg, indices_are_sorted=is_sorted
+    )  # [S, B]
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    s = jax.ops.segment_sum(jnp.exp(vals - m_safe[seg]), seg, num_segments=num_seg)
+    s = jax.ops.segment_sum(
+        jnp.exp(vals - m_safe[seg]), seg, num_segments=num_seg,
+        indices_are_sorted=is_sorted,
+    )
     return jnp.where(s > 0, jnp.log(jnp.maximum(s, 1e-300)) + m_safe, NEG_INF)
 
 
@@ -62,7 +69,7 @@ def den_forward(
     def step(alpha, y_t):
         # arc values [A, B]: alpha'[src] + w + y_t[pdf]
         arc = alpha[:, g.in_src].T + g.in_logw[:, None] + y_t[:, g.in_pdf].T
-        nxt = _seg_logsumexp(arc, g.in_dst, g.num_states).T  # [B, S]
+        nxt = _seg_logsumexp(arc, g.in_dst, g.num_states, is_sorted=True).T
         nxt = _leak(nxt, g.log_init, leaky)
         return nxt, nxt
 
@@ -92,13 +99,18 @@ def den_backward(
             btilde = jnp.logaddexp(b, log_leaky + tot)
         else:
             btilde = b
-        # occupancies: arc posterior [A, B]
-        arc_w = g.in_logw[:, None] + y_t[:, g.in_pdf].T + btilde[:, g.in_dst].T
-        arc_post = alpha_prev[:, g.in_src].T + arc_w
+        # single pass over the src-sorted out-arc view: arc_w feeds BOTH
+        # the beta pull-back (sorted segment reduce) and, combined with
+        # alpha, the gamma accumulation (unsorted pdf scatter — measured
+        # cheaper than a second arc traversal over a pdf-sorted view)
+        arc_w = (
+            g.out_logw[:, None] + y_t[:, g.out_pdf].T + btilde[:, g.out_dst].T
+        )
+        arc_post = alpha_prev[:, g.out_src].T + arc_w
         gamma_t = jax.ops.segment_sum(
-            jnp.exp(arc_post - log_z[None, :]), g.in_pdf, num_segments=P
+            jnp.exp(arc_post - log_z[None, :]), g.out_pdf, num_segments=P
         ).T  # [B, P]
-        nb = _seg_logsumexp(arc_w, g.in_src, S).T  # [B, S]
+        nb = _seg_logsumexp(arc_w, g.out_src, S, is_sorted=True).T  # [B, S]
         return nb, gamma_t
 
     bT = jnp.zeros((B, S))

@@ -22,12 +22,27 @@ from torchain_tpu.graphs.supervision import Supervision
 @register_dataclass
 @dataclasses.dataclass
 class DeviceDenGraph:
-    """Sparse arc-list denominator graph for the log-semiring scan path."""
+    """Sparse arc-list denominator graph for the log-semiring scan path.
 
+    THREE sorted views of the same arc multiset so every segment reduction
+    runs with indices_are_sorted=True: by dst (alpha), by src (beta), and
+    by pdf (gamma accumulation)."""
+
+    # view sorted by dst (forward: reduce over in-arcs)
     in_src: jnp.ndarray  # int32 [A]
     in_pdf: jnp.ndarray  # int32 [A]
     in_logw: jnp.ndarray  # float32 [A]
-    in_dst: jnp.ndarray  # int32 [A]
+    in_dst: jnp.ndarray  # int32 [A] (sorted)
+    # view sorted by src (backward beta: reduce over out-arcs)
+    out_src: jnp.ndarray  # int32 [A] (sorted)
+    out_dst: jnp.ndarray  # int32 [A]
+    out_pdf: jnp.ndarray  # int32 [A]
+    out_logw: jnp.ndarray  # float32 [A]
+    # view sorted by pdf (gamma: reduce into pdf bins)
+    pdf_pdf: jnp.ndarray  # int32 [A] (sorted)
+    pdf_src: jnp.ndarray  # int32 [A]
+    pdf_dst: jnp.ndarray  # int32 [A]
+    pdf_logw: jnp.ndarray  # float32 [A]
     log_init: jnp.ndarray  # float32 [S]
     num_states: int = dataclasses.field(metadata=dict(static=True))
     num_pdfs: int = dataclasses.field(metadata=dict(static=True))
@@ -37,6 +52,10 @@ class DeviceDenGraph:
         in_dst = np.repeat(
             np.arange(g.num_states, dtype=np.int32), np.diff(g.in_offsets)
         )
+        out_src = np.repeat(
+            np.arange(g.num_states, dtype=np.int32), np.diff(g.out_offsets)
+        )
+        order = np.argsort(g.in_pdf, kind="stable")
         with np.errstate(divide="ignore"):
             log_init = np.log(g.initial_probs.astype(np.float64)).astype(np.float32)
         return DeviceDenGraph(
@@ -44,6 +63,14 @@ class DeviceDenGraph:
             in_pdf=jnp.asarray(g.in_pdf),
             in_logw=jnp.asarray(g.in_logw),
             in_dst=jnp.asarray(in_dst),
+            out_src=jnp.asarray(out_src),
+            out_dst=jnp.asarray(g.out_dst),
+            out_pdf=jnp.asarray(g.out_pdf),
+            out_logw=jnp.asarray(g.out_logw),
+            pdf_pdf=jnp.asarray(g.in_pdf[order]),
+            pdf_src=jnp.asarray(g.in_src[order]),
+            pdf_dst=jnp.asarray(in_dst[order]),
+            pdf_logw=jnp.asarray(g.in_logw[order]),
             log_init=jnp.asarray(log_init),
             num_states=int(g.num_states),
             num_pdfs=int(g.num_pdfs),
