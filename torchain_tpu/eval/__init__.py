@@ -7,6 +7,7 @@ Viterbi decoder over the phone-level decoding graph (acoustic scale 1.0,
 chain convention), and WER/PER scoring.
 """
 
+from torchain_tpu.eval.align import align_corpus, force_align
 from torchain_tpu.eval.decoder import DecodingGraph, make_decoding_graph, viterbi_decode
 from torchain_tpu.eval.lattice import (
     lattice_best_path,
@@ -18,6 +19,8 @@ from torchain_tpu.eval.wer import edit_distance, wer
 
 __all__ = [
     "DecodingGraph",
+    "align_corpus",
+    "force_align",
     "make_decoding_graph",
     "viterbi_decode",
     "lattice_best_path",
