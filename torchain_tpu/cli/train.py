@@ -48,6 +48,13 @@ def build_argparser() -> argparse.ArgumentParser:
         action="store_true",
         help="flat-start: train from transcripts only (no alignments)",
     )
+    p.add_argument(
+        "--flat-start-ladder",
+        action="store_true",
+        help="two-stage recipe: e2e flat-start training, then force-align "
+        "with the stage-1 model and continue with tolerance-lattice "
+        "supervision on the generated alignments",
+    )
     p.add_argument("--semi-ortho-every", type=int, default=4)
     p.add_argument("--data-parallel", type=int, default=-1)
     p.add_argument("--model-parallel", type=int, default=1)
@@ -205,6 +212,47 @@ def main(argv=None) -> dict:
         print(f"[stage 2] resumed from step {int(trainer.state.step)}")
 
     print(f"[stage 2] training {args.model} on {len(dataset.chunks)} chunks")
+    if args.flat_start_ladder:
+        # stage 1: flat-start on transcripts
+        from torchain_tpu.data import E2eChainDataset, Utterance
+        from torchain_tpu.eval.align import align_corpus
+        from torchain_tpu.train.step import make_forward_fn
+
+        print("[ladder 1] flat-start e2e training")
+        e2e_ds = E2eChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst,
+            chunk_frames_out=args.chunk_frames,
+            left_context=left, right_context=right,
+            frame_subsampling_factor=fsf, seed=args.seed,
+        )
+        trainer.fit(e2e_ds, log_fn=print)
+        print("[ladder 2] forced alignment with the stage-1 model")
+        fwd = make_forward_fn(model)
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats:
+            variables["batch_stats"] = trainer.state.batch_stats
+        gen = align_corpus(
+            fwd, variables, corpus.utts, corpus.tree,
+            frame_subsampling_factor=fsf,
+            left_context=left, right_context=right,
+        )
+        corpus.utts = [
+            Utterance(feats=u.feats, alignment=a, utt_id=u.utt_id)
+            for u, a in zip(corpus.utts, gen)
+        ]
+        dataset = ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst,
+            chunk_frames_out=args.chunk_frames,
+            left_context=left, right_context=right,
+            sup_opts=SupervisionOptions(
+                left_tolerance=args.left_tolerance,
+                right_tolerance=args.right_tolerance,
+                frame_subsampling_factor=fsf,
+            ),
+            seed=args.seed,
+        )
+        print("[ladder 3] tolerance-lattice training on generated alignments")
+
     if args.steps:
         # step-bounded run: iterate manually
         done = False
