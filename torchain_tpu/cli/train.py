@@ -69,6 +69,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "(nnet3-chain-compute-prob parity)",
     )
     p.add_argument("--decode-beam", type=float, default=16.0)
+    p.add_argument(
+        "--phone-insertion-bonus",
+        type=float,
+        default=0.0,
+        help="added to phone-emitting arcs at decode time (counters "
+        "deletion-heavy error patterns; Kaldi insertion-penalty role)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
     p.add_argument(
@@ -317,7 +324,10 @@ def main(argv=None) -> dict:
             )
             feats = jnp.asarray(u.feats[idx][None])
             y = np.asarray(forward(variables, feats))[0]
-            hyp, _ = viterbi_decode(dgraph, y, beam=args.decode_beam)
+            hyp, _ = viterbi_decode(
+                dgraph, y, beam=args.decode_beam,
+                phone_bonus=args.phone_insertion_bonus,
+            )
             hyps.append(hyp)
         score = wer(refs, hyps)
         print(f"[stage 4] PER {score['wer']:.2f}% ({score})")

@@ -79,6 +79,7 @@ def viterbi_decode(
     beam: float = 16.0,
     use_final: bool = True,
     backend: str = "auto",  # auto | native | numpy
+    phone_bonus: float = 0.0,
 ) -> tuple[list[int], float]:
     """Best-path decode; returns (phone_sequence, path_score).
 
@@ -87,7 +88,18 @@ def viterbi_decode(
     which remains the tested reference: each frame scores every arc, takes
     a segment max per destination state (argmax kept as backpointer), then
     prunes tokens outside `beam` of the frame-best.
+
+    `phone_bonus` is added to every phone-emitting arc (the word-insertion
+    -penalty knob of Kaldi scoring, negated): positive values counteract
+    deletion-dominated error patterns.
     """
+    if phone_bonus != 0.0:
+        graph = dataclasses.replace(
+            graph,
+            weight=(graph.weight + phone_bonus * (graph.olabel > 0)).astype(
+                np.float32
+            ),
+        )
     if backend in ("auto", "native"):
         from torchain_tpu.eval.native import native_viterbi
 

@@ -30,10 +30,20 @@ def lattice_decode(
     loglikes: np.ndarray,  # [T, P]
     beam: float = 10.0,
     use_final: bool = True,
+    phone_bonus: float = 0.0,
 ) -> Fst:
     """Returns the pruned lattice as an acyclic Fst over PHONE labels
     (0 = epsilon on non-entry arcs); weights are graph + acoustic scores.
     State 0 is the start; frame-T survivors carry final weights."""
+    if phone_bonus != 0.0:
+        import dataclasses as _dc
+
+        graph = _dc.replace(
+            graph,
+            weight=(graph.weight + phone_bonus * (graph.olabel > 0)).astype(
+                np.float32
+            ),
+        )
     T, P = loglikes.shape
     S = graph.num_states
 
