@@ -49,3 +49,19 @@ class TestStepTimer:
         assert s["steps"] == 5
         assert s["audio_seconds"] == pytest.approx(8.0)  # 4 counted steps
         assert s["audio_s_per_s_per_chip"] > 0
+
+
+class TestToolsImport:
+    def test_tools_parse(self):
+        """tools/ scripts must at least parse (they are run standalone)."""
+        import ast
+        import pathlib
+
+        for p in pathlib.Path("tools").glob("*.py"):
+            ast.parse(p.read_text(), filename=str(p))
+
+    def test_bench_and_entry_parse(self):
+        import ast
+
+        ast.parse(open("bench.py").read())
+        ast.parse(open("__graft_entry__.py").read())
