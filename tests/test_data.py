@@ -213,3 +213,23 @@ class TestPrefetcher:
         with Prefetcher(iter(range(1000)), depth=2) as p:
             assert next(p) == 0
         # closed without exhausting: no hang, thread drains
+
+
+class TestGlobalCmvn:
+    def test_stats_normalize_corpus(self):
+        from torchain_tpu.data import apply_cmvn_stats, compute_cmvn_stats
+
+        rng = np.random.default_rng(5)
+        utts = [rng.normal(size=(50 + i, 6)).astype(np.float32) * 3 + 7 for i in range(4)]
+        mean, std = compute_cmvn_stats(utts)
+        normed = np.concatenate(
+            [np.asarray(apply_cmvn_stats(jnp.asarray(u), mean, std)) for u in utts]
+        )
+        np.testing.assert_allclose(normed.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(normed.std(axis=0), 1.0, atol=1e-2)
+
+    def test_empty_raises(self):
+        from torchain_tpu.data import compute_cmvn_stats
+
+        with pytest.raises(ValueError):
+            compute_cmvn_stats([])

@@ -23,3 +23,13 @@ Layering (bottom-up), mirroring SURVEY.md section 7:
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level API (the names a torchain user reaches for first)
+from torchain_tpu.ops import (  # noqa: E402
+    ChainLossOptions,
+    ChainResults,
+    auto_den_graph,
+    chain_loss,
+)
+
+__all__ = ["ChainLossOptions", "ChainResults", "auto_den_graph", "chain_loss"]

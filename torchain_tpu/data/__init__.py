@@ -6,7 +6,7 @@ shuffle / merge — SURVEY.md section 2.2 "Chain egs format & binaries") with
 pure-JAX DSP and a host-side chunk loader emitting packed batches.
 """
 
-from torchain_tpu.data.features import FbankOptions, fbank, mfcc, cmvn
+from torchain_tpu.data.features import (FbankOptions, apply_cmvn_stats, cmvn, compute_cmvn_stats, fbank, mfcc)
 from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.loader import (
     ChainBatch,
@@ -21,6 +21,8 @@ __all__ = [
     "fbank",
     "mfcc",
     "cmvn",
+    "compute_cmvn_stats",
+    "apply_cmvn_stats",
     "ChainBatch",
     "Prefetcher",
     "ChainDataset",

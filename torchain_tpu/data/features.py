@@ -149,3 +149,37 @@ def cmvn(feats: jnp.ndarray, norm_var: bool = True) -> jnp.ndarray:
         std = jnp.sqrt(jnp.var(feats, axis=-2, keepdims=True) + 1e-8)
         out = out / std
     return out
+
+
+def compute_cmvn_stats(utterance_feats) -> tuple[np.ndarray, np.ndarray]:
+    """Corpus-level CMVN statistics (Kaldi compute-cmvn-stats role):
+    returns (mean [D], std [D]) accumulated over an iterable of [T, D]
+    feature matrices."""
+    n = 0
+    s = None
+    ss = None
+    for f in utterance_feats:
+        f = np.asarray(f, dtype=np.float64)
+        if s is None:
+            s = f.sum(axis=0)
+            ss = (f * f).sum(axis=0)
+        else:
+            s += f.sum(axis=0)
+            ss += (f * f).sum(axis=0)
+        n += f.shape[0]
+    if n == 0:
+        raise ValueError("no frames")
+    mean = s / n
+    var = np.maximum(ss / n - mean * mean, 1e-8)
+    return mean.astype(np.float32), np.sqrt(var).astype(np.float32)
+
+
+def apply_cmvn_stats(
+    feats: jnp.ndarray, mean: np.ndarray, std: np.ndarray, norm_var: bool = True
+) -> jnp.ndarray:
+    """Apply precomputed corpus/speaker CMVN stats (apply-cmvn with
+    external stats)."""
+    out = feats - jnp.asarray(mean)
+    if norm_var:
+        out = out / jnp.asarray(std)
+    return out
