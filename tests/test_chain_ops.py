@@ -257,3 +257,43 @@ class TestDenTable:
         grad_d = jax.grad(lambda y: chain_loss(y, None, dense, sup, opts)[0])(y)
         assert float(loss_t) == pytest.approx(float(loss_d), abs=1e-4)
         np.testing.assert_allclose(np.asarray(grad_t), np.asarray(grad_d), atol=1e-5)
+
+
+class TestBetaPullbackStability:
+    """Regression for the r1 advisor finding: the numerator beta pullback
+    must stabilize with a PER-SRC-SLOT max, not a frame-global max — with a
+    global max any src state whose best in-arc weight is > ~88 nats below
+    the frame maximum underflows to -inf in float32, silently zeroing its
+    gamma contributions at earlier frames."""
+
+    def test_per_slot_max_no_underflow(self):
+        # two src slots whose arc weights differ by 200 nats within a frame
+        B, S, K = 1, 2, 2
+        arc_w = jnp.array([[[0.0, -1.0], [-200.0, -201.0]]])  # [B, S, K]
+        src = jnp.array([[[0, 1], [0, 1]]], dtype=jnp.int32)
+        nb = num_scan.beta_pullback(arc_w, src, S)
+        # slot 0 gathers arcs {0.0 (from dst 0), -200.0 (from dst 1)};
+        # slot 1 gathers {-1.0, -201.0}
+        exp0 = np.logaddexp(0.0, -200.0)
+        exp1 = np.logaddexp(-1.0, -201.0)
+        assert np.isfinite(np.asarray(nb)).all()
+        np.testing.assert_allclose(np.asarray(nb)[0], [exp0, exp1], atol=1e-6)
+
+    def test_huge_spread_gradients_match_oracle(self, setup):
+        # supervision backward with an extreme-spread y: the float64 oracle
+        # keeps every path; the fixed pullback must agree
+        batch = setup["batch"]
+        sup = DeviceSupervision.from_host(batch)
+        rng = np.random.default_rng(7)
+        y = rng.normal(size=setup["y"].shape).astype(np.float32)
+        y[:, :, 0] += 150.0  # one pdf dominates every frame by ~150 nats
+        yj = jnp.asarray(y)
+        log_p, alphas = num_scan.num_forward(yj, sup)
+        gamma = num_scan.num_backward(yj, sup, log_p, alphas)
+        assert np.isfinite(np.asarray(gamma)).all()
+        for b in range(setup["B"]):
+            olp, og = oracle.num_forward_backward(setup["sups"][b], y[b])
+            np.testing.assert_allclose(
+                np.asarray(gamma[b]), og, atol=3e-4,
+                err_msg="per-slot-stabilized beta pullback must match oracle",
+            )

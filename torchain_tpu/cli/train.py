@@ -261,7 +261,10 @@ def main(argv=None) -> dict:
         print("[ladder 3] tolerance-lattice training on generated alignments")
 
     if args.steps:
-        # step-bounded run: iterate manually
+        # step-bounded run: iterate manually (same per-step semantics as
+        # Trainer.fit, incl. the periodic semi-orthogonal constraint)
+        from torchain_tpu.models import constrain_semi_orthogonal
+
         done = False
         with trainer.mesh:
             while not done:
@@ -270,8 +273,14 @@ def main(argv=None) -> dict:
                     trainer.state, metrics = trainer.train_step(
                         trainer.state, feats, trainer.den, sup
                     )
+                    step = int(trainer.state.step)
+                    so_every = trainer.cfg.semi_ortho_every
+                    if so_every and step % so_every == 0:
+                        trainer.state = trainer.state.replace(
+                            params=constrain_semi_orthogonal(trainer.state.params)
+                        )
                     trainer.results.add({k: float(v) for k, v in metrics.items()})
-                    if int(trainer.state.step) >= args.steps:
+                    if step >= args.steps:
                         done = True
                         break
         results = trainer.results

@@ -84,7 +84,8 @@ class E2eSupervision:
     num_pdfs: int
     max_states: int
     max_arcs: int
-    weight: float
+    #: scalar for one sequence; float32 [B] after pad_and_stack_e2e
+    weight: "float | np.ndarray"
     in_src: np.ndarray
     in_pdf: np.ndarray
     in_logw: np.ndarray
@@ -161,7 +162,7 @@ def pad_and_stack_e2e(sups: list[E2eSupervision]) -> E2eSupervision:
         num_pdfs=P,
         max_states=S,
         max_arcs=K,
-        weight=float(np.mean([s.weight for s in sups])),
+        weight=np.array([s.weight for s in sups], dtype=np.float32),
         in_src=in_src,
         in_pdf=in_pdf,
         in_logw=in_logw,

@@ -230,7 +230,9 @@ class Supervision:
     num_pdfs: int
     max_states: int
     max_arcs: int
-    weight: float
+    #: scalar for a single chunk; float32 [B] after pad_and_stack (per-sequence
+    #: Supervision::weight semantics survive merging, as in Kaldi merged egs)
+    weight: "float | np.ndarray"
     in_src: np.ndarray  # int32 [T, S, K]
     in_pdf: np.ndarray  # int32 [T, S, K]
     in_logw: np.ndarray  # float32 [T, S, K]
@@ -364,7 +366,7 @@ def pad_and_stack_supervisions(
         num_pdfs=P,
         max_states=S,
         max_arcs=K,
-        weight=float(np.mean([s.weight for s in sups])),
+        weight=np.array([s.weight for s in sups], dtype=np.float32),
         in_src=in_src,
         in_pdf=in_pdf,
         in_logw=in_logw,

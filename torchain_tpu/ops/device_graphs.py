@@ -129,8 +129,16 @@ def auto_den_graph(host_graph, pad_to: int = 128, max_v_bytes: int | None = None
     from torchain_tpu.graphs.den_graph import make_dense_den_graph
 
     limit = DENSE_V_BYTES_THRESHOLD if max_v_bytes is None else max_v_bytes
-    dense = make_dense_den_graph(host_graph, pad_to=pad_to)
-    if dense.num_orig * dense.num_exp * 4 <= limit:
+    # size V BEFORE materializing it: E = unique (dst, pdf) pairs; a graph
+    # far past the budget would otherwise exhaust host memory just to learn
+    # it should use the sparse path
+    S = host_graph.num_states
+    dst = np.repeat(np.arange(S, dtype=np.int64), np.diff(host_graph.in_offsets))
+    key = dst * host_graph.num_pdfs + host_graph.in_pdf.astype(np.int64)
+    E = int(np.unique(key).shape[0])
+    pad = lambda n: -(-n // pad_to) * pad_to
+    if pad(S) * pad(E) * 4 <= limit:
+        dense = make_dense_den_graph(host_graph, pad_to=pad_to)
         return DeviceDenseDenGraph.from_host(dense)
     # NOTE: the padded-table path (den_table.DeviceDenTableGraph) measured
     # 125x SLOWER than the segment scan at this scale on TPU v5e (its
@@ -169,7 +177,9 @@ class DeviceSupervision:
             in_pdf=jnp.asarray(in_pdf),
             in_logw=jnp.asarray(in_logw),
             final_logw=jnp.asarray(final),
-            weight=jnp.full((B,), s.weight, dtype=jnp.float32),
+            weight=jnp.broadcast_to(
+                jnp.asarray(s.weight, dtype=jnp.float32), (B,)
+            ),
             num_frames=int(s.num_frames),
             max_states=int(s.max_states),
             max_arcs=int(s.max_arcs),

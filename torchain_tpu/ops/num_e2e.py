@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_dataclass
 
 from torchain_tpu.graphs.e2e import E2eSupervision
+from torchain_tpu.ops.num_scan import beta_pullback
 
 #: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
 #: sequential-loop overhead but inflates the program; measured on TPU v5e,
@@ -57,7 +58,9 @@ class DeviceE2eSupervision:
             in_pdf=jnp.asarray(in_pdf),
             in_logw=jnp.asarray(in_logw),
             final_logw=jnp.asarray(final),
-            weight=jnp.full((B,), s.weight, dtype=jnp.float32),
+            weight=jnp.broadcast_to(
+                jnp.asarray(s.weight, dtype=jnp.float32), (B,)
+            ),
             num_frames=int(s.num_frames),
             max_states=int(s.max_states),
             max_arcs=int(s.max_arcs),
@@ -129,18 +132,7 @@ def e2e_backward(
         )
         flat_idx = (jnp.arange(B)[:, None, None] * P + sup.in_pdf).reshape(-1)
         gamma_t = jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
-        m = jnp.max(jnp.where(mask, arc_w, NEG_INF), axis=(1, 2), keepdims=True)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        contrib = jnp.where(mask, jnp.exp(arc_w - m_safe), 0.0)
-        src_idx = (
-            jnp.arange(B)[:, None, None] * S + jnp.clip(sup.in_src, 0, S - 1)
-        ).reshape(-1)
-        acc = (
-            jnp.zeros((B * S,)).at[src_idx].add(contrib.reshape(-1)).reshape(B, S)
-        )
-        nb = jnp.where(
-            acc > 0, jnp.log(jnp.maximum(acc, 1e-300)) + m_safe[:, :, 0], NEG_INF
-        )
+        nb = beta_pullback(arc_w, sup.in_src, S)
         return nb, gamma_t
 
     bT = sup.final_logw

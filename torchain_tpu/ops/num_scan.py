@@ -29,6 +29,34 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 NEG_INF = -jnp.inf
 
 
+def beta_pullback(
+    arc_w: jnp.ndarray,  # [B, S, K] in-arc weights incl. beta(dst); NEG_INF pad
+    src: jnp.ndarray,  # int32 [B, S, K] source-state ids (-1 = pad)
+    S: int,
+) -> jnp.ndarray:
+    """Per-src-state logsumexp of in-arc weights: [B, S, K] -> beta [B, S].
+
+    Stabilizes with a PER-SRC-SLOT max (segment_max over flattened (b, src)
+    ids), not a frame-global max: with a global max, any src state whose
+    best arc is more than ~88 nats below the frame maximum would underflow
+    to -inf in float32, silently zeroing its gamma contributions at earlier
+    frames (matters for cyclic e2e graphs and long chunks).  Mirrors
+    den_scan._seg_logsumexp.
+    """
+    B = arc_w.shape[0]
+    mask = src >= 0
+    flat_w = jnp.where(mask, arc_w, NEG_INF).reshape(-1)
+    src_idx = (
+        jnp.arange(B)[:, None, None] * S + jnp.clip(src, 0, S - 1)
+    ).reshape(-1)
+    m = jax.ops.segment_max(flat_w, src_idx, num_segments=B * S)  # [B*S]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    contrib = jnp.where(mask.reshape(-1), jnp.exp(flat_w - m_safe[src_idx]), 0.0)
+    acc = jax.ops.segment_sum(contrib, src_idx, num_segments=B * S)
+    nb = jnp.where(acc > 0, jnp.log(jnp.maximum(acc, 1e-300)) + m_safe, NEG_INF)
+    return nb.reshape(B, S)
+
+
 def _gather_states(alpha: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """alpha [B, S], idx [B, S, K] (values in [0, S), -1 = pad) -> [B, S, K]."""
     B, S = alpha.shape
@@ -107,22 +135,9 @@ def num_backward(
         gamma_t = (
             jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
         )
-        # pull beta back to frame-t states: scatter-max? no — logsumexp over
-        # arcs grouped by src slot, via scatter-add in exp domain around a
-        # per-batch max for stability
-        m = jnp.max(jnp.where(mask, arc_w, NEG_INF), axis=(1, 2), keepdims=True)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        contrib = jnp.where(mask, jnp.exp(arc_w - m_safe), 0.0)
-        src_idx = (
-            jnp.arange(B)[:, None, None] * S + jnp.clip(src, 0, S - 1)
-        ).reshape(-1)
-        acc = (
-            jnp.zeros((B * S,))
-            .at[src_idx]
-            .add(jnp.where(mask, contrib, 0.0).reshape(-1))
-            .reshape(B, S)
-        )
-        nb = jnp.where(acc > 0, jnp.log(jnp.maximum(acc, 1e-300)) + m_safe[:, :, 0], NEG_INF)
+        # pull beta back to frame-t states: logsumexp over arcs grouped by
+        # src slot, stabilized per-slot (see beta_pullback)
+        nb = beta_pullback(arc_w, src, S)
         return nb, gamma_t
 
     bT = sup.final_logw  # [B, S]

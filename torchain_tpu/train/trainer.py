@@ -155,10 +155,33 @@ class Trainer:
 
     # -- main loop --------------------------------------------------------
 
+    def _flush_metrics(self, pending: list) -> dict | None:
+        """Materialize buffered device metrics to host (ONE sync for the
+        whole buffer) and feed ChainResults; returns the last step's host
+        dict.  Keeping per-step aux on-device lets step N+1 dispatch while
+        step N's transfer is in flight (ADVICE r1: float(v) per step forced
+        a device sync that serialized host prep with device compute)."""
+        if not pending:
+            return None
+        host_all = jax.device_get([m for _, _, m in pending])
+        last = None
+        for (step, epoch, _), m in zip(pending, host_all):
+            host = {k: float(v) for k, v in m.items()}
+            self.results.add(host)
+            last = (step, epoch, host)
+        pending.clear()
+        step, epoch, host = last
+        host["step"] = step
+        host["epoch"] = epoch
+        return host
+
     def fit(self, dataset: ChainDataset, log_fn=print) -> ChainResults:
         cfg = self.cfg
         t_start = time.time()
         frames_done = 0
+        # one sync at loop entry; train_step increments by exactly 1
+        step = int(self.state.step)
+        pending: list = []
         with self.mesh:
             for epoch in range(self.start_epoch, cfg.num_epochs):
                 self.current_epoch = epoch
@@ -173,17 +196,15 @@ class Trainer:
                     self.state, metrics = self.train_step(
                         self.state, feats, self.den, sup
                     )
-                    step = int(self.state.step)
+                    step += 1
                     if cfg.semi_ortho_every and step % cfg.semi_ortho_every == 0:
                         self.state = self.state.replace(
                             params=constrain_semi_orthogonal(self.state.params)
                         )
-                    host = {k: float(v) for k, v in metrics.items()}
-                    self.results.add(host)
+                    pending.append((step, epoch, metrics))
                     frames_done += batch.feats.shape[0] * batch.sup.num_frames
                     if step % cfg.log_every == 0:
-                        host["step"] = step
-                        host["epoch"] = epoch
+                        host = self._flush_metrics(pending)
                         host["wall_s"] = time.time() - t_start
                         host["frames_per_s"] = frames_done / host["wall_s"]
                         self.metrics_log.append(host)
@@ -197,6 +218,7 @@ class Trainer:
                         and step % cfg.checkpoint_every == 0
                     ):
                         self.save_checkpoint()
+            self._flush_metrics(pending)
             if self._ckpt_mgr is not None:
                 self.save_checkpoint()
         return self.results
