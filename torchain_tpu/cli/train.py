@@ -196,7 +196,10 @@ def main(argv=None) -> dict:
             seed=args.seed,
         )
 
-    den = auto_den_graph(corpus.den_graph)
+    den = auto_den_graph(
+        corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree
+    )
+    print(f"[stage 1] den path: {type(den).__name__}")
     tcfg = TrainerConfig(
         lr=args.lr,
         optimizer=args.optimizer,

@@ -270,11 +270,12 @@ class SyntheticCorpus:
     utts: list[Utterance]
     tree: ContextTree
     den_graph: DenGraph
-    dense_den: DenseDenGraph
+    dense_den: DenseDenGraph | None
     norm_fst: Fst
     den_fst: Fst
     feat_dim: int
     pdf_means: np.ndarray  # [num_pdfs, feat_dim] generative means
+    phone_lm: Fst | None = None  # annotated LM (de Bruijn fast-path input)
 
 
 def synthetic_dataset(
@@ -316,7 +317,10 @@ def synthetic_dataset(
     )
     den_fst = make_den_fst(lm, tree)
     graph = compile_den_graph(den_fst, tree.num_pdfs)
-    dense = make_dense_den_graph(graph)
+    # only materialize the dense Moore form while it is plausibly the chosen
+    # device path (auto_den_graph budget); large graphs use the de Bruijn
+    # lift or the sparse scan and never need V
+    dense = make_dense_den_graph(graph) if graph.num_states <= 2500 else None
     norm = make_normalization_fst(den_fst, graph.initial_probs)
 
     pdf_means = rng.normal(size=(tree.num_pdfs, feat_dim)).astype(np.float32) * 2.0
@@ -349,4 +353,5 @@ def synthetic_dataset(
         den_fst=den_fst,
         feat_dim=feat_dim,
         pdf_means=pdf_means,
+        phone_lm=lm,
     )

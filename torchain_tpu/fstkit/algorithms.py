@@ -14,12 +14,14 @@ from typing import Iterator
 from torchain_tpu.fstkit.fst import EPSILON, NEG_INF, Fst, log_add
 
 
-def connect(fst: Fst) -> Fst:
+def connect(fst: Fst, return_map: bool = False):
     """Trim: keep only states both accessible from the start and coaccessible
-    to a final state.  Returns a (possibly empty) new FST."""
+    to a final state.  Returns a (possibly empty) new FST; with
+    `return_map=True`, returns (fst, keep) where keep[i] is the OLD id of new
+    state i (callers use it to carry per-state metadata across the trim)."""
     n = fst.num_states
     if n == 0:
-        return Fst()
+        return (Fst(), []) if return_map else Fst()
     # forward reachability
     fwd = [False] * n
     stack = [0]
@@ -46,7 +48,7 @@ def connect(fst: Fst) -> Fst:
                 stack.append(p)
     keep = [s for s in range(n) if fwd[s] and bwd[s]]
     if not keep or keep[0] != 0:
-        return Fst()  # start died: empty language
+        return (Fst(), []) if return_map else Fst()  # start died: empty language
     new_id = {old: i for i, old in enumerate(keep)}
     out = Fst()
     out.add_states(len(keep))
@@ -56,7 +58,7 @@ def connect(fst: Fst) -> Fst:
                 out.add_arc(new_id[s], a.label, a.weight, new_id[a.dst])
         if fst.is_final(s):
             out.set_final(new_id[s], fst.final(s))
-    return out
+    return (out, keep) if return_map else out
 
 
 def arcsort(fst: Fst) -> Fst:

@@ -216,7 +216,10 @@ def _fst_arcs(fst: Fst) -> list[tuple[int, int, int, float]]:
 
 
 def compile_den_graph(
-    den_fst: Fst, num_pdfs: int, start_boost: float = 0.01
+    den_fst: Fst,
+    num_pdfs: int,
+    start_boost: float = 0.01,
+    initial_probs: np.ndarray | None = None,
 ) -> DenGraph:
     """Pack the denominator FST into CSR arc tensors + initial probs.
 
@@ -252,10 +255,17 @@ def compile_den_graph(
     np.add.at(out_offsets, src + 1, 1)
     out_offsets = np.cumsum(out_offsets).astype(np.int32)
 
-    initial = _stationary_distribution(S, arcs).astype(np.float64)
-    if start_boost > 0.0:
-        initial = (1.0 - start_boost) * initial
-        initial[0] += start_boost
+    if initial_probs is not None:
+        # explicit initial distribution (e.g. a de Bruijn lift cross-check);
+        # start_boost is the caller's responsibility in this case
+        initial = np.asarray(initial_probs, dtype=np.float64)
+        if initial.shape != (S,):
+            raise ValueError("initial_probs shape mismatch")
+    else:
+        initial = _stationary_distribution(S, arcs).astype(np.float64)
+        if start_boost > 0.0:
+            initial = (1.0 - start_boost) * initial
+            initial[0] += start_boost
     return DenGraph(
         num_states=S,
         num_pdfs=num_pdfs,

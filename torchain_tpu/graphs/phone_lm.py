@@ -40,11 +40,36 @@ class PhoneLmOptions:
     no_prune_ngram_order: int = 2
     #: how many history states beyond the no-prune set to keep
     num_extra_lm_states: int = 2000
+    #: estimator flavor:
+    #:   "truncation" (default) — every kept history is a state carrying its
+    #:     AGGREGATED ML distribution (all continuations of that suffix), and
+    #:     the kept set is factor-closed (closed under contiguous substrings).
+    #:     With this closure the LM automaton is exactly a quotient of the
+    #:     de Bruijn graph over phone contexts, which is what lets the
+    #:     denominator forward-backward run as dense strided contractions on
+    #:     TPU (ops/den_debruijn.py) with zero gathers.
+    #:   "backoff" — Kaldi language-model.cc semantics: full-order counts
+    #:     merge only into their LONGEST kept suffix, so interior states
+    #:     carry leftover backoff mass only.
+    estimator: str = "truncation"
 
 
 def _suffixes(h: History):
     for i in range(len(h) + 1):
         yield h[i:]
+
+
+def _factors(h: History):
+    """All contiguous substrings of h (including the empty history), each
+    once.  Factor-closure of the state set is what makes the truncation LM
+    an exact de Bruijn quotient (graphs/debruijn.py)."""
+    seen = set()
+    for i in range(len(h) + 1):
+        for j in range(i, len(h) + 1):
+            f = h[i:j]
+            if f not in seen:
+                seen.add(f)
+                yield f
 
 
 def estimate_phone_lm(
@@ -74,14 +99,25 @@ def estimate_phone_lm(
     if not counts:
         raise ValueError("no training sentences")
 
-    # 2. aggregated counts for every suffix history (used for pruning rank)
+    # 2. aggregated counts for every suffix history: totals rank the pruning;
+    #    per-event Counters are the truncation-mode ML distributions
     agg_total: Counter = Counter()
+    agg_counts: dict[History, Counter] = defaultdict(Counter)
     for h, ctr in counts.items():
         tot = sum(ctr.values())
         for s in _suffixes(h):
             agg_total[s] += tot
+            agg_counts[s].update(ctr)
 
-    # 3. kept set: all short histories + top-K longer ones, suffix-closed
+    truncation = opts.estimator == "truncation"
+    if opts.estimator not in ("truncation", "backoff"):
+        raise ValueError(f"unknown estimator {opts.estimator!r}")
+    closure = _factors if truncation else _suffixes
+
+    # 3. kept set: all short histories + top-K longer ones.  Suffix-closed
+    #    (backoff mode) or factor-closed (truncation mode: the extra prefix
+    #    closure is what makes cls = longest-kept-suffix commute with
+    #    appending a phone — the de Bruijn quotient property).
     no_prune_len = max(0, opts.no_prune_ngram_order - 1)
     kept: set[History] = {h for h in agg_total if len(h) <= no_prune_len}
     longer = sorted(
@@ -94,8 +130,7 @@ def estimate_phone_lm(
             break
         if h in kept:
             continue
-        # suffix closure: keeping h requires all its suffixes
-        need = [s for s in _suffixes(h) if s not in kept]
+        need = [s for s in closure(h) if s not in kept]
         if len(need) <= budget:
             kept.update(need)
             budget -= len(need)
@@ -106,15 +141,21 @@ def estimate_phone_lm(
                 return s
         return ()
 
-    # 4. merge full-order counts into kept states (hard backoff)
-    merged: dict[History, Counter] = defaultdict(Counter)
-    for h, ctr in counts.items():
-        merged[longest_kept_suffix(h)].update(ctr)
+    # 4. state distributions
+    if truncation:
+        # every kept history carries its full aggregated ML distribution
+        dist: dict[History, Counter] = {h: agg_counts[h] for h in kept}
+    else:
+        # Kaldi hard backoff: full-order counts merge into the longest kept
+        # suffix only, so interior states carry leftover backoff mass
+        dist = defaultdict(Counter)
+        for h, ctr in counts.items():
+            dist[longest_kept_suffix(h)].update(ctr)
 
     def resolve(h: History) -> History:
         """Longest kept suffix that actually has probability mass."""
         s = longest_kept_suffix(h)
-        while s and not merged.get(s):
+        while s and not dist.get(s):
             s = s[1:]
         return s
 
@@ -134,7 +175,7 @@ def estimate_phone_lm(
     seen = {start_hist}
     while stack:
         h = stack.pop()
-        ctr = merged.get(h)
+        ctr = dist.get(h)
         if not ctr:
             continue
         tot = sum(ctr.values())
@@ -150,7 +191,16 @@ def estimate_phone_lm(
                 if nh not in seen:
                     seen.add(nh)
                     stack.append(nh)
-    return connect(fst)
+    hist_of_state = [None] * fst.num_states
+    for h, s in state_of.items():
+        hist_of_state[s] = h
+    out, keep = connect(fst, return_map=True)
+    # metadata for graphs/debruijn.py: per-state history tuple, plus whether
+    # the state set supports the de Bruijn quotient (truncation closure)
+    out.state_histories = [hist_of_state[old] for old in keep]
+    out.debruijn_compatible = truncation
+    out.ngram_order = order
+    return out
 
 
 def lm_log_prob(lm: Fst, sentence: list[int]) -> float:

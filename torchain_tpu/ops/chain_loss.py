@@ -32,12 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.ops import den_dense, den_scan, den_table, num_e2e, num_scan
+from torchain_tpu.ops import den_debruijn, den_dense, den_scan, den_table, num_e2e, num_scan
 from torchain_tpu.ops.device_graphs import (
     DeviceDenGraph,
     DeviceDenseDenGraph,
     DeviceSupervision,
 )
+from torchain_tpu.ops.den_debruijn import DeviceDeBruijnDenGraph
 from torchain_tpu.ops.den_table import DeviceDenTableGraph
 from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
@@ -99,6 +100,8 @@ def _use_pallas(den, B, T):
 
 
 def _den_forward(y, den, leaky):
+    if isinstance(den, DeviceDeBruijnDenGraph):
+        return den_debruijn.den_forward(y, den, leaky)
     if isinstance(den, DeviceDenseDenGraph):
         if _use_pallas(den, y.shape[0], y.shape[1]):
             from torchain_tpu.ops import den_pallas
@@ -113,6 +116,8 @@ def _den_forward(y, den, leaky):
 
 
 def _den_backward(y, den, leaky, log_z, res):
+    if isinstance(den, DeviceDeBruijnDenGraph):
+        return den_debruijn.den_backward(y, den, log_z, res, leaky)
     if isinstance(den, DeviceDenseDenGraph):
         if "pe" in res:  # produced by the Pallas forward
             from torchain_tpu.ops import den_pallas

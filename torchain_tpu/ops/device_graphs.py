@@ -120,12 +120,47 @@ class DeviceDenseDenGraph:
 #: 8*S^2*4.
 DENSE_V_BYTES_THRESHOLD = 48 * 1024 * 1024
 
+#: de Bruijn lift budget: fall back to sparse/dense paths beyond this many
+#: contexts (residual memory is ~2 * T * B * C * 4 bytes; 200k contexts at
+#: B=64 T=50 is ~5 GB of HBM residuals — alpha checkpointing shrinks this)
+DEBRUIJN_MAX_CONTEXTS = 200_000
 
-def auto_den_graph(host_graph, pad_to: int = 128, max_v_bytes: int | None = None):
-    """Pick the TPU-appropriate denominator representation for a host
-    `graphs.DenGraph`: dense Moore (MXU matmuls) while the transition
-    matrix fits the on-chip budget, sparse CSR (log-semiring scan)
-    beyond it."""
+
+def auto_den_graph(
+    host_graph,
+    pad_to: int = 128,
+    max_v_bytes: int | None = None,
+    phone_lm=None,
+    tree=None,
+    topo=None,
+    max_contexts: int | None = None,
+):
+    """Pick the TPU-appropriate denominator representation.
+
+    Preference order:
+      1. de Bruijn lift (gather-free dense recursion, ops/den_debruijn.py) —
+         when the phone LM + tree are provided, the LM is truncation-
+         estimated, and the context space fits the budget.  This is the
+         production fast path at every graph scale.
+      2. dense Moore factorization (MXU matmuls) while V fits on chip.
+      3. sparse CSR log-semiring scan (fully general fallback).
+    """
+    if phone_lm is not None and tree is not None:
+        if getattr(phone_lm, "debruijn_compatible", False):
+            from torchain_tpu.graphs.debruijn import make_debruijn_den_graph
+            from torchain_tpu.graphs.topology import ChainTopology
+            from torchain_tpu.ops.den_debruijn import DeviceDeBruijnDenGraph
+
+            order = getattr(phone_lm, "ngram_order")
+            tail = 2 if (tree.context_dependent(0) or tree.context_dependent(1)) else 1
+            m = max(order - 1, tail, 1)
+            C = (tree.num_phones + 1) ** m
+            limit = DEBRUIJN_MAX_CONTEXTS if max_contexts is None else max_contexts
+            if C <= limit:
+                dbj = make_debruijn_den_graph(
+                    phone_lm, tree, topo or ChainTopology()
+                )
+                return DeviceDeBruijnDenGraph.from_host(dbj)
     from torchain_tpu.graphs.den_graph import make_dense_den_graph
 
     limit = DENSE_V_BYTES_THRESHOLD if max_v_bytes is None else max_v_bytes
