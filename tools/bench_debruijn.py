@@ -10,9 +10,13 @@ Usage: timeout 590 python tools/bench_debruijn.py [--skip-sparse] [--b N]
 """
 
 import argparse
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
 def measure(fn, *args, warmup=2, windows=4, iters=8):

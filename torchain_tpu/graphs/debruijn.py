@@ -87,6 +87,41 @@ class DeBruijnDenGraph:
     def num_groups(self) -> int:
         return self.sigma**self.tail_len
 
+    def affine_pdf_specs(self):
+        """Detect affine structure pdf_group[prev*sigma + q] == base + qs*q
+        + ps*prev (all ContextTree flavors have it).  Returns (spec0, spec1)
+        where each is (base, qs, ps) or None.  The device kernel turns an
+        affine spec into a strided slice + reshape (+transpose) of y instead
+        of a [P, G] one-hot matmul — the difference between the pdf gather
+        costing ~nothing and it dominating the whole denominator."""
+        return (
+            _detect_affine(self.pdf0_group, self.sigma, self.tail_len),
+            _detect_affine(self.pdf1_group, self.sigma, self.tail_len),
+        )
+
+
+def _detect_affine(group: np.ndarray, sigma: int, tail_len: int):
+    p = sigma - 1
+    if tail_len == 1:
+        qs0 = int(group[2]) - int(group[1]) if p >= 2 else 0
+        base = int(group[1]) - qs0
+        q = np.arange(1, p + 1)
+        if np.array_equal(group[1:], base + qs0 * q):
+            return (base, qs0, 0)
+        return None
+    g2 = group.reshape(sigma, sigma)  # [prev, q]
+    if p >= 2:
+        qs0 = int(g2[0, 2]) - int(g2[0, 1])
+    else:
+        qs0 = 0
+    ps0 = int(g2[1, 1]) - int(g2[0, 1])
+    base = int(g2[0, 1]) - qs0
+    prev = np.arange(sigma)[:, None]
+    q = np.arange(1, p + 1)[None, :]
+    if np.array_equal(g2[:, 1:], base + qs0 * q + ps0 * prev):
+        return (base, qs0, ps0)
+    return None
+
 
 def _context_digits(sigma: int, m: int) -> np.ndarray:
     """[C, m] digits of every context, oldest first."""

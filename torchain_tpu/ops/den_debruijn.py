@@ -40,22 +40,31 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 #: contraction precision.  The einsum contracts over sigma ~ tens of terms of
 #: renormalized probabilities; DEFAULT precision rounds f32 multiplicands to
 #: bf16 which broke the gamma-sums-to-1 invariant on the r1 dense path, so
-#: HIGHEST stays the default (override TORCHAIN_DEBRUIJN_PRECISION=default).
-PRECISION = (
-    jax.lax.Precision.DEFAULT
-    if _os.environ.get("TORCHAIN_DEBRUIJN_PRECISION", "highest") == "default"
-    else jax.lax.Precision.HIGHEST
-)
+#: HIGHEST stays the default (override TORCHAIN_DEBRUIJN_PRECISION to
+#: "high" [3-pass bf16] or "default" [1-pass bf16]).
+PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("TORCHAIN_DEBRUIJN_PRECISION", "highest")]
+
+
+NEG_BIG = -1e30  # "log zero" that exps to exactly 0.0 without inf-inf NaNs
 
 
 @register_dataclass
 @dataclasses.dataclass
 class DeviceDeBruijnDenGraph:
-    """Device twin of graphs.debruijn.DeBruijnDenGraph."""
+    """Device twin of graphs.debruijn.DeBruijnDenGraph.
+
+    The pdf gather runs as a strided slice + reshape/transpose of y when the
+    tree's group->pdf map is affine (all ContextTree flavors; spec0/spec1
+    carry (base, qstride, pstride)), falling back to a [P, G] one-hot matmul
+    for arbitrary imported trees (onehot0/onehot1 are None when unused)."""
 
     W3: jnp.ndarray  # f32 [sigma, D, sigma]
-    onehot0: jnp.ndarray  # f32 [P, G] column one-hots selecting pdf0 per group
-    onehot1: jnp.ndarray  # f32 [P, G]
+    onehot0: jnp.ndarray | None  # f32 [P, G] or None when spec0 is affine
+    onehot1: jnp.ndarray | None
     init_bnd: jnp.ndarray  # f32 [C]
     init_loop: jnp.ndarray  # f32 [C]
     sigma: int = dataclasses.field(metadata=dict(static=True))
@@ -64,6 +73,12 @@ class DeviceDeBruijnDenGraph:
     num_pdfs: int = dataclasses.field(metadata=dict(static=True))
     log_continue: float = dataclasses.field(metadata=dict(static=True))
     log_end: float = dataclasses.field(metadata=dict(static=True))
+    spec0: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    spec1: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_contexts(self) -> int:
@@ -72,17 +87,19 @@ class DeviceDeBruijnDenGraph:
     @staticmethod
     def from_host(g: DeBruijnDenGraph) -> "DeviceDeBruijnDenGraph":
         P, G = g.num_pdfs, g.num_groups
-        onehot0 = np.zeros((P, G), dtype=np.float32)
-        onehot1 = np.zeros((P, G), dtype=np.float32)
-        cols = np.arange(G)
-        # q=0 groups are dead (no emission enters a boundary-tailed context);
-        # point them at pdf 0 — their mass is identically zero
-        onehot0[g.pdf0_group, cols] = 1.0
-        onehot1[g.pdf1_group, cols] = 1.0
+        spec0, spec1 = g.affine_pdf_specs()
+
+        def onehot(groups):
+            oh = np.zeros((P, G), dtype=np.float32)
+            # q=0 groups are dead (no emission enters a boundary-tailed
+            # context); they select pdf 0 but carry zero mass
+            oh[groups, np.arange(G)] = 1.0
+            return jnp.asarray(oh)
+
         return DeviceDeBruijnDenGraph(
             W3=jnp.asarray(g.W3),
-            onehot0=jnp.asarray(onehot0),
-            onehot1=jnp.asarray(onehot1),
+            onehot0=None if spec0 else onehot(g.pdf0_group),
+            onehot1=None if spec1 else onehot(g.pdf1_group),
             init_bnd=jnp.asarray(g.init_bnd),
             init_loop=jnp.asarray(g.init_loop),
             sigma=int(g.sigma),
@@ -91,7 +108,74 @@ class DeviceDeBruijnDenGraph:
             num_pdfs=int(g.num_pdfs),
             log_continue=float(g.log_continue),
             log_end=float(g.log_end),
+            spec0=spec0,
+            spec1=spec1,
         )
+
+
+def _gather_groups(y_t, spec, onehot, sigma, tail_len):
+    """y_t [B, P] -> grouped log-values [B, G], G = sigma^tail_len, with
+    dead (q=0) groups at NEG_BIG.  Affine specs lower to strided slices +
+    reshapes (no matmul, no gather); see affine_pdf_specs."""
+    B = y_t.shape[0]
+    p = sigma - 1
+    if spec is None:
+        return jnp.dot(y_t, onehot, precision=jax.lax.Precision.HIGHEST)
+    base, qs, ps = spec
+    dead = jnp.full((B, 1), NEG_BIG, dtype=y_t.dtype)
+    if tail_len == 1:
+        if qs == 0:
+            vals = jnp.broadcast_to(y_t[:, base : base + 1], (B, p))
+        else:
+            vals = y_t[:, base + qs : base + qs * p + 1 : qs]
+        return jnp.concatenate([dead, vals], axis=1)
+    if ps == 0:
+        if qs == 0:
+            vals = jnp.broadcast_to(y_t[:, base : base + 1], (B, p))
+        else:
+            vals = y_t[:, base + qs : base + qs * p + 1 : qs]  # [B, p]
+        tile = jnp.broadcast_to(vals[:, None, :], (B, sigma, p))
+    elif qs == sigma * ps:
+        start = base + ps * sigma
+        span = y_t[:, start : start + ps * p * sigma : ps]  # [B, p*sigma]
+        tile = jnp.swapaxes(span.reshape(B, p, sigma), 1, 2)  # [B, prev, q]
+    elif ps == sigma * qs and qs > 0:
+        span = y_t[:, base : base + qs * sigma * sigma : qs]
+        tile = span.reshape(B, sigma, sigma)[:, :, 1:]  # drop q=0 col
+    else:
+        raise NotImplementedError(f"unsupported affine pdf spec {spec}")
+    deadcol = jnp.full((B, sigma, 1), NEG_BIG, dtype=y_t.dtype)
+    return jnp.concatenate([deadcol, tile], axis=2).reshape(B, sigma * sigma)
+
+
+def _scatter_groups(gg, spec, onehot, sigma, tail_len, P):
+    """Transpose of _gather_groups: grouped values [B, G] -> pdf grads
+    [B, P] (dead q=0 groups dropped)."""
+    B = gg.shape[0]
+    p = sigma - 1
+    if spec is None:
+        return jnp.dot(gg, onehot.T, precision=jax.lax.Precision.HIGHEST)
+    base, qs, ps = spec
+    out = jnp.zeros((B, P), dtype=gg.dtype)
+    if tail_len == 1:
+        vals = gg[:, 1:]
+        if qs == 0:
+            return out.at[:, base].add(vals.sum(axis=1))
+        return out.at[:, base + qs : base + qs * p + 1 : qs].add(vals)
+    tile = gg.reshape(B, sigma, sigma)
+    if ps == 0:
+        vals = tile[:, :, 1:].sum(axis=1)  # reduce over prev -> [B, p]
+        if qs == 0:
+            return out.at[:, base].add(vals.sum(axis=1))
+        return out.at[:, base + qs : base + qs * p + 1 : qs].add(vals)
+    if qs == sigma * ps:
+        span = jnp.swapaxes(tile[:, :, 1:], 1, 2).reshape(B, p * sigma)
+        start = base + ps * sigma
+        return out.at[:, start : start + ps * p * sigma : ps].add(span)
+    if ps == sigma * qs and qs > 0:
+        span = tile.at[:, :, 0].set(0.0).reshape(B, sigma * sigma)
+        return out.at[:, base : base + qs * sigma * sigma : qs].add(span)
+    raise NotImplementedError(f"unsupported affine pdf spec {spec}")
 
 
 def _pdf_probs(y_t: jnp.ndarray, g: DeviceDeBruijnDenGraph):
@@ -102,8 +186,8 @@ def _pdf_probs(y_t: jnp.ndarray, g: DeviceDeBruijnDenGraph):
     G = g.sigma**g.tail_len
     lead = C // G
     mt = jnp.max(y_t, axis=-1)  # [B]
-    y0 = jnp.dot(y_t, g.onehot0, precision=PRECISION)  # exact selection
-    y1 = jnp.dot(y_t, g.onehot1, precision=PRECISION)
+    y0 = _gather_groups(y_t, g.spec0, g.onehot0, g.sigma, g.tail_len)
+    y1 = _gather_groups(y_t, g.spec1, g.onehot1, g.sigma, g.tail_len)
     p0g = jnp.exp(y0 - mt[:, None])
     p1g = jnp.exp(y1 - mt[:, None])
     p0 = jnp.broadcast_to(p0g[:, None, :], (B, lead, G)).reshape(B, C)
@@ -229,9 +313,9 @@ def den_backward(
         g1 = l_t * p1 * v  # occupancy of self-loop/exit arcs
         g0g = jnp.sum(g0.reshape(B, lead, G), axis=1)
         g1g = jnp.sum(g1.reshape(B, lead, G), axis=1)
-        gamma_t = jnp.dot(g0g, g.onehot0.T, precision=PRECISION) + jnp.dot(
-            g1g, g.onehot1.T, precision=PRECISION
-        )
+        gamma_t = _scatter_groups(
+            g0g, g.spec0, g.onehot0, g.sigma, g.tail_len, P
+        ) + _scatter_groups(g1g, g.spec1, g.onehot1, g.sigma, g.tail_len, P)
         # the whole backward runs in the forward's max-shifted system
         # (shifted p's AND shifted kappas); occupancies are invariant under
         # per-frame operator scaling, so gamma is exact
