@@ -76,6 +76,15 @@ def build_argparser() -> argparse.ArgumentParser:
         help="added to phone-emitting arcs at decode time (counters "
         "deletion-heavy error patterns; Kaldi insertion-penalty role)",
     )
+    p.add_argument(
+        "--synthetic-words",
+        action="store_true",
+        help="word-level synthetic corpus: sentences are word sequences "
+        "expanded through a random lexicon; --decode then also builds the "
+        "word HCLG and reports word WER (latgen-faster-mapped role)",
+    )
+    p.add_argument("--vocab-size", type=int, default=20)
+    p.add_argument("--word-lm-order", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
     p.add_argument(
@@ -90,6 +99,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
+    if args.synthetic_words:
+        args.synthetic = True
     if not args.synthetic:
         print(
             "Only --synthetic corpora are wired up in-round; mount a corpus "
@@ -127,21 +138,45 @@ def main(argv=None) -> dict:
     from torchain_tpu.train.step import make_forward_fn
 
     t0 = time.time()
-    print(f"[stage 0] preparing synthetic corpus ({args.num_utts} utts)")
-    corpus = synthetic_dataset(
-        num_utts=args.num_utts,
-        num_phones=args.num_phones,
-        feat_dim=args.feat_dim,
-        context_width=args.context_width,
-        seed=args.seed,
-    )
+    word_corpus = None
+    if args.synthetic_words:
+        from torchain_tpu.data import synthetic_word_dataset
+
+        print(
+            f"[stage 0] preparing synthetic WORD corpus "
+            f"({args.num_utts} utts, vocab {args.vocab_size})"
+        )
+        word_corpus = synthetic_word_dataset(
+            num_utts=args.num_utts,
+            vocab_size=args.vocab_size,
+            num_phones=args.num_phones,
+            feat_dim=args.feat_dim,
+            context_width=args.context_width,
+            seed=args.seed,
+        )
+        corpus = word_corpus.corpus
+    else:
+        print(f"[stage 0] preparing synthetic corpus ({args.num_utts} utts)")
+        corpus = synthetic_dataset(
+            num_utts=args.num_utts,
+            num_phones=args.num_phones,
+            feat_dim=args.feat_dim,
+            context_width=args.context_width,
+            seed=args.seed,
+        )
     if args.distributed and jax.process_count() > 1:
         # per-host data shard (graphs are identical everywhere: same seed)
         corpus.utts = corpus.utts[jax.process_index() :: jax.process_count()]
+        if word_corpus is not None:
+            word_corpus.transcripts = word_corpus.transcripts[
+                jax.process_index() :: jax.process_count()
+            ]
     valid_utts = []
     if args.valid_utts > 0:
         valid_utts = corpus.utts[-args.valid_utts :]
         corpus.utts = corpus.utts[: -args.valid_utts]
+        if word_corpus is not None:
+            word_corpus.transcripts = word_corpus.transcripts[: -args.valid_utts]
 
     if args.model == "tdnn":
         cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)
@@ -344,6 +379,38 @@ def main(argv=None) -> dict:
         score = wer(refs, hyps)
         print(f"[stage 4] PER {score['wer']:.2f}% ({score})")
         out["per"] = score["wer"]
+    if args.decode and word_corpus is not None:
+        # word-level decode over HCLG (latgen-faster-mapped role)
+        from torchain_tpu.data import train_word_lm
+        from torchain_tpu.eval import make_word_decoding_graph
+
+        print("[stage 5] word decode: building HCLG from training transcripts")
+        word_lm = train_word_lm(
+            word_corpus.transcripts, order=args.word_lm_order
+        )
+        wgraph = make_word_decoding_graph(
+            word_lm, word_corpus.lexicon, corpus.tree
+        )
+        print(
+            f"[stage 5] HCLG: {wgraph.num_states} states, "
+            f"{wgraph.src.shape[0]} arcs"
+        )
+        forward = make_forward_fn(model)
+        variables = {"params": trainer.state.params}
+        if trainer.state.batch_stats:
+            variables["batch_stats"] = trainer.state.batch_stats
+        whyps = []
+        for u in corpus.utts:
+            T_in_utt = u.feats.shape[0]
+            t_out = T_in_utt // fsf
+            idx = np.clip(np.arange(-left, t_out * fsf + right), 0, T_in_utt - 1)
+            feats = jnp.asarray(u.feats[idx][None])
+            y = np.asarray(forward(variables, feats))[0]
+            hyp, _ = viterbi_decode(wgraph, y, beam=args.decode_beam)
+            whyps.append(hyp)
+        wscore = wer(word_corpus.transcripts, whyps)
+        print(f"[stage 5] WER {wscore['wer']:.2f}% ({wscore})")
+        out["wer"] = wscore["wer"]
     print(json.dumps(out))
     return out
 

@@ -8,6 +8,12 @@ pure-JAX DSP and a host-side chunk loader emitting packed batches.
 
 from torchain_tpu.data.features import (FbankOptions, apply_cmvn_stats, cmvn, compute_cmvn_stats, fbank, mfcc)
 from torchain_tpu.data.prefetch import Prefetcher
+from torchain_tpu.data.words import (
+    WordCorpus,
+    random_lexicon,
+    synthetic_word_dataset,
+    train_word_lm,
+)
 from torchain_tpu.data.loader import (
     ChainBatch,
     ChainDataset,
@@ -29,4 +35,8 @@ __all__ = [
     "E2eChainDataset",
     "Utterance",
     "synthetic_dataset",
+    "WordCorpus",
+    "random_lexicon",
+    "synthetic_word_dataset",
+    "train_word_lm",
 ]

@@ -289,29 +289,40 @@ def synthetic_dataset(
     seed: int = 0,
     lm_order: int = 2,
     lm_extra_states: int = 200,
+    sentences: list[list[int]] | None = None,
 ) -> SyntheticCorpus:
     """A learnable toy corpus: random phone sequences; each (input) frame's
     features are drawn from a Gaussian whose mean identifies the active
     pdf.  A model that learns the mapping drives the chain objective toward
-    zero, so end-to-end tests/benches have a real learning signal."""
+    zero, so end-to-end tests/benches have a real learning signal.
+
+    `sentences` overrides the random phone sequences (the word-corpus path
+    supplies lexicon expansions); durations are still drawn per phone."""
     rng = np.random.default_rng(seed)
     tree = ContextTree(num_phones, context_width=context_width)
     # transcripts
     sents = []
     alis_out = []
-    for _ in range(num_utts):
-        t_out = int(rng.integers(*utt_frames_out))
-        phones = []
-        durs = []
-        left = t_out
-        while left > 0:
-            p = int(rng.integers(1, num_phones + 1))
-            d = int(min(rng.integers(1, 6), left))
-            phones.append(p)
-            durs.append(d)
-            left -= d
-        sents.append(phones)
-        alis_out.append(list(zip(phones, durs)))
+    if sentences is not None:
+        num_utts = len(sentences)
+        for phones in sentences:
+            durs = [int(rng.integers(1, 6)) for _ in phones]
+            sents.append(list(phones))
+            alis_out.append(list(zip(phones, durs)))
+    else:
+        for _ in range(num_utts):
+            t_out = int(rng.integers(*utt_frames_out))
+            phones = []
+            durs = []
+            left = t_out
+            while left > 0:
+                p = int(rng.integers(1, num_phones + 1))
+                d = int(min(rng.integers(1, 6), left))
+                phones.append(p)
+                durs.append(d)
+                left -= d
+            sents.append(phones)
+            alis_out.append(list(zip(phones, durs)))
     lm = estimate_phone_lm(
         sents, PhoneLmOptions(ngram_order=lm_order, num_extra_lm_states=lm_extra_states)
     )

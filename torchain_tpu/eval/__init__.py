@@ -8,7 +8,13 @@ chain convention), and WER/PER scoring.
 """
 
 from torchain_tpu.eval.align import align_corpus, force_align
-from torchain_tpu.eval.decoder import DecodingGraph, make_decoding_graph, viterbi_decode
+from torchain_tpu.eval.decoder import (
+    DecodingGraph,
+    make_decoding_graph,
+    make_word_decoding_graph,
+    pack_decoding_graph,
+    viterbi_decode,
+)
 from torchain_tpu.eval.lattice import (
     lattice_best_path,
     lattice_decode,
@@ -22,6 +28,8 @@ __all__ = [
     "align_corpus",
     "force_align",
     "make_decoding_graph",
+    "make_word_decoding_graph",
+    "pack_decoding_graph",
     "viterbi_decode",
     "lattice_best_path",
     "lattice_decode",

@@ -36,18 +36,18 @@ class DecodingGraph:
     dst_offsets: np.ndarray  # int32 [S+1] segment offsets into arc arrays
 
 
-def make_decoding_graph(
-    phone_lm: Fst,
-    tree: ContextTree,
-    topo: ChainTopology = ChainTopology(),
-    lm_scale: float = 1.0,
+def pack_decoding_graph(
+    fst: Fst,
+    olabels: list[int],
+    num_pdfs: int,
+    weight_scale: float = 1.0,
 ) -> DecodingGraph:
-    """Phone-level HCLG-equivalent: decoding LM expanded through context +
-    topology, with phone output labels on entry arcs."""
-    fst, olabels = expand_lm_to_hmm(phone_lm, tree, topo)
+    """Pack an epsilon-free HMM acceptor over (pdf_id + 1) labels with
+    aligned per-arc output labels into the dst-sorted arc tensors the
+    decoders consume."""
     arcs = []
     for i, (s, a) in enumerate(fst.all_arcs()):
-        arcs.append((s, a.dst, a.label - 1, a.weight * lm_scale, olabels[i]))
+        arcs.append((s, a.dst, a.label - 1, a.weight * weight_scale, olabels[i]))
     arr = np.array(arcs, dtype=np.float64)
     order = np.lexsort((arr[:, 0], arr[:, 1]))  # sort by dst, then src
     arr = arr[order]
@@ -59,10 +59,10 @@ def make_decoding_graph(
     final = np.full(S, NEG_INF, dtype=np.float32)
     for s in range(S):
         if fst.is_final(s):
-            final[s] = fst.final(s) * lm_scale
+            final[s] = fst.final(s) * weight_scale
     return DecodingGraph(
         num_states=S,
-        num_pdfs=tree.num_pdfs,
+        num_pdfs=num_pdfs,
         src=arr[:, 0].astype(np.int32),
         dst=dst,
         pdf=arr[:, 2].astype(np.int32),
@@ -71,6 +71,35 @@ def make_decoding_graph(
         final_logw=final,
         dst_offsets=offsets,
     )
+
+
+def make_decoding_graph(
+    phone_lm: Fst,
+    tree: ContextTree,
+    topo: ChainTopology = ChainTopology(),
+    lm_scale: float = 1.0,
+) -> DecodingGraph:
+    """Phone-level HCLG-equivalent: decoding LM expanded through context +
+    topology, with phone output labels on entry arcs."""
+    fst, olabels = expand_lm_to_hmm(phone_lm, tree, topo)
+    return pack_decoding_graph(fst, olabels, tree.num_pdfs, weight_scale=lm_scale)
+
+
+def make_word_decoding_graph(
+    word_lm: Fst,
+    lexicon,
+    tree: ContextTree,
+    topo: ChainTopology = ChainTopology(),
+    lm_scale: float = 1.0,
+) -> DecodingGraph:
+    """Word-level HCLG (latgen-faster-mapped graph role, SURVEY section 3.4):
+    grammar + lexicon + tree + chain topology compiled epsilon-free by
+    graphs.hclg.make_hclg; output labels are WORD ids, so viterbi_decode /
+    lattice_decode / lattice_nbest produce word sequences directly."""
+    from torchain_tpu.graphs.hclg import make_hclg
+
+    fst, olabels = make_hclg(word_lm, lexicon, tree, topo, lm_scale=lm_scale)
+    return pack_decoding_graph(fst, olabels, tree.num_pdfs)
 
 
 def viterbi_decode(

@@ -11,6 +11,7 @@ for the device kernels in `torchain_tpu.ops`.
 
 from torchain_tpu.graphs.topology import ChainTopology, ContextTree
 from torchain_tpu.graphs.phone_lm import PhoneLmOptions, estimate_phone_lm
+from torchain_tpu.graphs.hclg import Lexicon, make_hclg
 from torchain_tpu.graphs.debruijn import (
     DeBruijnDenGraph,
     make_debruijn_den_graph,
