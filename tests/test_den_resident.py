@@ -1,0 +1,170 @@
+"""VMEM-resident slot-dense denominator (den_resident) vs den_dense /
+den_scan references (interpret mode on CPU; real-TPU timing is covered by
+tools/bench_debruijn.py --resident runs)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from torchain_tpu.graphs import (
+    ContextTree,
+    PhoneLmOptions,
+    compile_den_graph,
+    estimate_phone_lm,
+    make_den_fst,
+    make_dense_den_graph,
+)
+from torchain_tpu.ops import (
+    DeviceDenGraph,
+    DeviceDenseDenGraph,
+    DeviceResidentDenGraph,
+    chain_loss,
+)
+from torchain_tpu.ops import den_dense, den_resident, den_scan
+
+
+def _graph(order=2, phones=3, ctx=1, seed=0, n_sents=30):
+    rng = np.random.default_rng(seed)
+    sents = [
+        list(map(int, rng.integers(1, phones + 1, size=rng.integers(3, 8))))
+        for _ in range(n_sents)
+    ]
+    lm = estimate_phone_lm(
+        sents, PhoneLmOptions(ngram_order=order, num_extra_lm_states=20)
+    )
+    tree = ContextTree(phones, context_width=ctx)
+    graph = compile_den_graph(make_den_fst(lm, tree), tree.num_pdfs)
+    return graph, tree
+
+
+@pytest.fixture(scope="module")
+def setup():
+    graph, tree = _graph()
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(4, 7, tree.num_pdfs)).astype(np.float32))
+    return graph, tree, y
+
+
+def test_slot_layout_covers_all_arcs(setup):
+    graph, _, _ = setup
+    g = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    # every arc's probability mass appears exactly once in V
+    total = float(np.asarray(g.V, dtype=np.float64).sum())
+    expect = float(np.exp(graph.in_logw.astype(np.float64)).sum())
+    np.testing.assert_allclose(total, expect, rtol=1e-6)
+    # chain topology: at most 2 live slots per state
+    assert g.num_slots <= 2
+    # slot pdfs of live slots match the arc set's (dst, pdf) pairs
+    S_pad = g.num_states
+    live = np.asarray(g.slot_onehot).sum(axis=1) > 0
+    dst = np.repeat(
+        np.arange(graph.num_states), np.diff(graph.in_offsets)
+    )
+    pairs = set(zip(dst.tolist(), graph.in_pdf.tolist()))
+    got = set()
+    for e in np.nonzero(live)[0]:
+        got.add((int(e % S_pad), int(np.asarray(g.slot_pdf)[e])))
+    assert got == pairs
+
+
+@pytest.mark.parametrize("leaky", [0.0, 0.1])
+def test_resident_matches_dense(setup, leaky):
+    graph, _, y = setup
+    dense = make_dense_den_graph(graph, pad_to=8)
+    gd = DeviceDenseDenGraph.from_host(dense)
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    assert gr.V.dtype == jnp.float32  # small graph stays exact
+
+    z_ref, res_ref = den_dense.den_forward(y, gd, leaky)
+    gamma_ref = den_dense.den_backward(gd, res_ref, leaky)
+    z, res = den_resident.den_forward(y, gr, leaky)
+    gamma = den_resident.den_backward(gr, res, leaky)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gamma), np.asarray(gamma_ref), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("order,ctx", [(2, 1), (3, 2)])
+def test_resident_matches_scan_across_graphs(order, ctx):
+    graph, tree = _graph(order=order, phones=4, ctx=ctx, seed=2)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=(3, 6, tree.num_pdfs)).astype(np.float32))
+    gs = DeviceDenGraph.from_host(graph)
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    z_ref, alphas = den_scan.den_forward(y, gs, 0.05)
+    gamma_ref = den_scan.den_backward(y, gs, z_ref, alphas, 0.05)
+    z, res = den_resident.den_forward(y, gr, 0.05)
+    gamma = den_resident.den_backward(gr, res, 0.05)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(gamma), np.asarray(gamma_ref), atol=3e-4
+    )
+
+
+def test_gamma_rows_sum_to_one(setup):
+    graph, _, y = setup
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    _, res = den_resident.den_forward(y, gr, 0.1)
+    gamma = den_resident.den_backward(gr, res, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(gamma).sum(-1), 1.0, atol=2e-4
+    )
+
+
+def test_bf16_v_stays_close(setup):
+    graph, _, y = setup
+    gr32 = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    gr16 = DeviceResidentDenGraph.from_host(
+        graph, pad_to=8, dtype=jnp.bfloat16
+    )
+    z32, res32 = den_resident.den_forward(y, gr32, 0.1)
+    z16, res16 = den_resident.den_forward(y, gr16, 0.1)
+    g32 = den_resident.den_backward(gr32, res32, 0.1)
+    g16 = den_resident.den_backward(gr16, res16, 0.1)
+    # bf16 transition probs: ~1e-2 on log Z, ~1e-2 absolute on occupancies
+    np.testing.assert_allclose(np.asarray(z16), np.asarray(z32), atol=0.15)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32), atol=0.02)
+
+
+def test_chain_loss_dispatches_resident(setup):
+    graph, tree, y = setup
+    import jax
+
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.graphs.supervision import (
+        alignment_to_supervision_fst,
+        compile_supervision,
+        pad_and_stack_supervisions,
+    )
+
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    gd = DeviceDenseDenGraph.from_host(make_dense_den_graph(graph, pad_to=8))
+    B, T, P = y.shape
+    rng = np.random.default_rng(4)
+    sups = []
+    for _ in range(B):
+        phones, durs = [], []
+        left = T
+        while left > 0:
+            phones.append(int(rng.integers(1, tree.num_phones + 1)))
+            d = int(min(rng.integers(1, 4), left))
+            durs.append(d)
+            left -= d
+        fst = alignment_to_supervision_fst(
+            list(zip(phones, durs)),
+            tree,
+            SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+        sups.append(compile_supervision(fst, tree.num_pdfs))
+    sup = DeviceSupervision.from_host(pad_and_stack_supervisions(sups))
+
+    def loss_fn(y, den):
+        return chain_loss(y, None, den, sup)[0]
+
+    l1, g1 = jax.value_and_grad(loss_fn)(y, gr)
+    l2, g2 = jax.value_and_grad(loss_fn)(y, gd)
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

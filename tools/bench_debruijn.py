@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--orders", type=int, nargs="+", default=[3, 4])
     ap.add_argument("--skip-sparse", action="store_true")
     ap.add_argument("--skip-debruijn", action="store_true")
+    ap.add_argument("--resident", action="store_true", help="bench the VMEM-resident Pallas path")
     ap.add_argument("--leaky", type=float, default=0.1)
     args = ap.parse_args()
 
@@ -96,7 +97,7 @@ def main():
 
             dt = measure(dbj_fb, y)
             print(f"  debruijn fwd+bwd: {dt*1e3:.2f} ms", flush=True)
-        if not args.skip_sparse:
+        if not args.skip_sparse or args.resident:
             t0 = time.time()
             den_fst = make_den_fst(lm, tree)
             graph = compile_den_graph(den_fst, P)
@@ -113,14 +114,44 @@ def main():
                 gam = den_scan.den_backward(y, gs, z, alphas, leaky)
                 return z, gam
 
-            dt = measure(scan_fb, y)
-            print(f"  sparse scan fwd+bwd: {dt*1e3:.2f} ms", flush=True)
-            if not args.skip_debruijn:
-                z1, g1 = dbj_fb(y)
+            if not args.skip_sparse:
+                dt = measure(scan_fb, y)
+                print(f"  sparse scan fwd+bwd: {dt*1e3:.2f} ms", flush=True)
+                if not args.skip_debruijn:
+                    z1, g1 = dbj_fb(y)
+                    z2, g2 = scan_fb(y)
+                    dz = float(jnp.max(jnp.abs(z1 - z2)))
+                    dg = float(jnp.max(jnp.abs(g1 - g2)))
+                    print(f"  agreement: max|dlogZ|={dz:.2e} max|dgamma|={dg:.2e}", flush=True)
+            if args.resident:
+                from torchain_tpu.ops import den_resident
+                from torchain_tpu.ops.den_resident import DeviceResidentDenGraph
+
+                t0 = time.time()
+                gr = DeviceResidentDenGraph.from_host(graph)
+                print(
+                    f"  resident: S_pad={gr.num_states} K={gr.num_slots} "
+                    f"V={gr.vmem_bytes/1e6:.1f}MB dtype={gr.V.dtype} "
+                    f"pack={time.time()-t0:.1f}s",
+                    flush=True,
+                )
+
+                @jax.jit
+                def res_fb(y, gr=gr):
+                    z, res = den_resident.den_forward(y, gr, leaky)
+                    gam = den_resident.den_backward(gr, res, leaky)
+                    return z, gam
+
+                dt = measure(res_fb, y)
+                print(f"  resident fwd+bwd: {dt*1e3:.2f} ms", flush=True)
+                z1, g1 = res_fb(y)
                 z2, g2 = scan_fb(y)
                 dz = float(jnp.max(jnp.abs(z1 - z2)))
                 dg = float(jnp.max(jnp.abs(g1 - g2)))
-                print(f"  agreement: max|dlogZ|={dz:.2e} max|dgamma|={dg:.2e}", flush=True)
+                print(
+                    f"  resident vs scan: max|dlogZ|={dz:.2e} max|dgamma|={dg:.2e}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -32,13 +32,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.ops import den_debruijn, den_dense, den_scan, den_table, num_e2e, num_scan
+from torchain_tpu.ops import (
+    den_debruijn,
+    den_dense,
+    den_resident,
+    den_scan,
+    den_table,
+    num_e2e,
+    num_scan,
+)
 from torchain_tpu.ops.device_graphs import (
     DeviceDenGraph,
     DeviceDenseDenGraph,
     DeviceSupervision,
 )
 from torchain_tpu.ops.den_debruijn import DeviceDeBruijnDenGraph
+from torchain_tpu.ops.den_resident import DeviceResidentDenGraph
 from torchain_tpu.ops.den_table import DeviceDenTableGraph
 from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
@@ -100,6 +109,8 @@ def _use_pallas(den, B, T):
 
 
 def _den_forward(y, den, leaky):
+    if isinstance(den, DeviceResidentDenGraph):
+        return den_resident.den_forward(y, den, leaky)
     if isinstance(den, DeviceDeBruijnDenGraph):
         return den_debruijn.den_forward(y, den, leaky)
     if isinstance(den, DeviceDenseDenGraph):
@@ -116,6 +127,8 @@ def _den_forward(y, den, leaky):
 
 
 def _den_backward(y, den, leaky, log_z, res):
+    if isinstance(den, DeviceResidentDenGraph):
+        return den_resident.den_backward(den, res, leaky)
     if isinstance(den, DeviceDeBruijnDenGraph):
         return den_debruijn.den_backward(y, den, log_z, res, leaky)
     if isinstance(den, DeviceDenseDenGraph):

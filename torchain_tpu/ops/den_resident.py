@@ -1,0 +1,364 @@
+"""Denominator forward-backward, v3: VMEM-resident Pallas kernel.
+
+Behavioral reference: kaldi/src/chain/chain-denominator.{h,cc} +
+chain-kernels.cu (probability space, per-frame "arbitrary scale"
+renormalization, leaky HMM).  Numerics and scale bookkeeping mirror
+ops/den_dense.py exactly (same Moore-machine recursion, oracle-tested);
+what changes is the execution strategy:
+
+  * the whole T-loop runs INSIDE one Pallas kernel (grid=(T,), sequential
+    on TPU), so there is no per-frame XLA while-loop overhead;
+  * the transition matrix V stays RESIDENT in VMEM across all T grid steps
+    (this v5e accepts ~120 MiB of VMEM scratch/operands — tools/probe_vmem)
+    — the fix for the r1 dense path falling off its HBM-residency cliff at
+    V > 48 MB (BENCH_NOTES.md production-scale table);
+  * the E-axis is laid out in K class-major SLOTS of S_pad columns each
+    (slot e = (k, s): k-th distinct in-pdf of state s), so the Moore
+    segment-sum (E_mat) and its transpose become K aligned slice-sums /
+    concats instead of one-hot matmuls.  The chain topology yields K = 2
+    (every state is entered through exactly two pdfs: a forward pdf and a
+    self-loop pdf) — asserted, with padding slots carrying zero mass;
+  * the per-frame pdf broadcast (P_mat) and the final gamma scatter run
+    OUTSIDE the kernel as one big batched op over [B*T] frames each, not
+    T small ones inside the scan.
+
+Per-frame cost is therefore two [B,S]x[S,K*S] MXU matmuls (fwd alpha, bwd
+beta pullback) plus one in the backward for the alpha~ recompute, with only
+~B*(K+1)*S*4 bytes of HBM traffic per frame.  At the production 4-gram
+left-biphone graph (S~4k) V no longer fits VMEM in f32, so it is held in
+bf16 with f32 accumulation — the same trade as TORCHAIN_DEN_PRECISION=
+default on the XLA path (~1e-3 occupancy error, training-stable); smaller
+graphs keep f32 end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import register_dataclass
+
+from torchain_tpu.graphs.den_graph import DenGraph
+
+#: usable VMEM budget per core (bytes); v5e measured to accept 120 MiB
+#: (tools/probe_vmem.py) — leave headroom for Mosaic's own buffers
+VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(104 * 1024 * 1024)))
+
+#: hold V in f32 while it fits this many bytes; bf16 beyond
+F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(44 * 1024 * 1024)))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@register_dataclass
+@dataclasses.dataclass
+class DeviceResidentDenGraph:
+    """Slot-dense denominator graph for the VMEM-resident Pallas path.
+
+    Slot layout: expanded state e = k * S_pad + s; slot (k, s) receives all
+    arcs into state s whose emission pdf is the k-th distinct in-pdf of s.
+    Padding slots/states have zero V columns and pdf 0."""
+
+    V: jnp.ndarray  # [S_pad, K*S_pad] f32 or bf16, transition probs
+    slot_pdf: jnp.ndarray  # int32 [K*S_pad] pdf per slot
+    slot_onehot: jnp.ndarray  # f32 [K*S_pad, P] one-hot of slot_pdf (zero rows for dead slots)
+    init: jnp.ndarray  # f32 [1, S_pad] initial probs (stationary + boost)
+    num_states: int = dataclasses.field(metadata=dict(static=True))  # S_pad
+    real_states: int = dataclasses.field(metadata=dict(static=True))
+    num_slots: int = dataclasses.field(metadata=dict(static=True))  # K
+    num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def vmem_bytes(self) -> int:
+        return int(self.V.size) * self.V.dtype.itemsize
+
+    @staticmethod
+    def from_host(
+        g: DenGraph,
+        pad_to: int = 128,
+        dtype=None,
+        max_slots: int = 4,
+    ) -> "DeviceResidentDenGraph":
+        S = g.num_states
+        S_pad = _round_up(S, pad_to)
+        dst = np.repeat(np.arange(S, dtype=np.int64), np.diff(g.in_offsets))
+        pdf = g.in_pdf.astype(np.int64)
+        # k-th distinct (dst, pdf) pair per dst, in pdf order (in_* arrays
+        # are lexsorted by (dst, pdf) already: by_dst = lexsort((src, dst))
+        # then pdfs within a dst group are not sorted — sort per group here)
+        key = dst * (g.num_pdfs + 1) + pdf
+        uniq_keys, inv = np.unique(key, return_inverse=True)
+        uniq_dst = uniq_keys // (g.num_pdfs + 1)
+        uniq_pdf = (uniq_keys % (g.num_pdfs + 1)).astype(np.int32)
+        # slot index of each unique pair = rank within its dst group
+        first_of_dst = np.searchsorted(uniq_dst, np.arange(S))
+        slot_of_uniq = np.arange(uniq_keys.shape[0]) - first_of_dst[uniq_dst]
+        K = int(slot_of_uniq.max()) + 1 if uniq_keys.size else 1
+        if K > max_slots:
+            raise ValueError(
+                f"state with {K} distinct in-pdfs exceeds max_slots={max_slots}; "
+                "use the sparse/debruijn paths for this graph"
+            )
+        KS = K * S_pad
+        slot_pdf = np.zeros(KS, dtype=np.int32)
+        slot_live = np.zeros(KS, dtype=bool)
+        e_of_uniq = slot_of_uniq * S_pad + uniq_dst
+        slot_pdf[e_of_uniq] = uniq_pdf
+        slot_live[e_of_uniq] = True
+
+        V = np.zeros((S_pad, KS), dtype=np.float32)
+        prob = np.exp(g.in_logw.astype(np.float64)).astype(np.float32)
+        np.add.at(V, (g.in_src.astype(np.int64), e_of_uniq[inv]), prob)
+
+        onehot = np.zeros((KS, g.num_pdfs), dtype=np.float32)
+        onehot[slot_live, slot_pdf[slot_live]] = 1.0
+
+        init = np.zeros((1, S_pad), dtype=np.float32)
+        init[0, :S] = g.initial_probs
+        if dtype is None:
+            dtype = (
+                jnp.float32 if V.nbytes <= F32_V_BUDGET else jnp.bfloat16
+            )
+        return DeviceResidentDenGraph(
+            V=jnp.asarray(V, dtype=dtype),
+            slot_pdf=jnp.asarray(slot_pdf),
+            slot_onehot=jnp.asarray(onehot),
+            init=jnp.asarray(init),
+            num_states=S_pad,
+            real_states=S,
+            num_slots=K,
+            num_pdfs=int(g.num_pdfs),
+        )
+
+
+def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
+    """Conservative VMEM feasibility check for this graph + batch size."""
+    S, KS = g.num_states, g.num_states * g.num_slots
+    stream = 2 * 4 * batch * (KS + S + KS)  # pe in, sh out, occ out (dbl buf)
+    scratch = 4 * batch * (S + KS + S)
+    return g.vmem_bytes + stream + scratch <= VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    leaky: float,
+    K: int,
+    S: int,
+    pe_ref,  # [1, B, KS] f32, frame t emission probs per slot
+    v_ref,  # [S, KS] resident
+    init_ref,  # [1, S] f32
+    alpha0_ref,  # [B, S] f32 initial sigma_hat
+    logc_ref,  # [1, B] out
+    sh_ref,  # [1, B, S] out: sigma_hat at entry of frame t
+    carry_ref,  # scratch [B, S] f32
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[...] = alpha0_ref[...]
+
+    sh = carry_ref[...]
+    sh_ref[0] = sh
+    if leaky > 0.0:
+        sig = sh + leaky * jnp.sum(sh, axis=-1, keepdims=True) * init_ref[...]
+    else:
+        sig = sh
+    h = jax.lax.dot_general(
+        sig.astype(v_ref.dtype),
+        v_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, KS]
+    alpha = h * pe_ref[0]
+    c = jnp.sum(alpha, axis=-1, keepdims=True)  # [B, 1]
+    logc_ref[0] = jnp.log(c[:, 0])
+    alpha_hat = alpha / c
+    nxt = alpha_hat[:, 0:S]
+    for k in range(1, K):
+        nxt = nxt + alpha_hat[:, k * S : (k + 1) * S]
+    carry_ref[...] = nxt
+
+
+def _bwd_kernel(
+    leaky: float,
+    K: int,
+    S: int,
+    pe_ref,  # [1, B, KS] (reversed t)
+    sh_ref,  # [1, B, S] sigma_hat entering frame t (reversed)
+    fy_ref,  # [1, B] F_{t-1} + ymax_t (reversed)
+    ymax_ref,  # [1, B] (reversed)
+    v_ref,  # [S, KS] resident
+    init_ref,  # [1, S]
+    logz_ref,  # [1, B]
+    occ_ref,  # [1, B, KS] out: ah * bh * scale  (reversed t)
+    bh_ref,  # scratch [B, KS] f32
+    g_ref,  # scratch [1, B] f32
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        bh_ref[...] = jnp.ones_like(bh_ref)
+        g_ref[...] = jnp.full_like(g_ref, float(np.log1p(leaky)) if leaky > 0.0 else 0.0)
+
+    pe = pe_ref[0]
+    sh = sh_ref[0]
+    if leaky > 0.0:
+        sig = sh + leaky * jnp.sum(sh, axis=-1, keepdims=True) * init_ref[...]
+    else:
+        sig = sh
+    ah = pe * jax.lax.dot_general(
+        sig.astype(v_ref.dtype),
+        v_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bh = bh_ref[...]
+    scale = jnp.exp(fy_ref[0] + g_ref[0] - logz_ref[0])  # [B]
+    occ_ref[0] = ah * bh * scale[:, None]
+    # beta pullback: v = (pe * bh) @ V^T, then leak^T, broadcast to slots
+    w = (pe * bh).astype(v_ref.dtype)
+    v = jax.lax.dot_general(
+        w, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, S]
+    if leaky > 0.0:
+        v = v + leaky * jnp.sum(v * init_ref[...], axis=-1, keepdims=True)
+    nb = jnp.concatenate([v] * K, axis=1)  # [B, KS]
+    d = jnp.max(nb, axis=-1, keepdims=True)
+    d = jnp.where(d > 0, d, 1.0)
+    bh_ref[...] = nb / d
+    g_ref[...] = g_ref[...] + ymax_ref[...] + jnp.log(d[:, 0])[None, :]
+
+
+# ---------------------------------------------------------------------------
+# host-facing forward / backward (den_dense-compatible signatures)
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pe_of(y, g: DeviceResidentDenGraph):
+    """p = exp(y - ymax) projected to slots: pe [T, B, KS], plus ymax [B, T].
+
+    The slot projection is a constant-index lane gather; XLA lowers
+    jnp.take on the last axis to an efficient dynamic-gather here (unlike
+    the [B, S, K] pattern den_table tripped on)."""
+    ymax = jax.lax.stop_gradient(jnp.max(y, axis=-1))  # [B, T]
+    p = jnp.exp(y - ymax[..., None])  # [B, T, P]
+    pe = jnp.take(p, g.slot_pdf, axis=-1)  # [B, T, KS]
+    return jnp.swapaxes(pe, 0, 1), ymax, p
+
+
+def den_forward(
+    y: jnp.ndarray,  # [B, T, P]
+    g: DeviceResidentDenGraph,
+    leaky: float = 0.0,
+) -> tuple[jnp.ndarray, dict]:
+    """Returns (log_z [B], residuals) — same contract as den_dense."""
+    B, T, P = y.shape
+    S, K = g.num_states, g.num_slots
+    KS = K * S
+    pe, ymax, _p = _pe_of(y, g)
+    alpha0 = jnp.broadcast_to(g.init, (B, S))
+
+    kern = functools.partial(_fwd_kernel, leaky, K, S)
+    logc, sh = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, KS), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, KS), lambda t: (0, 0)),
+            pl.BlockSpec((1, S), lambda t: (0, 0)),
+            pl.BlockSpec((B, S), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), lambda t: (t, 0)),
+            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(pe, g.V, g.init, alpha0)
+
+    log_z = jnp.sum(logc, axis=0) + jnp.sum(ymax, axis=-1)
+    if leaky > 0.0:
+        log_z = log_z + jnp.log1p(leaky)
+    res = dict(
+        resident=True, pe=pe, ymax=ymax, logc=logc, sh=sh, log_z=log_z
+    )
+    return log_z, res
+
+
+def den_backward(
+    g: DeviceResidentDenGraph,
+    res: dict,
+    leaky: float = 0.0,
+) -> jnp.ndarray:
+    """Returns gamma [B, T, P]; scale bookkeeping identical to den_dense."""
+    pe, ymax, logc = res["pe"], res["ymax"], res["logc"]
+    sh, log_z = res["sh"], res["log_z"]
+    T, B, KS = pe.shape
+    S, K = g.num_states, g.num_slots
+
+    F = jnp.cumsum(logc + ymax.T, axis=0)  # [T, B]
+    F_prev = jnp.concatenate([jnp.zeros((1, B)), F[:-1]], axis=0)
+    fy = F_prev + ymax.T  # [T, B]
+
+    nt = T
+    rev3 = lambda t: (nt - 1 - t, 0, 0)
+    rev2 = lambda t: (nt - 1 - t, 0)
+    kern = functools.partial(_bwd_kernel, leaky, K, S)
+    occ = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, KS), rev3),
+            pl.BlockSpec((1, B, S), rev3),
+            pl.BlockSpec((1, B), rev2),
+            pl.BlockSpec((1, B), rev2),
+            pl.BlockSpec((S, KS), lambda t: (0, 0)),
+            pl.BlockSpec((1, S), lambda t: (0, 0)),
+            pl.BlockSpec((1, B), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, KS), rev3),
+        out_shape=jax.ShapeDtypeStruct((T, B, KS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, KS), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(pe, sh, fy, ymax.T, g.V, g.init, log_z[None, :])
+
+    # gamma scatter: one batched slot->pdf projection outside the scan
+    gamma = jax.lax.dot_general(
+        occ.astype(g.V.dtype),
+        g.slot_onehot.astype(g.V.dtype),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, B, P]
+    return jnp.swapaxes(gamma, 0, 1)
