@@ -130,3 +130,9 @@ def load_kaldi_dir(
     if skipped and strict:
         raise ValueError(f"missing/mismatched utterances: {skipped[:10]}...")
     return utts
+
+
+# Kaldi `tree` files (ContextDependency text format) parse into TiedTree —
+# the pdf-map import route for matching an existing Kaldi system's pdf
+# inventory (kaldi/src/tree/; see graphs/tied_tree.py for the format).
+from torchain_tpu.graphs.tied_tree import read_kaldi_tree, write_kaldi_tree  # noqa: E402,F401

@@ -10,6 +10,14 @@ for the device kernels in `torchain_tpu.ops`.
 """
 
 from torchain_tpu.graphs.topology import ChainTopology, ContextTree
+from torchain_tpu.graphs.tied_tree import (
+    TiedTree,
+    TreeStats,
+    accumulate_tree_stats,
+    build_tied_tree,
+    read_kaldi_tree,
+    write_kaldi_tree,
+)
 from torchain_tpu.graphs.phone_lm import PhoneLmOptions, estimate_phone_lm
 from torchain_tpu.graphs.hclg import Lexicon, make_hclg
 from torchain_tpu.graphs.debruijn import (
@@ -43,6 +51,12 @@ from torchain_tpu.graphs.supervision import (
 __all__ = [
     "ChainTopology",
     "ContextTree",
+    "TiedTree",
+    "TreeStats",
+    "accumulate_tree_stats",
+    "build_tied_tree",
+    "read_kaldi_tree",
+    "write_kaldi_tree",
     "PhoneLmOptions",
     "estimate_phone_lm",
     "DenGraph",
