@@ -1,0 +1,184 @@
+"""Multi-process data-parallel worker (CPU backend) — spawned by
+tests/test_multihost.py (2 processes on localhost) and usable as a manual
+smoke tool for the multi-host data path:
+
+  python tools/multihost_worker.py <coord_port> <pid> <nproc>
+
+Each process: jax.distributed.initialize over localhost, per-process
+1-device CPU platform, plans the identical (seed, epoch)-deterministic
+global batch sequence, materializes only its row shard
+(ChainDataset.batches process_index/process_count), assembles global
+arrays (parallel.global_batch_from_local) and evaluates chain_loss + its
+y-gradient under jit on the global mesh.  Prints one JSON line with the
+loss and gradient checksum; the test compares against a single-process
+run of the same global batch."""
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "loss"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    if mode == "trainer":
+        return trainer_main(pid, nproc)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.ops import DeviceSupervision, auto_den_graph, chain_loss
+    from torchain_tpu.parallel import MeshConfig, global_batch_from_local, make_mesh
+
+    assert jax.process_count() == nproc, jax.process_count()
+    corpus = synthetic_dataset(num_utts=12, num_phones=5, feat_dim=8, seed=7)
+    ds = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=16,
+        left_context=4,
+        right_context=4,
+        sup_opts=SupervisionOptions(frame_subsampling_factor=3),
+        seed=3,
+    )
+    caps = ds.estimate_sup_caps()
+    den = auto_den_graph(corpus.den_graph)
+    mesh = make_mesh(MeshConfig(data=jax.device_count(), model=1))
+
+    B_global = 4
+    batch = next(
+        ds.batches(
+            B_global,
+            epoch=0,
+            process_index=pid,
+            process_count=nproc,
+            sup_caps=caps,
+        )
+    )
+    # deterministic y from features (no model, no RNG divergence)
+    rng = np.random.default_rng(11)
+    proj = rng.normal(size=(8, corpus.tree.num_pdfs)).astype(np.float32) * 0.3
+    t_out = batch.sup.num_frames
+    f_local = batch.feats[:, 4 : 4 + t_out * 3 : 3, :]  # center input frames
+    y_local = np.tanh(f_local @ proj)
+
+    sup_dev = DeviceSupervision.from_host(batch.sup)
+    arrays = dict(
+        y=y_local.astype(np.float32),
+        in_src=sup_dev.in_src,
+        in_pdf=sup_dev.in_pdf,
+        in_logw=sup_dev.in_logw,
+        final_logw=sup_dev.final_logw,
+        weight=sup_dev.weight,
+    )
+    g = global_batch_from_local(mesh, arrays)
+    import dataclasses as dc
+
+    sup_global = dc.replace(
+        sup_dev,
+        in_src=g["in_src"],
+        in_pdf=g["in_pdf"],
+        in_logw=g["in_logw"],
+        final_logw=g["final_logw"],
+        weight=g["weight"],
+    )
+
+    @jax.jit
+    def loss_and_grad(y, sup):
+        def f(y):
+            loss, aux = chain_loss(y, None, den, sup)
+            return loss, aux
+        (loss, aux), gy = jax.value_and_grad(f, has_aux=True)(y)
+        return loss, aux["objf"], jnp.sum(jnp.abs(gy)), jnp.sum(gy * gy)
+
+    loss, objf, g1, g2 = loss_and_grad(g["y"], sup_global)
+
+    def host_float(x):
+        # replicated outputs span non-addressable devices on a multihost
+        # mesh; read the locally-addressable replica
+        return float(np.asarray(x.addressable_data(0)))
+
+    out = dict(
+        pid=pid,
+        nproc=nproc,
+        devices=jax.device_count(),
+        loss=host_float(loss),
+        objf=host_float(objf),
+        grad_l1=host_float(g1),
+        grad_sq=host_float(g2),
+    )
+    print("MULTIHOST_RESULT " + json.dumps(out), flush=True)
+
+
+def trainer_main(pid: int, nproc: int):
+    """Drive the full multi-host Trainer.fit path (global batch assembly in
+    Trainer._put_batch, psum'd grads, metrics via addressable replicas)."""
+    import jax
+    import numpy as np
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import TDNNF, TdnnfConfig
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.parallel import MeshConfig
+    from torchain_tpu.train import Trainer, TrainerConfig
+
+    corpus = synthetic_dataset(num_utts=12, num_phones=5, feat_dim=8, seed=7)
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=32,
+        bottleneck_dim=8,
+        prefinal_dim=16,
+        num_layers=2,
+    )
+    model = TDNNF(cfg)
+    left, right = cfg.context
+    ds = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=16,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(frame_subsampling_factor=3),
+        seed=3,
+    )
+    den = auto_den_graph(corpus.den_graph)
+    t_in = 16 * 3 + left + right
+    tcfg = TrainerConfig(
+        lr=1e-3,
+        num_epochs=1,
+        batch_size=4,  # GLOBAL batch
+        log_every=1000,
+        semi_ortho_every=0,
+        loss=ChainLossOptions(leaky_hmm_coefficient=0.1),
+        mesh=MeshConfig(data=jax.device_count(), model=1),
+    )
+    trainer = Trainer(model, den, tcfg, np.zeros((2, t_in, 8), np.float32))
+    results = trainer.fit(ds, log_fn=lambda s: None)
+    out = dict(
+        pid=pid,
+        nproc=nproc,
+        devices=jax.device_count(),
+        objf=results.objf,
+        steps=results.steps,
+        failed=results.tot_failed,
+        weight=results.tot_weight,
+    )
+    print("MULTIHOST_RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -164,13 +164,11 @@ def main(argv=None) -> dict:
             context_width=args.context_width,
             seed=args.seed,
         )
-    if args.distributed and jax.process_count() > 1:
-        # per-host data shard (graphs are identical everywhere: same seed)
+    if args.distributed and jax.process_count() > 1 and args.e2e:
+        # e2e path: per-host utterance shard (the standard path instead
+        # shards rows of a (seed, epoch)-deterministic global batch plan
+        # inside Trainer.fit / ChainDataset.batches)
         corpus.utts = corpus.utts[jax.process_index() :: jax.process_count()]
-        if word_corpus is not None:
-            word_corpus.transcripts = word_corpus.transcripts[
-                jax.process_index() :: jax.process_count()
-            ]
     valid_utts = []
     if args.valid_utts > 0:
         valid_utts = corpus.utts[-args.valid_utts :]

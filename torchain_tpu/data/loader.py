@@ -125,18 +125,59 @@ class ChainDataset:
             self.num_dropped += 1  # Kaldi drops failed egs the same way
             return None
 
+    def estimate_sup_caps(self) -> tuple[int, int]:
+        """(max_states, max_arcs) over ALL chunks' compiled supervisions,
+        rounded to the dataset's buckets — the fixed padding multi-host
+        runs need so every process produces identically-shaped batches
+        without communicating.  Deterministic, so every host may call it
+        and agree; O(dataset) supervision compiles (one-time)."""
+        ms = ma = 1
+        for _ui, _c0, _t, chunk_ali, left_ctx in self.chunks:
+            sup = self._chunk_supervision(chunk_ali, left_ctx)
+            if sup is None:
+                continue
+            ms = max(ms, sup.max_states)
+            ma = max(ma, sup.max_arcs)
+        r = lambda x, m: ((x + m - 1) // m) * m
+        return r(ms, self.sup_round_states), r(ma, self.sup_round_arcs)
+
     def batches(
         self,
         batch_size: int,
         shuffle: bool = True,
         drop_last: bool = True,
         epoch: int | None = None,
+        process_index: int | None = None,
+        process_count: int | None = None,
+        sup_caps: tuple[int, int] | None = None,
     ):
         """Yield ChainBatch objects; chunks grouped by T_out.
 
         Passing `epoch` makes shuffling a pure function of (seed, epoch) so
         a resumed run replays the identical batch order — the dataloader
-        state a checkpoint needs is just the epoch number."""
+        state a checkpoint needs is just the epoch number.
+
+        Multi-host data parallelism (SURVEY.md section 2.3): with
+        `process_index`/`process_count`, `batch_size` is the GLOBAL batch;
+        every process plans the identical (seed, epoch)-deterministic
+        global batch sequence but materializes only its contiguous
+        batch_size/process_count row shard.  `sup_caps` (from
+        estimate_sup_caps, identical everywhere) fixes supervision padding
+        so shapes agree across processes without communication; a chunk
+        whose supervision fails to compile becomes a weight-0 copy of a
+        sibling row (keeping shapes) instead of shrinking the batch."""
+        multi = process_count is not None and process_count > 1
+        pi = process_index or 0
+        pc = process_count or 1
+        if multi:
+            if batch_size % pc:
+                raise ValueError(f"global batch {batch_size} not divisible by {pc}")
+            if sup_caps is None:
+                raise ValueError("multi-host batches need sup_caps (estimate_sup_caps)")
+            if not drop_last:
+                raise ValueError("multi-host batches require drop_last=True")
+        local_bs = batch_size // pc
+        pad_s, pad_k = sup_caps if sup_caps else (None, None)
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
         )
@@ -153,14 +194,40 @@ class ChainDataset:
                 part = group[i : i + batch_size]
                 if drop_last and len(part) < batch_size:
                     continue
-                feats, sups = [], []
+                if multi:
+                    part = part[pi * local_bs : (pi + 1) * local_bs]
+                feats, sups, holes = [], [], []
                 for ui, c0, t, chunk_ali, left_ctx in part:
                     sup = self._chunk_supervision(chunk_ali, left_ctx)
                     if sup is None:
+                        if multi:
+                            # placeholder keeps local shapes fixed; filled
+                            # with a weight-0 sibling copy below
+                            holes.append(len(sups))
+                            feats.append(None)
+                            sups.append(None)
                         continue
                     feats.append(self._chunk_feats(self.utts[ui], c0, t))
                     sups.append(sup)
-                if not sups or (drop_last and len(sups) < batch_size):
+                if multi and holes:
+                    donor = next((k for k, s in enumerate(sups) if s is not None), None)
+                    if donor is None:
+                        # every local row failed: fall back to a trivial
+                        # 0-weight supervision is impossible without a
+                        # template, so skip — all hosts see the same global
+                        # plan but different rows; this pathological case
+                        # (an entire host shard failing) would desync and
+                        # must abort rather than hang collectives
+                        raise ValueError(
+                            "all rows of a host shard failed supervision "
+                            "compilation; regenerate data or lower batch size"
+                        )
+                    for h in holes:
+                        s = dataclasses.replace(sups[donor])
+                        s.weight = 0.0
+                        sups[h] = s
+                        feats[h] = feats[donor]
+                if not sups or (drop_last and len(sups) < (local_bs if multi else batch_size)):
                     continue
                 yield ChainBatch(
                     feats=np.stack(feats).astype(np.float32),
@@ -168,6 +235,8 @@ class ChainDataset:
                         sups,
                         round_states_to=self.sup_round_states,
                         round_arcs_to=self.sup_round_arcs,
+                        pad_states_to=pad_s,
+                        pad_arcs_to=pad_k,
                     ),
                 )
 

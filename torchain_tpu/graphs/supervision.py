@@ -335,12 +335,16 @@ def pad_and_stack_supervisions(
     sups: list[Supervision],
     round_states_to: int = 1,
     round_arcs_to: int = 1,
+    pad_states_to: int | None = None,
+    pad_arcs_to: int | None = None,
 ) -> Supervision:
     """Stack per-chunk supervisions into batched tensors with shared padding
     (the moral equivalent of nnet3-chain-merge-egs producing
     num_sequences>1).  `round_states_to`/`round_arcs_to` bucket the padded
     (S, K) dims so consecutive batches share shapes and the jitted train
-    step doesn't recompile per batch."""
+    step doesn't recompile per batch.  `pad_states_to`/`pad_arcs_to` force
+    EXACT padded sizes (multi-host batches need shapes that agree across
+    processes without communicating); chunks exceeding them raise."""
     if not sups:
         raise ValueError("no supervisions")
     T = max(s.num_frames for s in sups)
@@ -348,6 +352,14 @@ def pad_and_stack_supervisions(
         raise ValueError("all chunks in a batch must share num_frames")
     S = _round_up(max(s.max_states for s in sups), round_states_to)
     K = _round_up(max(s.max_arcs for s in sups), round_arcs_to)
+    if pad_states_to is not None:
+        if S > pad_states_to:
+            raise ValueError(f"chunk needs {S} states > pad_states_to={pad_states_to}")
+        S = pad_states_to
+    if pad_arcs_to is not None:
+        if K > pad_arcs_to:
+            raise ValueError(f"chunk needs {K} arcs > pad_arcs_to={pad_arcs_to}")
+        K = pad_arcs_to
     P = sups[0].num_pdfs
     B = len(sups)
     in_src = np.full((B, T, S, K), -1, dtype=np.int32)

@@ -10,6 +10,7 @@ psum/all-gather collectives over ICI/DCN automatically (GSPMD).
 from torchain_tpu.parallel.mesh import (
     MeshConfig,
     batch_sharding,
+    global_batch_from_local,
     make_mesh,
     param_sharding_rules,
     replicated,
@@ -20,6 +21,7 @@ from torchain_tpu.parallel.mesh import (
 __all__ = [
     "MeshConfig",
     "batch_sharding",
+    "global_batch_from_local",
     "make_mesh",
     "param_sharding_rules",
     "replicated",

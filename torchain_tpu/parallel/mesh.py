@@ -87,3 +87,25 @@ def shard_batch(mesh: Mesh, batch_pytree):
         )
 
     return jax.tree.map(put, batch_pytree)
+
+
+def global_batch_from_local(mesh: Mesh, local_pytree):
+    """Assemble GLOBAL arrays from per-process LOCAL batch shards.
+
+    Multi-host data parallelism (SURVEY.md section 2.3 rebuild plan): each
+    process loads only its rows (ChainDataset.batches with process_index/
+    process_count); this stitches them into global jax.Arrays sharded
+    ("data", None, ...) over the whole mesh via
+    jax.make_array_from_process_local_data, so the jitted train step sees
+    one logical batch spanning hosts.  Single-process meshes degenerate to
+    a plain sharded device_put."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_pytree)
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, local_pytree)

@@ -25,7 +25,13 @@ from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.models import constrain_semi_orthogonal
 from torchain_tpu.ops import ChainLossOptions, ChainResults
 from torchain_tpu.ops.device_graphs import DeviceSupervision
-from torchain_tpu.parallel import MeshConfig, batch_sharding, make_mesh, replicated
+from torchain_tpu.parallel import (
+    MeshConfig,
+    batch_sharding,
+    global_batch_from_local,
+    make_mesh,
+    replicated,
+)
 from torchain_tpu.train.state import create_train_state
 from torchain_tpu.train.step import make_eval_step, make_train_step
 
@@ -75,6 +81,7 @@ class Trainer:
         self.current_epoch = 0
         self.batch_in_epoch = 0
         self.skip_batches = 0
+        self._sup_caps = None
         self._ckpt_mgr = None
         if cfg.checkpoint_dir:
             import orbax.checkpoint as ocp
@@ -88,13 +95,6 @@ class Trainer:
     # -- sharding ---------------------------------------------------------
 
     def _put_batch(self, batch: ChainBatch):
-        # batch axis must divide the data-mesh size to shard; fall back to
-        # replicated placement otherwise (tiny/tail batches)
-        if batch.feats.shape[0] % self.mesh.shape["data"] == 0:
-            bsh = lambda x: jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
-        else:
-            bsh = lambda x: jax.device_put(x, replicated(self.mesh))
-        feats = bsh(jnp.asarray(batch.feats))
         from torchain_tpu.graphs.e2e import E2eSupervision
         from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
@@ -102,6 +102,20 @@ class Trainer:
             sup_host = DeviceE2eSupervision.from_host(batch.sup)
         else:
             sup_host = DeviceSupervision.from_host(batch.sup)
+        if jax.process_count() > 1:
+            # multi-host: batch rows are process-local shards of the global
+            # batch; assemble global jax.Arrays spanning all hosts
+            out = global_batch_from_local(
+                self.mesh, (jnp.asarray(batch.feats), sup_host)
+            )
+            return out
+        # batch axis must divide the data-mesh size to shard; fall back to
+        # replicated placement otherwise (tiny/tail batches)
+        if batch.feats.shape[0] % self.mesh.shape["data"] == 0:
+            bsh = lambda x: jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+        else:
+            bsh = lambda x: jax.device_put(x, replicated(self.mesh))
+        feats = bsh(jnp.asarray(batch.feats))
         sup = jax.tree.map(bsh, sup_host)
         return feats, sup
 
@@ -163,7 +177,20 @@ class Trainer:
         a device sync that serialized host prep with device compute)."""
         if not pending:
             return None
-        host_all = jax.device_get([m for _, _, m in pending])
+        if jax.process_count() > 1:
+            # replicated metrics span non-addressable devices; read the
+            # locally-addressable replica of each scalar
+            host_all = [
+                {
+                    k: np.asarray(v.addressable_data(0))
+                    if isinstance(v, jax.Array)
+                    else v
+                    for k, v in m.items()
+                }
+                for _, _, m in pending
+            ]
+        else:
+            host_all = jax.device_get([m for _, _, m in pending])
         last = None
         for (step, epoch, _), m in zip(pending, host_all):
             host = {k: float(v) for k, v in m.items()}
@@ -186,9 +213,19 @@ class Trainer:
             for epoch in range(self.start_epoch, cfg.num_epochs):
                 self.current_epoch = epoch
                 self.batch_in_epoch = 0
-                for bi, batch in enumerate(
-                    Prefetcher(dataset.batches(cfg.batch_size, epoch=epoch))
-                ):
+                if jax.process_count() > 1:
+                    if self._sup_caps is None:
+                        self._sup_caps = dataset.estimate_sup_caps()
+                    batch_iter = dataset.batches(
+                        cfg.batch_size,
+                        epoch=epoch,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count(),
+                        sup_caps=self._sup_caps,
+                    )
+                else:
+                    batch_iter = dataset.batches(cfg.batch_size, epoch=epoch)
+                for bi, batch in enumerate(Prefetcher(batch_iter)):
                     if epoch == self.start_epoch and bi < self.skip_batches:
                         continue
                     self.batch_in_epoch = bi + 1
