@@ -5,7 +5,8 @@ framework instead read the PORTABLE pieces of a Kaldi data directory and
 do the egs work in-process (data/loader.py):
 
   * features:     text ark (`feats.ark` written with ark,t: — see
-                  torchain_tpu.io.read_ark_text) or .npy/.npz per utt
+                  torchain_tpu.io.read_ark_text), BINARY ark (FM/DM/
+                  FV/DV/CM records — io.read_ark_binary) or .npy/.npz
   * alignments:   Kaldi `ali-to-phones --write-lengths=true` text output:
                   `utt_id phone1 ,dur1 ; phone2 ,dur2 ; ...`
                   (also accepts the simpler `utt phone:dur phone:dur ...`)
@@ -24,7 +25,7 @@ import pathlib
 import numpy as np
 
 from torchain_tpu.data.loader import Utterance
-from torchain_tpu.io import read_ark_text
+from torchain_tpu.io import read_ark
 
 
 def read_phone_table(path: str) -> dict[str, int]:
@@ -101,7 +102,7 @@ def load_kaldi_dir(
     `ali.txt`.  Utterances missing either side are skipped (or raise when
     strict=True).  Feature length is cross-checked against the alignment."""
     root = pathlib.Path(data_dir)
-    feats = read_ark_text(str(root / feats_file))
+    feats = read_ark(str(root / feats_file))
     alis = read_alignments(str(root / ali_file))
     utts: list[Utterance] = []
     skipped = []

@@ -107,3 +107,160 @@ def read_ark_text(path: str) -> dict[str, np.ndarray]:
     if utt is not None:
         raise ValueError("malformed ark: unterminated matrix")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Binary Kaldi archives
+# ---------------------------------------------------------------------------
+#
+# Real Kaldi data dirs ship BINARY `feats.ark` (kaldi/src/matrix/
+# kaldi-matrix.cc Write + compressed-matrix.cc); record layout:
+#
+#   <utt_id> \x00B <Token> <data>
+#
+# where Token is "FM " (float matrix), "DM " (double), "FV "/"DV "
+# (vectors) or "CM " (CompressedMatrix format 1).  FM: two basic-size
+# int32s (each prefixed by a \x04 size byte) for rows/cols, then row-major
+# float32 data.  CM: a raw GlobalHeader {min f32, range f32, rows i32,
+# cols i32}, per-column {p0, p25, p75, p100} uint16 quantile headers, then
+# column-major uint8 codes decoded piecewise-linearly between the
+# quantiles.
+
+import struct as _struct
+
+
+def _read_basic_int32(f) -> int:
+    size = f.read(1)
+    if size != b"\x04":
+        raise ValueError(f"expected int32 size marker, got {size!r}")
+    return _struct.unpack("<i", f.read(4))[0]
+
+
+def _write_basic_int32(f, v: int) -> None:
+    f.write(b"\x04" + _struct.pack("<i", v))
+
+
+def _decode_cm1(f) -> np.ndarray:
+    min_v, rng, rows, cols = _struct.unpack("<ffii", f.read(16))
+    heads = np.frombuffer(f.read(8 * cols), dtype="<u2").reshape(cols, 4)
+    data = np.frombuffer(f.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
+    p = min_v + rng * heads.astype(np.float64) / 65535.0  # [cols, 4]
+    c = data.astype(np.float64)
+    p0, p25, p75, p100 = (p[:, i : i + 1] for i in range(4))
+    low = p0 + (p25 - p0) * (c / 64.0)
+    mid = p25 + (p75 - p25) * ((c - 64.0) / 128.0)
+    high = p75 + (p100 - p75) * ((c - 192.0) / 63.0)
+    vals = np.where(c <= 64, low, np.where(c <= 192, mid, high))
+    return vals.T.astype(np.float32)  # [rows, cols]
+
+
+def _encode_cm1(f, mat: np.ndarray) -> None:
+    mat = np.asarray(mat, dtype=np.float32)
+    rows, cols = mat.shape
+    min_v = float(mat.min()) if mat.size else 0.0
+    max_v = float(mat.max()) if mat.size else 0.0
+    rng = max(max_v - min_v, 1e-8)
+    f.write(_struct.pack("<ffii", min_v, rng, rows, cols))
+
+    def to_u16(x):
+        return np.clip((x - min_v) / rng * 65535.0, 0, 65535).astype("<u2")
+
+    qs = np.quantile(mat.astype(np.float64), [0.0, 0.25, 0.75, 1.0], axis=0).T
+    heads = to_u16(qs)  # [cols, 4]
+    # quantize the quantile boundaries exactly as the reader will see them
+    pq = min_v + rng * heads.astype(np.float64) / 65535.0
+    f.write(heads.astype("<u2").tobytes())
+    codes = np.empty((cols, rows), dtype=np.uint8)
+    for j in range(cols):
+        x = mat[:, j].astype(np.float64)
+        p0, p25, p75, p100 = pq[j]
+        c_low = np.clip((x - p0) / max(p25 - p0, 1e-10) * 64.0 + 0.5, 0, 64)
+        c_mid = np.clip((x - p25) / max(p75 - p25, 1e-10) * 128.0 + 64.5, 65, 192)
+        c_high = np.clip((x - p75) / max(p100 - p75, 1e-10) * 63.0 + 192.5, 193, 255)
+        codes[j] = np.where(
+            x <= p25, c_low, np.where(x <= p75, c_mid, c_high)
+        ).astype(np.uint8)
+    f.write(codes.tobytes())
+
+
+def read_ark_binary(path: str) -> dict[str, np.ndarray]:
+    """Read a binary Kaldi archive of float/double matrices, vectors, or
+    compressed (CM) matrices into float32 arrays."""
+    out: dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        while True:
+            # utt id: bytes until space
+            utt = bytearray()
+            ch = f.read(1)
+            if not ch:
+                break
+            while ch not in (b" ", b""):
+                utt.extend(ch)
+                ch = f.read(1)
+            if not utt:
+                raise ValueError("malformed binary ark: empty utt id")
+            marker = f.read(2)
+            if marker != b"\x00B":
+                raise ValueError(
+                    f"not a binary ark record (marker {marker!r}); "
+                    "use read_ark_text for ark,t archives"
+                )
+            token = bytearray()
+            ch = f.read(1)
+            while ch not in (b" ", b""):
+                token.extend(ch)
+                ch = f.read(1)
+            tok = token.decode()
+            uid = utt.decode()
+            if tok in ("FM", "DM"):
+                rows = _read_basic_int32(f)
+                cols = _read_basic_int32(f)
+                dt = "<f4" if tok == "FM" else "<f8"
+                n = rows * cols * (4 if tok == "FM" else 8)
+                mat = np.frombuffer(f.read(n), dtype=dt).reshape(rows, cols)
+                out[uid] = mat.astype(np.float32)
+            elif tok in ("FV", "DV"):
+                dim = _read_basic_int32(f)
+                dt = "<f4" if tok == "FV" else "<f8"
+                n = dim * (4 if tok == "FV" else 8)
+                out[uid] = np.frombuffer(f.read(n), dtype=dt).astype(np.float32)
+            elif tok == "CM":
+                out[uid] = _decode_cm1(f)
+            else:
+                raise ValueError(f"unsupported binary ark token {tok!r}")
+    return out
+
+
+def write_ark_binary(
+    path: str, mats: dict[str, np.ndarray], compress: bool = False
+) -> None:
+    """Write float matrices as a binary Kaldi archive (FM, or CM compressed
+    format 1 with `compress=True`) — what `copy-feats ark:... ark:...`
+    produces."""
+    with open(path, "wb") as f:
+        for utt, mat in mats.items():
+            if " " in utt:
+                raise ValueError("utterance ids must not contain spaces")
+            mat = np.asarray(mat, dtype=np.float32)
+            if mat.ndim != 2:
+                raise ValueError("expected [T, D] matrices")
+            f.write(utt.encode() + b" \x00B")
+            if compress:
+                f.write(b"CM ")
+                _encode_cm1(f, mat)
+            else:
+                f.write(b"FM ")
+                _write_basic_int32(f, mat.shape[0])
+                _write_basic_int32(f, mat.shape[1])
+                f.write(mat.astype("<f4").tobytes())
+
+
+def read_ark(path: str) -> dict[str, np.ndarray]:
+    """Auto-detect text vs binary Kaldi archives (the `\\x00B` marker after
+    the first utterance id)."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    sp = head.find(b" ")
+    if sp != -1 and head[sp + 1 : sp + 3] == b"\x00B":
+        return read_ark_binary(path)
+    return read_ark_text(path)

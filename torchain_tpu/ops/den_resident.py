@@ -152,6 +152,13 @@ def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+#: per-batch scalars ride as broadcast [B, LANE] tiles (Mosaic requires the
+#: last two block dims be (8, 128)-divisible or full; a [T, B] stream with B
+#: on lanes violates the sublane rule, and all-equal lanes let the kernel
+#: recover the scalar with a max instead of a sub-lane slice)
+LANE = 128
+
+
 def _fwd_kernel(
     leaky: float,
     K: int,
@@ -160,7 +167,7 @@ def _fwd_kernel(
     v_ref,  # [S, KS] resident
     init_ref,  # [1, S] f32
     alpha0_ref,  # [B, S] f32 initial sigma_hat
-    logc_ref,  # [1, B] out
+    logc_ref,  # [1, B, LANE] out (broadcast lanes)
     sh_ref,  # [1, B, S] out: sigma_hat at entry of frame t
     carry_ref,  # scratch [B, S] f32
 ):
@@ -184,7 +191,7 @@ def _fwd_kernel(
     )  # [B, KS]
     alpha = h * pe_ref[0]
     c = jnp.sum(alpha, axis=-1, keepdims=True)  # [B, 1]
-    logc_ref[0] = jnp.log(c[:, 0])
+    logc_ref[0] = jnp.broadcast_to(jnp.log(c), (c.shape[0], LANE))
     alpha_hat = alpha / c
     nxt = alpha_hat[:, 0:S]
     for k in range(1, K):
@@ -198,14 +205,14 @@ def _bwd_kernel(
     S: int,
     pe_ref,  # [1, B, KS] (reversed t)
     sh_ref,  # [1, B, S] sigma_hat entering frame t (reversed)
-    fy_ref,  # [1, B] F_{t-1} + ymax_t (reversed)
-    ymax_ref,  # [1, B] (reversed)
+    fy_ref,  # [1, B, LANE] F_{t-1} + ymax_t, broadcast lanes (reversed)
+    ymax_ref,  # [1, B, LANE] (reversed)
     v_ref,  # [S, KS] resident
     init_ref,  # [1, S]
-    logz_ref,  # [1, B]
+    logz_ref,  # [B, LANE]
     occ_ref,  # [1, B, KS] out: ah * bh * scale  (reversed t)
     bh_ref,  # scratch [B, KS] f32
-    g_ref,  # scratch [1, B] f32
+    g_ref,  # scratch [B, LANE] f32
 ):
     i = pl.program_id(0)
 
@@ -213,6 +220,9 @@ def _bwd_kernel(
     def _init():
         bh_ref[...] = jnp.ones_like(bh_ref)
         g_ref[...] = jnp.full_like(g_ref, float(np.log1p(leaky)) if leaky > 0.0 else 0.0)
+
+    def col(tile):  # all-equal broadcast lanes -> [B, 1] scalar column
+        return jnp.max(tile, axis=-1, keepdims=True)
 
     pe = pe_ref[0]
     sh = sh_ref[0]
@@ -227,8 +237,8 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     bh = bh_ref[...]
-    scale = jnp.exp(fy_ref[0] + g_ref[0] - logz_ref[0])  # [B]
-    occ_ref[0] = ah * bh * scale[:, None]
+    scale = jnp.exp(col(fy_ref[0]) + col(g_ref[...]) - col(logz_ref[...]))  # [B, 1]
+    occ_ref[0] = ah * bh * scale
     # beta pullback: v = (pe * bh) @ V^T, then leak^T, broadcast to slots
     w = (pe * bh).astype(v_ref.dtype)
     v = jax.lax.dot_general(
@@ -241,7 +251,8 @@ def _bwd_kernel(
     d = jnp.max(nb, axis=-1, keepdims=True)
     d = jnp.where(d > 0, d, 1.0)
     bh_ref[...] = nb / d
-    g_ref[...] = g_ref[...] + ymax_ref[...] + jnp.log(d[:, 0])[None, :]
+    g_new = col(g_ref[...]) + col(ymax_ref[0]) + jnp.log(d)
+    g_ref[...] = jnp.broadcast_to(g_new, g_ref.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +289,7 @@ def den_forward(
     alpha0 = jnp.broadcast_to(g.init, (B, S))
 
     kern = functools.partial(_fwd_kernel, leaky, K, S)
-    logc, sh = pl.pallas_call(
+    logc_t, sh = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -288,11 +299,11 @@ def den_forward(
             pl.BlockSpec((B, S), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B), lambda t: (t, 0)),
+            pl.BlockSpec((1, B, LANE), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, B, S), lambda t: (t, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, LANE), jnp.float32),
             jax.ShapeDtypeStruct((T, B, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
@@ -302,6 +313,7 @@ def den_forward(
         interpret=_interpret(),
     )(pe, g.V, g.init, alpha0)
 
+    logc = logc_t[:, :, 0]  # [T, B]
     log_z = jnp.sum(logc, axis=0) + jnp.sum(ymax, axis=-1)
     if leaky > 0.0:
         log_z = log_z + jnp.log1p(leaky)
@@ -325,10 +337,10 @@ def den_backward(
     F = jnp.cumsum(logc + ymax.T, axis=0)  # [T, B]
     F_prev = jnp.concatenate([jnp.zeros((1, B)), F[:-1]], axis=0)
     fy = F_prev + ymax.T  # [T, B]
+    tile = lambda x: jnp.broadcast_to(x[..., None], x.shape + (LANE,))
 
     nt = T
     rev3 = lambda t: (nt - 1 - t, 0, 0)
-    rev2 = lambda t: (nt - 1 - t, 0)
     kern = functools.partial(_bwd_kernel, leaky, K, S)
     occ = pl.pallas_call(
         kern,
@@ -336,23 +348,31 @@ def den_backward(
         in_specs=[
             pl.BlockSpec((1, B, KS), rev3),
             pl.BlockSpec((1, B, S), rev3),
-            pl.BlockSpec((1, B), rev2),
-            pl.BlockSpec((1, B), rev2),
+            pl.BlockSpec((1, B, LANE), rev3),
+            pl.BlockSpec((1, B, LANE), rev3),
             pl.BlockSpec((S, KS), lambda t: (0, 0)),
             pl.BlockSpec((1, S), lambda t: (0, 0)),
-            pl.BlockSpec((1, B), lambda t: (0, 0)),
+            pl.BlockSpec((B, LANE), lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, B, KS), rev3),
         out_shape=jax.ShapeDtypeStruct((T, B, KS), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, KS), jnp.float32),
-            pltpu.VMEM((1, B), jnp.float32),
+            pltpu.VMEM((B, LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(pe, sh, fy, ymax.T, g.V, g.init, log_z[None, :])
+    )(
+        pe,
+        sh,
+        tile(fy),
+        tile(ymax.T),
+        g.V,
+        g.init,
+        jnp.broadcast_to(log_z[:, None], (B, LANE)),
+    )
 
     # gamma scatter: one batched slot->pdf projection outside the scan
     gamma = jax.lax.dot_general(
