@@ -250,7 +250,7 @@ def main(argv=None) -> dict:
     )
     t_in = args.chunk_frames * fsf + left + right
     example = np.zeros((2, t_in, args.feat_dim), np.float32)
-    trainer = Trainer(model, den, tcfg, example)
+    trainer = Trainer(model, den, tcfg, example, tree=corpus.tree)
     if args.checkpoint_dir and trainer.restore_checkpoint():
         print(f"[stage 2] resumed from step {int(trainer.state.step)}")
 

@@ -66,11 +66,54 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     return opt
 
 
+def den_fingerprint(den_device) -> str:
+    """Content hash of a device denominator graph (arrays + static meta).
+    A resumed run whose den graph changed would silently optimize a
+    different objective; checkpoints record this and refuse such resumes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(den_device):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(repr(jax.tree.structure(den_device)).encode())
+    return h.hexdigest()[:16]
+
+
+def tree_fingerprint(tree) -> str:
+    """Content hash of a pdf map (ContextTree params or TiedTree table)."""
+    import hashlib
+
+    if hasattr(tree, "pdf_map"):
+        return hashlib.sha256(np.asarray(tree.pdf_map).tobytes()).hexdigest()[:16]
+    return (
+        f"ContextTree({tree.num_phones},{tree.context_width},"
+        f"{getattr(tree, 'tie_self_loops', True)})"
+    )
+
+
+def _config_to_jsonable(cfg) -> dict:
+    out = dataclasses.asdict(cfg)
+
+    def clean(x):
+        if isinstance(x, dict):
+            return {k: clean(v) for k, v in x.items()}
+        if isinstance(x, (np.floating, np.integer)):
+            return x.item()
+        return x
+
+    return clean(out)
+
+
 class Trainer:
-    def __init__(self, model, den_device, cfg: TrainerConfig, example_feats):
+    def __init__(self, model, den_device, cfg: TrainerConfig, example_feats, tree=None):
         self.cfg = cfg
         self.model = model
         self.den = den_device
+        self.fingerprints = dict(
+            den=den_fingerprint(den_device),
+            tree=tree_fingerprint(tree) if tree is not None else None,
+            model=type(model).__name__,
+        )
         self.mesh = make_mesh(cfg.mesh)
         self.tx = make_optimizer(cfg)
         self.state = create_train_state(model, jnp.asarray(example_feats), self.tx)
@@ -121,9 +164,31 @@ class Trainer:
 
     # -- checkpointing ----------------------------------------------------
 
+    def _run_config_path(self) -> pathlib.Path:
+        return pathlib.Path(self.cfg.checkpoint_dir).absolute() / "run_config.json"
+
+    def save_run_config(self):
+        """Serialize the run config + den/tree fingerprints next to the
+        checkpoints (SURVEY.md section 5 config row: configs serialized
+        into checkpoints; resume verifies them)."""
+        payload = dict(
+            config=_config_to_jsonable(self.cfg),
+            fingerprints=self.fingerprints,
+        )
+        self._run_config_path().write_text(json.dumps(payload, indent=2))
+
+    @staticmethod
+    def load_run_config(checkpoint_dir: str) -> dict | None:
+        p = pathlib.Path(checkpoint_dir).absolute() / "run_config.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
     def save_checkpoint(self):
         if self._ckpt_mgr is None:
             return
+        if not self._run_config_path().exists():
+            self.save_run_config()
         import orbax.checkpoint as ocp
 
         payload = dict(
@@ -142,6 +207,18 @@ class Trainer:
     def restore_checkpoint(self) -> bool:
         if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
             return False
+        saved = self.load_run_config(self.cfg.checkpoint_dir)
+        if saved is not None:
+            for key in ("den", "tree"):
+                old = saved.get("fingerprints", {}).get(key)
+                new = self.fingerprints.get(key)
+                if old is not None and new is not None and old != new:
+                    raise ValueError(
+                        f"refusing to resume: {key} fingerprint changed "
+                        f"({old} -> {new}); the checkpoint was trained "
+                        "against a different graph/tree — restart from "
+                        "scratch or restore the original data prep"
+                    )
         import orbax.checkpoint as ocp
 
         target = dict(
