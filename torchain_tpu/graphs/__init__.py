@@ -40,6 +40,10 @@ from torchain_tpu.graphs.e2e import (
     pad_and_stack_e2e,
     transcript_to_e2e_fst,
 )
+from torchain_tpu.graphs.lattice_supervision import (
+    PhoneLattice,
+    lattice_to_supervision_fst,
+)
 from torchain_tpu.graphs.supervision import (
     Supervision,
     SupervisionOptions,
@@ -70,6 +74,8 @@ __all__ = [
     "make_e2e_supervision_fst",
     "pad_and_stack_e2e",
     "transcript_to_e2e_fst",
+    "PhoneLattice",
+    "lattice_to_supervision_fst",
     "Supervision",
     "SupervisionOptions",
     "alignment_to_supervision_fst",
