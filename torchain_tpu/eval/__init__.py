@@ -16,6 +16,7 @@ from torchain_tpu.eval.decoder import (
     viterbi_decode,
 )
 from torchain_tpu.eval.lattice import (
+    determinize_lattice,
     lattice_best_path,
     lattice_decode,
     lattice_nbest,
@@ -31,6 +32,7 @@ __all__ = [
     "make_word_decoding_graph",
     "pack_decoding_graph",
     "viterbi_decode",
+    "determinize_lattice",
     "lattice_best_path",
     "lattice_decode",
     "lattice_nbest",

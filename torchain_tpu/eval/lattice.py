@@ -6,8 +6,9 @@ decoding hypotheses surviving the beam, for N-best extraction and LM
 rescoring.  Simplified TPU-era design: the lattice is the time-unrolled
 subgraph of (frame, state) tokens within `beam` of each frame's best,
 with combined graph+acoustic weights on arcs and phone output labels on
-phone-entry arcs (epsilon elsewhere).  No determinization — consumers run
-shortest-distance / rescoring on the raw lattice, which fstkit handles.
+phone-entry arcs (epsilon elsewhere).  `determinize_lattice` collapses it
+to one best-scored path per label sequence (Kaldi's
+determinize-lattice-pruned role), making sequence-level N-best exact.
 
 Guarantees (tested):
   * the lattice's tropical total weight equals the Viterbi best-path score
@@ -97,7 +98,12 @@ def lattice_decode(
 
 
 def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
-    """Tropical best path through the lattice; returns (phones, score)."""
+    """Tropical best path through the lattice; returns (phones, score).
+
+    Follows, from the start state, any arc lying on a globally optimal
+    path (fwd[s] + w + bwd[dst] == best score); stops when none does,
+    which on an acyclic trimmed lattice can only happen at a final state
+    whose stopping score is optimal."""
     if lat.num_states == 0:
         return [], float(NEG_INF)
     fwd = shortest_distance(lat, reverse_dir=False, semiring="tropical")
@@ -106,15 +112,13 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
     phones: list[int] = []
     s = 0
     while True:
-        if lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-6:
-            # check no better continuation exists
-            pass
         nxt = None
         for a in lat.arcs(s):
             if abs(fwd[s] + a.weight + bwd[a.dst] - score) < 1e-6:
                 nxt = a
                 break
         if nxt is None:
+            assert lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-4
             break
         if nxt.label > 0:
             phones.append(nxt.label)
@@ -122,13 +126,107 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
     return phones, float(score)
 
 
-def lattice_nbest(lat: Fst, n: int) -> list[tuple[list[int], float]]:
+def determinize_lattice(lat: Fst, max_states: int = 200_000) -> Fst:
+    """Weighted tropical determinization over label sequences with epsilon
+    removal — the lattice-determinization step of Kaldi's pipeline
+    (kaldi/src/lat/determinize-lattice-pruned, SURVEY.md section 3.4): the
+    result has exactly ONE path per distinct label sequence, carrying that
+    sequence's BEST combined score.
+
+    Subset construction with residual weights: a det state is a set of
+    (lattice state, residual) pairs reached by some label sequence, with
+    residuals normalized so the best is 0 and the normalizer pushed onto
+    the incoming det arc.  Terminates on acyclic lattices; `max_states`
+    guards pathological blowup."""
+    if lat.num_states == 0:
+        return Fst()
+
+    def eps_closure(pairs: dict[int, float]) -> dict[int, float]:
+        # tropical closure over epsilon arcs (acyclic: plain relaxation)
+        out = dict(pairs)
+        stack = list(pairs)
+        while stack:
+            s = stack.pop()
+            w = out[s]
+            for a in lat.arcs(s):
+                if a.label == 0:
+                    nw = w + a.weight
+                    if nw > out.get(a.dst, NEG_INF) + 1e-12:
+                        out[a.dst] = nw
+                        stack.append(a.dst)
+        return out
+
+    def normalize(pairs: dict[int, float]) -> tuple[float, tuple]:
+        m = max(pairs.values())
+        key = tuple(
+            sorted((s, round(w - m, 9)) for s, w in pairs.items())
+        )
+        return m, key
+
+    out = Fst()
+    # the start subset keeps its raw closure weights (no normalization), so
+    # no residual needs folding into start-out arcs even if some later
+    # label sequence happens to reach an identical subset
+    start = eps_closure({0: 0.0})
+    key0 = tuple(sorted((s, round(w, 9)) for s, w in start.items()))
+    det_of: dict[tuple, int] = {key0: out.add_state()}
+    subset_of = {key0: dict(start)}
+    stack = [key0]
+    done = set()
+    while stack:
+        key = stack.pop()
+        if key in done:
+            continue
+        done.add(key)
+        src = det_of[key]
+        subset = subset_of[key]
+        # final weight: best stop score in the subset
+        fin = max(
+            (w + lat.final(s) for s, w in subset.items() if lat.is_final(s)),
+            default=NEG_INF,
+        )
+        if fin > NEG_INF:
+            out.set_final(src, fin)
+        # group successors by label
+        by_label: dict[int, dict[int, float]] = {}
+        for s, w in subset.items():
+            for a in lat.arcs(s):
+                if a.label == 0:
+                    continue
+                d = by_label.setdefault(a.label, {})
+                nw = w + a.weight
+                if nw > d.get(a.dst, NEG_INF):
+                    d[a.dst] = nw
+        for label, pairs in sorted(by_label.items()):
+            closed = eps_closure(pairs)
+            m, nkey = normalize(closed)
+            if nkey not in det_of:
+                if len(det_of) >= max_states:
+                    raise ValueError(
+                        "lattice determinization exceeded max_states"
+                    )
+                det_of[nkey] = out.add_state()
+                subset_of[nkey] = {s: w - m for s, w in closed.items()}
+                stack.append(nkey)
+            out.add_arc(src, label, m, det_of[nkey])
+    return out
+
+
+def lattice_nbest(
+    lat: Fst, n: int, determinize: bool = False
+) -> list[tuple[list[int], float]]:
     """N-best paths by k-best Viterbi over the acyclic lattice: every state
     keeps its top-n (score, predecessor) partial hypotheses in topological
     order (the lattice-to-nbest role of Kaldi's scoring pipeline).
 
     Returns [(phones, score)] best-first; duplicate phone sequences from
-    distinct paths are merged keeping the best score."""
+    distinct paths are merged keeping the best score.  With
+    `determinize=True` the lattice is first determinized so paths and
+    label sequences coincide and the sequence-level top-n is EXACT (the
+    default per-state 2n truncation is exact in practice but can in
+    principle drop a sequence whose prefixes rank below 2n everywhere)."""
+    if determinize:
+        lat = determinize_lattice(lat)
     from torchain_tpu.fstkit.algorithms import _topo_order_subgraph
 
     if lat.num_states == 0:
