@@ -36,9 +36,11 @@ class ConformerConfig:
     rel_pos_buckets: int = 32
     prefinal_dim: int = 256
     dropout: float = 0.0
-    #: compute dtype of the trunk (params stay float32).  NOTE: measured on
-    #: TPU v5e, bf16 is SLOWER for this conformer (bf16 layernorm/softmax
-    #: fall off fast paths in the current XLA build); keep f32
+    #: compute dtype of the trunk (params stay float32).  The r1 bf16
+    #: regression came from normalization layers computing IN bf16 and the
+    #: resulting up/down conversions around every block; normalization now
+    #: runs as explicit f32 islands (_norm_f32 below) with bf16 matmuls
+    #: between them, the pattern that makes bf16 pay on MXU
     dtype: Any = jnp.float32
 
     @property
@@ -72,15 +74,19 @@ class ConformerBlock(nn.Module):
     def __call__(self, x, bias, train: bool = False):
         cfg = self.cfg
 
+        def ln(h, name):
+            # f32 normalization island, output back in the trunk dtype
+            return nn.LayerNorm(dtype=jnp.float32, name=name)(h).astype(cfg.dtype)
+
         # FFN half-step 1
-        h = nn.LayerNorm()(x)
+        h = ln(x, "ln_ffn1")
         h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn1_in")(h)
         h = nn.swish(h)
         h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn1_out")(h)
         x = x + 0.5 * h
 
         # self-attention with relative position bias
-        h = nn.LayerNorm()(x)
+        h = ln(x, "ln_attn")
         B, T, D = h.shape
         H = cfg.num_heads
         qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h).reshape(B, T, 3, H, D // H)
@@ -94,7 +100,7 @@ class ConformerBlock(nn.Module):
         x = x + h
 
         # convolution module
-        h = nn.LayerNorm()(x)
+        h = ln(x, "ln_conv")
         h = nn.Dense(2 * cfg.dim, dtype=cfg.dtype, name="conv_in")(h)
         h = nn.glu(h, axis=-1)
         h = nn.Conv(
@@ -105,18 +111,21 @@ class ConformerBlock(nn.Module):
             dtype=cfg.dtype,
             name="depthwise",
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(h)
+        # f32 batch-norm island (running stats must not accumulate in bf16)
+        h = nn.BatchNorm(
+            use_running_average=not train, axis_name=None, dtype=jnp.float32
+        )(h.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.swish(h)
         h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="conv_out")(h)
         x = x + h
 
         # FFN half-step 2
-        h = nn.LayerNorm()(x)
+        h = ln(x, "ln_ffn2")
         h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn2_in")(h)
         h = nn.swish(h)
         h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn2_out")(h)
         x = x + 0.5 * h
-        return nn.LayerNorm()(x)
+        return ln(x, "ln_out")
 
 
 class Conformer(nn.Module):
