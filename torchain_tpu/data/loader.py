@@ -91,17 +91,18 @@ class ChainDataset:
         self.chunk_frames_out = chunk_frames_out
         self.seed = seed
         self.rng = np.random.default_rng(seed)
-        # each chunk: (utt_idx, c0_out, T_out, chunk_alignment, left_ctx)
+        # each chunk: (utt_idx, c0_out, T_out, chunk_alignment, left_ctx,
+        # right_ctx)
         self.chunks: list[tuple] = []
         self.utts = utts
         self.num_dropped = 0
         for ui, utt in enumerate(utts):
             ali_out = subsample_alignment(utt.alignment, self.fsf)
-            for c0, chunk_ali, left_ctx in split_alignment_into_chunks(
-                ali_out, chunk_frames_out
+            for c0, chunk_ali, left_ctx, right_ctx in split_alignment_into_chunks(
+                ali_out, chunk_frames_out, with_right_context=True
             ):
                 t_out = sum(d for _, d in chunk_ali)
-                self.chunks.append((ui, c0, t_out, chunk_ali, left_ctx))
+                self.chunks.append((ui, c0, t_out, chunk_ali, left_ctx, right_ctx))
 
     def _chunk_feats(self, utt: Utterance, c0_out: int, t_out: int) -> np.ndarray:
         """Input-rate features for chunk with context, edge-padded."""
@@ -112,11 +113,18 @@ class ChainDataset:
         return utt.feats[idx]
 
     def _chunk_supervision(
-        self, chunk_ali: list[tuple[int, int]], left_ctx: int
+        self,
+        chunk_ali: list[tuple[int, int]],
+        left_ctx: int,
+        right_ctx: int = 0,
     ) -> Supervision | None:
         try:
             fst = alignment_to_supervision_fst(
-                chunk_ali, self.tree, self.sup_opts, left_context_phone=left_ctx
+                chunk_ali,
+                self.tree,
+                self.sup_opts,
+                left_context_phone=left_ctx,
+                right_context_phone=right_ctx,
             )
             return compile_supervision(
                 compose(fst, self.norm_fst), self.tree.num_pdfs
@@ -132,8 +140,8 @@ class ChainDataset:
         without communicating.  Deterministic, so every host may call it
         and agree; O(dataset) supervision compiles (one-time)."""
         ms = ma = 1
-        for _ui, _c0, _t, chunk_ali, left_ctx in self.chunks:
-            sup = self._chunk_supervision(chunk_ali, left_ctx)
+        for _ui, _c0, _t, chunk_ali, left_ctx, right_ctx in self.chunks:
+            sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
             if sup is None:
                 continue
             ms = max(ms, sup.max_states)
@@ -197,8 +205,8 @@ class ChainDataset:
                 if multi:
                     part = part[pi * local_bs : (pi + 1) * local_bs]
                 feats, sups, holes = [], [], []
-                for ui, c0, t, chunk_ali, left_ctx in part:
-                    sup = self._chunk_supervision(chunk_ali, left_ctx)
+                for ui, c0, t, chunk_ali, left_ctx, right_ctx in part:
+                    sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
                     if sup is None:
                         if multi:
                             # placeholder keeps local shapes fixed; filled

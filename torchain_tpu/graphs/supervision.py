@@ -90,11 +90,14 @@ def split_alignment_into_chunks(
     ali: list[tuple[int, int]],
     chunk_frames: int,
     min_tail: int | None = None,
-) -> list[tuple[int, list[tuple[int, int]], int]]:
+    with_right_context: bool = False,
+) -> list[tuple]:
     """Split an output-rate alignment into fixed-length chunks.
 
-    Returns (chunk_start_frame, chunk_alignment, left_context_phone) tuples;
-    boundary phones are clipped to the chunk window, mirroring what Kaldi's
+    Returns (chunk_start_frame, chunk_alignment, left_context_phone) tuples
+    — plus a trailing right_context_phone (the phone after the chunk, 0 at
+    utterance end; triphone trees need it) when `with_right_context` —
+    boundary phones clipped to the chunk window, mirroring what Kaldi's
     SupervisionSplitter does at the FST level (chain-supervision.cc).
     A final partial chunk shorter than `min_tail` (default chunk_frames//2)
     is dropped, as Kaldi recipes drop short leftovers."""
@@ -114,15 +117,20 @@ def split_alignment_into_chunks(
     for c0, c1 in bounds:
         chunk: list[tuple[int, int]] = []
         left_ctx = BOUNDARY
+        right_ctx = BOUNDARY
         for i, (p, d) in enumerate(ali):
             s, e = int(starts[i]), int(starts[i + 1])
             if e <= c0:
                 left_ctx = p
                 continue
             if s >= c1:
+                right_ctx = p
                 break
             chunk.append((p, min(e, c1) - max(s, c0)))
-        chunks.append((c0, chunk, left_ctx))
+        if with_right_context:
+            chunks.append((c0, chunk, left_ctx, right_ctx))
+        else:
+            chunks.append((c0, chunk, left_ctx))
     return chunks
 
 
@@ -137,6 +145,7 @@ def alignment_to_supervision_fst(
     opts: SupervisionOptions = SupervisionOptions(),
     num_frames: int | None = None,
     left_context_phone: int = BOUNDARY,
+    right_context_phone: int = BOUNDARY,
 ) -> Fst:
     """Build the unweighted tolerance lattice over pdf+1 labels.
 
@@ -164,6 +173,7 @@ def alignment_to_supervision_fst(
             raise ValueError(f"phone {i} cannot fit its tolerance window")
 
     left_of = [left_context_phone] + phones[:-1]
+    right_of = phones[1:] + [right_context_phone]
 
     fst = Fst()
     state_of: dict[tuple[int, int, int], int] = {}
@@ -191,7 +201,7 @@ def alignment_to_supervision_fst(
         src = state(t, i, in_loop)
         # at (t, i, in_loop): about to emit frame t with phone i
         pdf_class = 1 if in_loop else 0
-        pdf = tree.pdf(phones[i], pdf_class, left_of[i])
+        pdf = tree.pdf(phones[i], pdf_class, left_of[i], right_of[i])
         label = pdf + 1
         nt = t + 1
         if nt == T:

@@ -92,9 +92,17 @@ class ContextTree:
             return False
         return pdf_class == 0 or not self.tie_self_loops
 
-    def pdf(self, phone: int, pdf_class: int, left: int = BOUNDARY) -> int:
+    def right_dependent(self, pdf_class: int) -> bool:
+        """ContextTree flavors never use right context (triphone pdf maps
+        come from TiedTree — graphs/tied_tree.py)."""
+        return False
+
+    def pdf(
+        self, phone: int, pdf_class: int, left: int = BOUNDARY, right: int = BOUNDARY
+    ) -> int:
         """pdf id in [0, num_pdfs) for 1-based `phone` with the given pdf
-        class and left-context phone (0 = boundary)."""
+        class and left-context phone (0 = boundary); `right` is accepted
+        for interface parity with TiedTree and ignored here."""
         if not (1 <= phone <= self.num_phones):
             raise ValueError(f"phone {phone} out of range 1..{self.num_phones}")
         if pdf_class not in (0, 1):
