@@ -122,6 +122,11 @@ def _den_forward(y, den, leaky):
     if isinstance(den, DeviceDenTableGraph):
         log_z, alphas = den_table.den_forward(y, den, leaky)
         return log_z, dict(alphas=alphas, table=True)
+    every = den_scan.CHECKPOINT_EVERY
+    T = y.shape[1]
+    if every and T > every and T % every == 0:
+        log_z, chks = den_scan.den_forward_checkpointed(y, den, leaky, every)
+        return log_z, dict(chk=chks, every=every)
     log_z, alphas = den_scan.den_forward(y, den, leaky)
     return log_z, dict(alphas=alphas)
 
@@ -139,6 +144,10 @@ def _den_backward(y, den, leaky, log_z, res):
         return den_dense.den_backward(den, res, leaky)
     if isinstance(den, DeviceDenTableGraph):
         return den_table.den_backward(y, den, log_z, res["alphas"], leaky)
+    if "chk" in res:
+        return den_scan.den_backward_checkpointed(
+            y, den, log_z, res["chk"], leaky, res["every"]
+        )
     return den_scan.den_backward(y, den, log_z, res["alphas"], leaky)
 
 

@@ -117,3 +117,102 @@ def den_backward(
     ys = jnp.swapaxes(y, 0, 1)  # [T, B, P]
     _, gammas = jax.lax.scan(step, bT, (ys, alphas[:-1]), reverse=True, unroll=UNROLL)
     return jnp.swapaxes(gammas, 0, 1)  # [B, T, P]
+
+
+# ---------------------------------------------------------------------------
+# alpha-checkpointed variant (recompute-in-backward)
+# ---------------------------------------------------------------------------
+#
+# SURVEY.md section 5 long-context note: the plain scan stores [T+1, B, S]
+# alpha residuals, capping chunk length x batch at large S.  Checkpointing
+# stores alpha every `every` frames ([T/every, B, S]) and the backward
+# re-runs the forward inside each segment before its beta sweep — an
+# `every`-fold residual-memory cut for one extra forward pass of compute.
+# Enable via TORCHAIN_ALPHA_CHECKPOINT=<every> (chain_loss dispatches when
+# T is divisible); den_forward/den_backward stay the exact reference.
+
+CHECKPOINT_EVERY = int(_os.environ.get("TORCHAIN_ALPHA_CHECKPOINT", "0"))
+
+
+def _fwd_step(g: DeviceDenGraph, leaky: float):
+    def step(alpha, y_t):
+        arc = alpha[:, g.in_src].T + g.in_logw[:, None] + y_t[:, g.in_pdf].T
+        nxt = _seg_logsumexp(arc, g.in_dst, g.num_states, is_sorted=True).T
+        return _leak(nxt, g.log_init, leaky), None
+
+    return step
+
+
+def den_forward_checkpointed(
+    y: jnp.ndarray,  # [B, T, P]
+    g: DeviceDenGraph,
+    leaky: float = 0.0,
+    every: int = 10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (log_z [B], checkpoints [T//every, B, S]): the post-leak
+    alpha entering each segment.  Requires T % every == 0."""
+    B, T, P = y.shape
+    if T % every:
+        raise ValueError(f"T={T} not divisible by checkpoint every={every}")
+    a0 = _leak(jnp.broadcast_to(g.log_init, (B, g.num_states)), g.log_init, leaky)
+    ys = jnp.swapaxes(y, 0, 1).reshape(T // every, every, B, P)
+    step = _fwd_step(g, leaky)
+
+    def seg(alpha, y_seg):
+        out, _ = jax.lax.scan(
+            lambda a, y_t: (step(a, y_t)[0], None), alpha, y_seg, unroll=UNROLL
+        )
+        return out, alpha  # emit the segment-entry alpha
+
+    aT, chks = jax.lax.scan(seg, a0, ys)
+    return jax.nn.logsumexp(aT, axis=-1), chks
+
+
+def den_backward_checkpointed(
+    y: jnp.ndarray,  # [B, T, P]
+    g: DeviceDenGraph,
+    log_z: jnp.ndarray,  # [B]
+    chks: jnp.ndarray,  # [T//every, B, S]
+    leaky: float = 0.0,
+    every: int = 10,
+) -> jnp.ndarray:
+    """Gamma [B, T, P]; recomputes each segment's alphas from its
+    checkpoint, then runs the beta sweep — numerically identical ops to
+    den_backward."""
+    B, T, P = y.shape
+    S = g.num_states
+    log_leaky = jnp.log(leaky) if leaky > 0.0 else None
+    fstep = _fwd_step(g, leaky)
+    ys = jnp.swapaxes(y, 0, 1).reshape(T // every, every, B, P)
+
+    def bstep(b, inputs):
+        y_t, alpha_prev = inputs
+        if log_leaky is not None:
+            tot = jax.nn.logsumexp(g.log_init[None, :] + b, axis=-1, keepdims=True)
+            btilde = jnp.logaddexp(b, log_leaky + tot)
+        else:
+            btilde = b
+        arc_w = (
+            g.out_logw[:, None] + y_t[:, g.out_pdf].T + btilde[:, g.out_dst].T
+        )
+        arc_post = alpha_prev[:, g.out_src].T + arc_w
+        gamma_t = jax.ops.segment_sum(
+            jnp.exp(arc_post - log_z[None, :]), g.out_pdf, num_segments=P
+        ).T
+        nb = _seg_logsumexp(arc_w, g.out_src, S, is_sorted=True).T
+        return nb, gamma_t
+
+    def seg(b, inputs):
+        chk, y_seg = inputs
+        # recompute this segment's pre-frame alphas from its checkpoint
+        _, alphas_seg = jax.lax.scan(
+            lambda a, y_t: (fstep(a, y_t)[0], a), chk, y_seg, unroll=UNROLL
+        )
+        b2, gammas = jax.lax.scan(
+            bstep, b, (y_seg, alphas_seg), reverse=True, unroll=UNROLL
+        )
+        return b2, gammas
+
+    bT = jnp.zeros((B, S))
+    _, gammas = jax.lax.scan(seg, bT, (chks, ys), reverse=True)
+    return jnp.swapaxes(gammas.reshape(T, B, P), 0, 1)
