@@ -168,3 +168,22 @@ def test_chain_loss_dispatches_resident(setup):
     l2, g2 = jax.value_and_grad(loss_fn)(y, gd)
     np.testing.assert_allclose(float(l1), float(l2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_clone_splitting_matches_scan_on_backoff_heavy_graph():
+    """LM pruning that breaks bigram closure gives states with many
+    distinct in-pdfs; the packer splits them into K=2 clones with
+    identical out-rows.  Dynamics must be unchanged."""
+    graph, tree = _graph(order=3, phones=5, ctx=2, seed=5, n_sents=60)
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    assert gr.num_slots == 2
+    assert gr.num_states >= graph.num_states  # clones appended
+    gs = DeviceDenGraph.from_host(graph)
+    rng = np.random.default_rng(6)
+    y = jnp.asarray(rng.normal(size=(3, 7, tree.num_pdfs)).astype(np.float32))
+    z_ref, alphas = den_scan.den_forward(y, gs, 0.1)
+    gamma_ref = den_scan.den_backward(y, gs, z_ref, alphas, 0.1)
+    z, res = den_resident.den_forward(y, gr, 0.1)
+    gamma = den_resident.den_backward(gr, res, 0.1)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gamma), np.asarray(gamma_ref), atol=3e-4)

@@ -15,9 +15,9 @@ what changes is the execution strategy:
   * the E-axis is laid out in K class-major SLOTS of S_pad columns each
     (slot e = (k, s): k-th distinct in-pdf of state s), so the Moore
     segment-sum (E_mat) and its transpose become K aligned slice-sums /
-    concats instead of one-hot matmuls.  The chain topology yields K = 2
-    (every state is entered through exactly two pdfs: a forward pdf and a
-    self-loop pdf) — asserted, with padding slots carrying zero mass;
+    concats instead of one-hot matmuls.  K = 2 (forward pdf + self-loop
+    pdf); states entered through more distinct pdfs (backoff targets under
+    aggressive LM pruning, tied trees) are clone-split in the packer;
   * the per-frame pdf broadcast (P_mat) and the final gamma scatter run
     OUTSIDE the kernel as one big batched op over [B*T] frames each, not
     T small ones inside the scan.
@@ -85,38 +85,56 @@ class DeviceResidentDenGraph:
         g: DenGraph,
         pad_to: int = 128,
         dtype=None,
-        max_slots: int = 4,
+        max_slots: int = 2,
     ) -> "DeviceResidentDenGraph":
         S = g.num_states
-        S_pad = _round_up(S, pad_to)
         dst = np.repeat(np.arange(S, dtype=np.int64), np.diff(g.in_offsets))
         pdf = g.in_pdf.astype(np.int64)
-        # k-th distinct (dst, pdf) pair per dst, in pdf order (in_* arrays
-        # are lexsorted by (dst, pdf) already: by_dst = lexsort((src, dst))
-        # then pdfs within a dst group are not sorted — sort per group here)
+        src = g.in_src.astype(np.int64)
+        prob = np.exp(g.in_logw.astype(np.float64)).astype(np.float32)
+        # k-th distinct (dst, pdf) pair per dst: states entered through more
+        # than max_slots distinct pdfs (backoff-target states when the LM
+        # pruning breaks bigram closure) are SPLIT into clones sharing the
+        # original's out-arc row — the forward dynamics are unchanged
+        # because clones of s carry identical outgoing rows and alpha mass
+        # just distributes across them; only clone 0 carries s's initial
+        # probability
         key = dst * (g.num_pdfs + 1) + pdf
         uniq_keys, inv = np.unique(key, return_inverse=True)
-        uniq_dst = uniq_keys // (g.num_pdfs + 1)
+        uniq_dst = (uniq_keys // (g.num_pdfs + 1)).astype(np.int64)
         uniq_pdf = (uniq_keys % (g.num_pdfs + 1)).astype(np.int32)
-        # slot index of each unique pair = rank within its dst group
         first_of_dst = np.searchsorted(uniq_dst, np.arange(S))
         slot_of_uniq = np.arange(uniq_keys.shape[0]) - first_of_dst[uniq_dst]
-        K = int(slot_of_uniq.max()) + 1 if uniq_keys.size else 1
-        if K > max_slots:
-            raise ValueError(
-                f"state with {K} distinct in-pdfs exceeds max_slots={max_slots}; "
-                "use the sparse/debruijn paths for this graph"
-            )
+        K = min(int(slot_of_uniq.max()) + 1 if uniq_keys.size else 1, max_slots)
+
+        # clone table: (dst, group_rank) -> (state_id, slot)
+        clone_rank = slot_of_uniq // K  # which clone of dst
+        uniq_slot = (slot_of_uniq % K).astype(np.int64)
+        n_clones_of = np.zeros(S, dtype=np.int64)
+        np.maximum.at(n_clones_of, uniq_dst, clone_rank + 1)
+        n_clones_of = np.maximum(n_clones_of, 1)
+        extra = n_clones_of - 1
+        clone_base = S + np.concatenate([[0], np.cumsum(extra)[:-1]])
+        S_tot = S + int(extra.sum())
+        # state id of each unique (dst, group): clone 0 = the original
+        uniq_state = np.where(
+            clone_rank == 0, uniq_dst, clone_base[uniq_dst] + clone_rank - 1
+        )
+
+        S_pad = _round_up(S_tot, pad_to)
         KS = K * S_pad
         slot_pdf = np.zeros(KS, dtype=np.int32)
         slot_live = np.zeros(KS, dtype=bool)
-        e_of_uniq = slot_of_uniq * S_pad + uniq_dst
+        e_of_uniq = uniq_slot * S_pad + uniq_state
         slot_pdf[e_of_uniq] = uniq_pdf
         slot_live[e_of_uniq] = True
 
         V = np.zeros((S_pad, KS), dtype=np.float32)
-        prob = np.exp(g.in_logw.astype(np.float64)).astype(np.float32)
-        np.add.at(V, (g.in_src.astype(np.int64), e_of_uniq[inv]), prob)
+        np.add.at(V, (src, e_of_uniq[inv]), prob)
+        # clones replicate their original's outgoing row
+        for s in np.flatnonzero(extra):
+            for c in range(int(extra[s])):
+                V[clone_base[s] + c] = V[s]
 
         onehot = np.zeros((KS, g.num_pdfs), dtype=np.float32)
         onehot[slot_live, slot_pdf[slot_live]] = 1.0

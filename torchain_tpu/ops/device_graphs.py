@@ -134,17 +134,35 @@ def auto_den_graph(
     tree=None,
     topo=None,
     max_contexts: int | None = None,
+    batch_hint: int = 64,
 ):
     """Pick the TPU-appropriate denominator representation.
 
     Preference order:
-      1. de Bruijn lift (gather-free dense recursion, ops/den_debruijn.py) —
+      1. VMEM-resident slot-dense Pallas kernel (ops/den_resident.py) on a
+         real TPU backend, whenever the slot matrix fits VMEM (bf16 past
+         the f32 budget) — the production fast path: 9.1 ms den fwd-bwd at
+         the 4-gram left-biphone graph vs 71.7 ms for the sparse scan
+         (B=64, T=50, v5e; BENCH_NOTES.md round 2).
+      2. de Bruijn lift (gather-free dense recursion, ops/den_debruijn.py)
          when the phone LM + tree are provided, the LM is truncation-
-         estimated, and the context space fits the budget.  This is the
-         production fast path at every graph scale.
-      2. dense Moore factorization (MXU matmuls) while V fits on chip.
-      3. sparse CSR log-semiring scan (fully general fallback).
+         estimated, and the context space fits the budget.
+      3. dense Moore factorization (MXU matmuls) while V fits on chip.
+      4. sparse CSR log-semiring scan (fully general fallback).
     """
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from torchain_tpu.ops import den_resident
+
+        try:
+            gr = den_resident.DeviceResidentDenGraph.from_host(
+                host_graph, pad_to=pad_to
+            )
+            if den_resident.fits_vmem(gr, batch_hint):
+                return gr
+        except ValueError:
+            pass  # fall through to the XLA paths
     if phone_lm is not None and tree is not None:
         if getattr(phone_lm, "debruijn_compatible", False):
             from torchain_tpu.graphs.debruijn import make_debruijn_den_graph
