@@ -144,3 +144,31 @@ class TestViterbi:
         assert isinstance(hyp, list)
         assert np.isfinite(score)
         assert all(1 <= p <= 2 for p in hyp)
+
+
+def test_active_token_decoder_matches_reference():
+    """csrc tt_viterbi_decode_active (faster-decoder role) vs the numpy
+    reference and the full-arc native core."""
+    import numpy as np
+    import pytest
+
+    from torchain_tpu.eval.native import native_viterbi_active
+    from torchain_tpu.graphs import ContextTree, PhoneLmOptions, estimate_phone_lm
+    from torchain_tpu.eval import make_decoding_graph, viterbi_decode
+
+    rng = np.random.default_rng(11)
+    sents = [list(map(int, rng.integers(1, 7, size=rng.integers(3, 9)))) for _ in range(60)]
+    lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=3, num_extra_lm_states=80))
+    tree = ContextTree(6, context_width=2)
+    graph = make_decoding_graph(lm, tree)
+    for seed in range(3):
+        y = (np.random.default_rng(seed).normal(size=(15, tree.num_pdfs)) * 1.3).astype(np.float32)
+        ref = viterbi_decode(graph, y, backend="numpy")
+        act = native_viterbi_active(graph, y, beam=16.0, max_active=0, use_final=True)
+        if act is None:  # no toolchain in this environment
+            pytest.skip("native library unavailable")
+        assert act[0] == ref[0]
+        assert act[1] == pytest.approx(ref[1], abs=1e-3)
+        # tight max_active still finds the same best path on these graphs
+        act2 = native_viterbi_active(graph, y, beam=16.0, max_active=50, use_final=True)
+        assert act2[0] == ref[0]

@@ -109,11 +109,14 @@ def viterbi_decode(
     use_final: bool = True,
     backend: str = "auto",  # auto | native | numpy
     phone_bonus: float = 0.0,
+    max_active: int = 7000,
 ) -> tuple[list[int], float]:
     """Best-path decode; returns (phone_sequence, path_score).
 
-    backend="auto" uses the C++ core (csrc/decoder.cc, built on demand)
-    and falls back to this vectorized numpy token-passing implementation,
+    backend="auto" uses the C++ active-token core (csrc/decoder.cc, built
+    on demand; only states alive within the beam are expanded, `max_active`
+    caps the frontier exactly as latgen-faster-mapped's --max-active) and
+    falls back to this vectorized numpy token-passing implementation,
     which remains the tested reference: each frame scores every arc, takes
     a segment max per destination state (argmax kept as backpointer), then
     prunes tokens outside `beam` of the frame-best.
@@ -130,9 +133,15 @@ def viterbi_decode(
             ),
         )
     if backend in ("auto", "native"):
-        from torchain_tpu.eval.native import native_viterbi
+        from torchain_tpu.eval.native import native_viterbi, native_viterbi_active
 
-        out = native_viterbi(graph, np.asarray(loglikes, np.float32), beam, use_final)
+        out = native_viterbi_active(
+            graph, np.asarray(loglikes, np.float32), beam, max_active, use_final
+        )
+        if out is None:
+            out = native_viterbi(
+                graph, np.asarray(loglikes, np.float32), beam, use_final
+            )
         if out is not None:
             return out
         if backend == "native":

@@ -91,3 +91,77 @@ def native_viterbi(graph, loglikes: np.ndarray, beam: float, use_final: bool):
     if rc != 0:
         return None
     return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)
+
+
+def _src_csr(graph):
+    """Cached src-sorted arc views (offsets, dst, pdf, weight, olabel)."""
+    cached = getattr(graph, "_src_csr_cache", None)
+    if cached is not None:
+        return cached
+    order = np.argsort(graph.src, kind="stable")
+    src_sorted = np.ascontiguousarray(graph.src[order], np.int32)
+    offsets = np.zeros(graph.num_states + 1, dtype=np.int32)
+    np.add.at(offsets, src_sorted + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    cached = (
+        offsets.astype(np.int32),
+        np.ascontiguousarray(graph.dst[order], np.int32),
+        np.ascontiguousarray(graph.pdf[order], np.int32),
+        np.ascontiguousarray(graph.weight[order], np.float32),
+        np.ascontiguousarray(graph.olabel[order], np.int32),
+    )
+    try:
+        object.__setattr__(graph, "_src_csr_cache", cached)
+    except Exception:
+        pass
+    return cached
+
+
+def native_viterbi_active(
+    graph,
+    loglikes: np.ndarray,
+    beam: float,
+    max_active: int,
+    use_final: bool,
+):
+    """Active-token best path (faster-decoder role: only live states are
+    expanded, max_active caps the frontier).  Returns (phones, score) or
+    None if the native library is missing."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tt_viterbi_decode_active"):
+        return None
+    if not getattr(lib, "_active_proto_set", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.tt_viterbi_decode_active.restype = ctypes.c_int
+        lib.tt_viterbi_decode_active.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, f32p, i32p, f32p,
+            f32p,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib._active_proto_set = True
+    offsets, dst, pdf, weight, olabel = _src_csr(graph)
+    T = loglikes.shape[0]
+    out_phones = np.zeros(T, dtype=np.int32)
+    out_len = ctypes.c_int32(0)
+    out_score = ctypes.c_float(0.0)
+    rc = lib.tt_viterbi_decode_active(
+        graph.num_states,
+        dst.shape[0],
+        graph.num_pdfs,
+        T,
+        offsets, dst, pdf, weight, olabel,
+        np.ascontiguousarray(graph.final_logw, np.float32),
+        np.ascontiguousarray(loglikes, np.float32),
+        beam,
+        int(max_active),
+        int(use_final),
+        out_phones,
+        ctypes.byref(out_len),
+        ctypes.byref(out_score),
+    )
+    if rc != 0:
+        return None
+    return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)
