@@ -85,6 +85,21 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--vocab-size", type=int, default=20)
     p.add_argument("--word-lm-order", type=int, default=2)
+    p.add_argument(
+        "--tied-tree-pdfs",
+        type=int,
+        default=0,
+        help="build a data-driven TIED tree from the corpus alignments with "
+        "this pdf budget (Kaldi build-tree role) and train/decode with it; "
+        "0 keeps the enumerated ContextTree",
+    )
+    p.add_argument(
+        "--tied-tree-context",
+        choices=("left", "triphone"),
+        default="left",
+        help="context window of the tied tree (triphone enables the "
+        "delayed-emission right-context graph expansion)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
     p.add_argument(
@@ -175,6 +190,38 @@ def main(argv=None) -> dict:
         corpus.utts = corpus.utts[: -args.valid_utts]
         if word_corpus is not None:
             word_corpus.transcripts = word_corpus.transcripts[: -args.valid_utts]
+
+    if args.tied_tree_pdfs > 0:
+        from torchain_tpu.graphs import (
+            accumulate_tree_stats,
+            build_tied_tree,
+            compile_den_graph,
+            make_den_fst,
+            make_normalization_fst,
+        )
+
+        print(
+            f"[stage 0t] building tied {args.tied_tree_context} tree "
+            f"({args.tied_tree_pdfs} pdfs) from alignments"
+        )
+        stats = accumulate_tree_stats(
+            corpus.utts,
+            args.num_phones,
+            frame_subsampling_factor=3,
+            context=args.tied_tree_context,
+        )
+        tied = build_tied_tree(stats, num_pdfs=args.tied_tree_pdfs)
+        den_fst = make_den_fst(corpus.phone_lm, tied)
+        graph = compile_den_graph(den_fst, tied.num_pdfs)
+        corpus.tree = tied
+        corpus.den_graph = graph
+        corpus.den_fst = den_fst
+        corpus.dense_den = None
+        corpus.norm_fst = make_normalization_fst(den_fst, graph.initial_probs)
+        print(
+            f"[stage 0t] tied tree: {tied.num_pdfs} pdfs, den graph "
+            f"S={graph.num_states} A={graph.num_arcs}"
+        )
 
     if args.model == "tdnn":
         cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)
