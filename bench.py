@@ -16,10 +16,103 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: TPU compiles through the axon
+    relay cost minutes; caching makes repeat runs (and the driver's bench
+    run after a warm-up) near-instant."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+def production_config():
+    """Production-scale measurement (VERDICT r1 item 1): 4-gram pruned LM +
+    left-biphone tree (S~3.9k, P=1680), VMEM-resident Pallas denominator,
+    TDNN-F bf16 trunk, B=128.  Returns dict of extra headline fields."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import TDNNF, TdnnfConfig
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.train import create_train_state, make_train_step
+
+    B, T_OUT = 128, 50
+    corpus = synthetic_dataset(
+        num_utts=2 * B,
+        num_phones=40,
+        feat_dim=40,
+        utt_frames_out=(T_OUT, T_OUT + 10),
+        seed=0,
+        context_width=2,
+        lm_order=4,
+        lm_extra_states=2000,
+    )
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=768,
+        bottleneck_dim=96,
+        prefinal_dim=256,
+        num_layers=9,
+        dtype=jnp.bfloat16,
+    )
+    left, right = cfg.context
+    dataset = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=T_OUT,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+    )
+    batch = next(dataset.batches(B, shuffle=False))
+    den = auto_den_graph(corpus.den_graph, batch_hint=B)
+    sup = DeviceSupervision.from_host(batch.sup)
+    feats = jnp.asarray(batch.feats)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    step_fn = make_train_step(
+        ChainLossOptions(
+            l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
+        )
+    )
+    model = TDNNF(cfg)
+    state = create_train_state(model, feats, tx)
+    for _ in range(3):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+    best = float("inf")
+    for _ in range(4):
+        t0 = _t.perf_counter()
+        for _ in range(10):
+            state, metrics = step_fn(state, feats, den, sup)
+        jax.block_until_ready(metrics["loss"])
+        best = min(best, (_t.perf_counter() - t0) / 10)
+    audio = batch.feats.shape[0] * batch.sup.num_frames * 3 * 0.010
+    return {
+        "production_den_path": type(den).__name__,
+        "production_step_ms": round(best * 1e3, 2),
+        "production_audio_s_per_s_per_chip": round(
+            audio / best / max(1, len(jax.devices())), 1
+        ),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    _enable_compile_cache()
 
     from torchain_tpu.data import ChainDataset, synthetic_dataset
     from torchain_tpu.graphs import SupervisionOptions
@@ -96,16 +189,22 @@ def main():
     b_actual = batch.feats.shape[0]
     audio_seconds_per_batch = b_actual * batch.sup.num_frames * 3 * 0.010
     value = audio_seconds_per_batch / best / max(1, len(jax.devices()))
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_per_second_per_chip",
-                "value": round(value, 2),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / 1000.0, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 1000.0, 3),
+    }
+    # second headline: the production-scale (4-gram biphone) configuration
+    # on the VMEM-resident Pallas path — TPU only (the VERDICT r1 "report
+    # BOTH graph scales" requirement); guarded so a failure/timeout there
+    # never loses the primary metric
+    if jax.default_backend() == "tpu":
+        try:
+            out.update(production_config())
+        except Exception as e:  # noqa: BLE001
+            out["production_error"] = str(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+"""Profile the conformer train step and print the top device ops.
+
+Usage: timeout 1500 python tools/profile_conformer.py [--dtype bf16|f32]
+
+Captures a jax.profiler trace of a few steps and aggregates device-side
+event durations from the xplane protobuf (tensorflow is in the image), so
+pathological ops (the 122 ms bf16 conformer step, BENCH_NOTES round 2)
+can be named instead of guessed."""
+
+import argparse
+import glob
+import gzip
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--logdir", default="/tmp/tb_conformer")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import Conformer, ConformerConfig
+    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.train import create_train_state, make_train_step
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    B, T_OUT, FEAT = 64, 50, 40
+    corpus = synthetic_dataset(
+        num_utts=2 * B,
+        num_phones=40,
+        feat_dim=FEAT,
+        utt_frames_out=(T_OUT, T_OUT + 10),
+        seed=0,
+        lm_order=3,
+        lm_extra_states=1000,
+    )
+    cfg = ConformerConfig(
+        num_pdfs=corpus.tree.num_pdfs, dim=256, num_layers=8, num_heads=4, dtype=dtype
+    )
+    left, right = cfg.context
+    dataset = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=T_OUT,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+    )
+    batch = next(dataset.batches(B, shuffle=False))
+    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    sup = DeviceSupervision.from_host(batch.sup)
+    feats = jnp.asarray(batch.feats)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    step_fn = make_train_step(
+        ChainLossOptions(l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1)
+    )
+    model = Conformer(cfg)
+    state = create_train_state(model, feats, tx)
+    for _ in range(2):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+    jax.profiler.stop_trace()
+    print("trace captured", flush=True)
+
+    # aggregate device events from the xplane protobuf
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = sorted(glob.glob(args.logdir + "/**/*.xplane.pb", recursive=True))
+    if not paths:
+        print("no xplane found", flush=True)
+        return
+    xspace = xplane_pb2.XSpace()
+    xspace.ParseFromString(open(paths[-1], "rb").read())
+    totals = {}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e9
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:30]
+    print(f"top device ops (ms total over {args.steps} steps):", flush=True)
+    for name, ms in top:
+        print(f"  {ms:10.3f} ms  {name[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,9 @@ def force_align(
     if T < N:
         raise ValueError(f"{N} phones cannot align to {T} frames")
     left = [left_context_phone] + phones[:-1]
-    pdf0 = np.array([tree.pdf(p, 0, l) for p, l in zip(phones, left)])
-    pdf1 = np.array([tree.pdf(p, 1, l) for p, l in zip(phones, left)])
+    right = phones[1:] + [0]
+    pdf0 = np.array([tree.pdf(p, 0, l, r) for p, l, r in zip(phones, left, right)])
+    pdf1 = np.array([tree.pdf(p, 1, l, r) for p, l, r in zip(phones, left, right)])
     lc, le = topo.log_continue, topo.log_end
 
     # score[i] = best log-prob of being "inside phone i" after frame t

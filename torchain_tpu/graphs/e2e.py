@@ -40,9 +40,10 @@ def transcript_to_e2e_fst(
     start = fst.add_state()
     loops = [fst.add_state() for _ in phones]
     left = [left_context_phone] + phones[:-1]
+    right = phones[1:] + [0]
     for i, p in enumerate(phones):
-        pdf0 = tree.pdf(p, 0, left[i])
-        pdf1 = tree.pdf(p, 1, left[i])
+        pdf0 = tree.pdf(p, 0, left[i], right[i])
+        pdf1 = tree.pdf(p, 1, left[i], right[i])
         src = start if i == 0 else loops[i - 1]
         fst.add_arc(src, pdf0 + 1, 0.0, loops[i])
         fst.add_arc(loops[i], pdf1 + 1, 0.0, loops[i])

@@ -77,6 +77,13 @@ def make_hclg(
     """
     if word_lm.has_epsilons():
         raise ValueError("word grammar must be epsilon-free")
+    rd = getattr(tree, "right_dependent", None)
+    if rd is not None and (rd(0) or rd(1)):
+        raise NotImplementedError(
+            "word HCLG with right-context (triphone) trees needs cross-word "
+            "lookahead states; use a left-context tree for word decoding "
+            "(the den/supervision/phone-decode paths are triphone-complete)"
+        )
     lexicon.validate(tree.num_phones)
     need_prev = tree.context_dependent(0) or tree.context_dependent(1)
     need_loop_ctx = tree.context_dependent(1)

@@ -39,9 +39,13 @@ class ConformerConfig:
     #: compute dtype of the trunk (params stay float32).  The r1 bf16
     #: regression came from normalization layers computing IN bf16 and the
     #: resulting up/down conversions around every block; normalization now
-    #: runs as explicit f32 islands (_norm_f32 below) with bf16 matmuls
-    #: between them, the pattern that makes bf16 pay on MXU
+    #: runs as explicit f32 islands with bf16 matmuls between them, the
+    #: pattern that makes bf16 pay on MXU
     dtype: Any = jnp.float32
+    #: keep the depthwise conv in f32 even for bf16 trunks: measured on
+    #: v5e, the bf16 grouped conv lowers catastrophically (122 ms vs
+    #: 2.8 ms full step) — it is bandwidth-trivial anyway
+    depthwise_f32: bool = True
 
     @property
     def context(self) -> tuple[int, int]:
@@ -103,14 +107,15 @@ class ConformerBlock(nn.Module):
         h = ln(x, "ln_conv")
         h = nn.Dense(2 * cfg.dim, dtype=cfg.dtype, name="conv_in")(h)
         h = nn.glu(h, axis=-1)
+        dw_dtype = jnp.float32 if cfg.depthwise_f32 else cfg.dtype
         h = nn.Conv(
             cfg.dim,
             kernel_size=(cfg.conv_kernel,),
             feature_group_count=cfg.dim,
             padding="SAME",
-            dtype=cfg.dtype,
+            dtype=dw_dtype,
             name="depthwise",
-        )(h)
+        )(h.astype(dw_dtype))
         # f32 batch-norm island (running stats must not accumulate in bf16)
         h = nn.BatchNorm(
             use_running_average=not train, axis_name=None, dtype=jnp.float32
