@@ -23,8 +23,9 @@ what changes is the execution strategy:
     T small ones inside the scan.
 
 Per-frame cost is therefore two [B,S]x[S,K*S] MXU matmuls (fwd alpha, bwd
-beta pullback) plus one in the backward for the alpha~ recompute, with only
-~B*(K+1)*S*4 bytes of HBM traffic per frame.  At the production 4-gram
+beta pullback; the backward reads the forward's stored normalized per-slot
+alphas instead of recomputing them), with ~B*(3K+1)*S*4 bytes of HBM
+traffic per frame.  At the production 4-gram
 left-biphone graph (S~4k) V no longer fits VMEM in f32, so it is held in
 bf16 with f32 accumulation — the same trade as TORCHAIN_DEN_PRECISION=
 default on the XLA path (~1e-3 occupancy error, training-stable); smaller
@@ -186,7 +187,7 @@ def _fwd_kernel(
     init_ref,  # [1, S] f32
     alpha0_ref,  # [B, S] f32 initial sigma_hat
     logc_ref,  # [1, B, LANE] out (broadcast lanes)
-    sh_ref,  # [1, B, S] out: sigma_hat at entry of frame t
+    ah_ref,  # [1, B, KS] out: normalized per-slot alpha of frame t
     carry_ref,  # scratch [B, S] f32
 ):
     t = pl.program_id(0)
@@ -196,7 +197,6 @@ def _fwd_kernel(
         carry_ref[...] = alpha0_ref[...]
 
     sh = carry_ref[...]
-    sh_ref[0] = sh
     if leaky > 0.0:
         sig = sh + leaky * jnp.sum(sh, axis=-1, keepdims=True) * init_ref[...]
     else:
@@ -211,6 +211,7 @@ def _fwd_kernel(
     c = jnp.sum(alpha, axis=-1, keepdims=True)  # [B, 1]
     logc_ref[0] = jnp.broadcast_to(jnp.log(c), (c.shape[0], LANE))
     alpha_hat = alpha / c
+    ah_ref[0] = alpha_hat
     nxt = alpha_hat[:, 0:S]
     for k in range(1, K):
         nxt = nxt + alpha_hat[:, k * S : (k + 1) * S]
@@ -222,13 +223,13 @@ def _bwd_kernel(
     K: int,
     S: int,
     pe_ref,  # [1, B, KS] (reversed t)
-    sh_ref,  # [1, B, S] sigma_hat entering frame t (reversed)
-    fy_ref,  # [1, B, LANE] F_{t-1} + ymax_t, broadcast lanes (reversed)
+    ah_ref,  # [1, B, KS] normalized per-slot alpha of frame t (reversed)
+    f_ref,  # [1, B, LANE] F_t = cumsum(logc + ymax), broadcast lanes (rev)
     ymax_ref,  # [1, B, LANE] (reversed)
     v_ref,  # [S, KS] resident
     init_ref,  # [1, S]
     logz_ref,  # [B, LANE]
-    occ_ref,  # [1, B, KS] out: ah * bh * scale  (reversed t)
+    occ_ref,  # [1, B, KS] out: alpha_hat * bh * scale  (reversed t)
     bh_ref,  # scratch [B, KS] f32
     g_ref,  # scratch [B, LANE] f32
 ):
@@ -243,19 +244,12 @@ def _bwd_kernel(
         return jnp.max(tile, axis=-1, keepdims=True)
 
     pe = pe_ref[0]
-    sh = sh_ref[0]
-    if leaky > 0.0:
-        sig = sh + leaky * jnp.sum(sh, axis=-1, keepdims=True) * init_ref[...]
-    else:
-        sig = sh
-    ah = pe * jax.lax.dot_general(
-        sig.astype(v_ref.dtype),
-        v_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    ah = ah_ref[0]  # = (pe * (L sh_prev) @ V) / c_t, stored by the forward
     bh = bh_ref[...]
-    scale = jnp.exp(col(fy_ref[0]) + col(g_ref[...]) - col(logz_ref[...]))  # [B, 1]
+    # scale folds the stored normalization back in:
+    # ah_unnorm * bh * exp(F_{t-1} + ymax_t + G - logZ)
+    #   = ah * bh * exp(F_t + G - logZ)        (F_t = F_{t-1} + ymax + logc)
+    scale = jnp.exp(col(f_ref[0]) + col(g_ref[...]) - col(logz_ref[...]))  # [B, 1]
     occ_ref[0] = ah * bh * scale
     # beta pullback: v = (pe * bh) @ V^T, then leak^T, broadcast to slots
     w = (pe * bh).astype(v_ref.dtype)
@@ -307,7 +301,7 @@ def den_forward(
     alpha0 = jnp.broadcast_to(g.init, (B, S))
 
     kern = functools.partial(_fwd_kernel, leaky, K, S)
-    logc_t, sh = pl.pallas_call(
+    logc_t, ah = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -318,11 +312,11 @@ def den_forward(
         ],
         out_specs=[
             pl.BlockSpec((1, B, LANE), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, KS), lambda t: (t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, KS), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -336,7 +330,7 @@ def den_forward(
     if leaky > 0.0:
         log_z = log_z + jnp.log1p(leaky)
     res = dict(
-        resident=True, pe=pe, ymax=ymax, logc=logc, sh=sh, log_z=log_z
+        resident=True, pe=pe, ymax=ymax, logc=logc, ah=ah, log_z=log_z
     )
     return log_z, res
 
@@ -348,13 +342,11 @@ def den_backward(
 ) -> jnp.ndarray:
     """Returns gamma [B, T, P]; scale bookkeeping identical to den_dense."""
     pe, ymax, logc = res["pe"], res["ymax"], res["logc"]
-    sh, log_z = res["sh"], res["log_z"]
+    ah, log_z = res["ah"], res["log_z"]
     T, B, KS = pe.shape
     S, K = g.num_states, g.num_slots
 
     F = jnp.cumsum(logc + ymax.T, axis=0)  # [T, B]
-    F_prev = jnp.concatenate([jnp.zeros((1, B)), F[:-1]], axis=0)
-    fy = F_prev + ymax.T  # [T, B]
     tile = lambda x: jnp.broadcast_to(x[..., None], x.shape + (LANE,))
 
     nt = T
@@ -365,7 +357,7 @@ def den_backward(
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, KS), rev3),
-            pl.BlockSpec((1, B, S), rev3),
+            pl.BlockSpec((1, B, KS), rev3),
             pl.BlockSpec((1, B, LANE), rev3),
             pl.BlockSpec((1, B, LANE), rev3),
             pl.BlockSpec((S, KS), lambda t: (0, 0)),
@@ -384,8 +376,8 @@ def den_backward(
         interpret=_interpret(),
     )(
         pe,
-        sh,
-        tile(fy),
+        ah,
+        tile(F),
         tile(ymax.T),
         g.V,
         g.init,
