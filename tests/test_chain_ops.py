@@ -266,18 +266,24 @@ class TestBetaPullbackStability:
     the frame maximum underflows to -inf in float32, silently zeroing its
     gamma contributions at earlier frames."""
 
-    def test_per_slot_max_no_underflow(self):
-        # two src slots whose arc weights differ by 200 nats within a frame
-        B, S, K = 1, 2, 2
-        arc_w = jnp.array([[[0.0, -1.0], [-200.0, -201.0]]])  # [B, S, K]
-        src = jnp.array([[[0, 1], [0, 1]]], dtype=jnp.int32)
-        nb = num_scan.beta_pullback(arc_w, src, S)
-        # slot 0 gathers arcs {0.0 (from dst 0), -200.0 (from dst 1)};
-        # slot 1 gathers {-1.0, -201.0}
-        exp0 = np.logaddexp(0.0, -200.0)
-        exp1 = np.logaddexp(-1.0, -201.0)
-        assert np.isfinite(np.asarray(nb)).all()
-        np.testing.assert_allclose(np.asarray(nb)[0], [exp0, exp1], atol=1e-6)
+    def test_out_tables_regroup_arcs_by_source(self):
+        # the pullback now runs over out-arc tables (grouped by src slot in
+        # DeviceSupervision.from_host), so per-slot stabilization is the
+        # plain logsumexp over the K2 axis; verify the regrouping is exact
+        from torchain_tpu.ops.device_graphs import _out_tables
+
+        in_src = np.array([[[[[0, 1], [0, -1]]]]], dtype=np.int32)[0]  # [1,1,2,2]
+        in_pdf = np.array([[[[1, 2], [3, 0]]]], dtype=np.int32)
+        in_logw = np.array([[[[-1.0, -2.0], [-200.0, np.float32("-inf")]]]], np.float32)
+        odst, opdf, ologw = _out_tables(in_src, in_pdf, in_logw, np.float32(-np.inf))
+        # src slot 0 owns arcs to dst 0 (pdf 1, -1.0) and dst 1 (pdf 3, -200)
+        arcs0 = {(int(d), int(pp), float(w)) for d, pp, w in
+                 zip(odst[0, 0, 0], opdf[0, 0, 0], ologw[0, 0, 0]) if d >= 0}
+        assert arcs0 == {(0, 1, -1.0), (1, 3, -200.0)}
+        # src slot 1 owns the arc to dst 0 (pdf 2, -2.0)
+        arcs1 = {(int(d), int(pp), float(w)) for d, pp, w in
+                 zip(odst[0, 0, 1], opdf[0, 0, 1], ologw[0, 0, 1]) if d >= 0}
+        assert arcs1 == {(0, 2, -2.0)}
 
     def test_huge_spread_gradients_match_oracle(self, setup):
         # supervision backward with an extreme-spread y: the float64 oracle

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from jax.tree_util import register_dataclass
 
 from torchain_tpu.graphs.e2e import E2eSupervision
-from torchain_tpu.ops.num_scan import beta_pullback
 
 #: scan unroll factor (env TORCHAIN_SCAN_UNROLL).  Unrolling amortizes
 #: sequential-loop overhead but inflates the program; measured on TPU v5e,
@@ -39,6 +38,10 @@ class DeviceE2eSupervision:
     in_src: jnp.ndarray  # int32 [B, S, K]
     in_pdf: jnp.ndarray  # int32 [B, S, K]
     in_logw: jnp.ndarray  # float32 [B, S, K]
+    #: the same arc set regrouped by SOURCE slot (backward pass tables)
+    out_dst: jnp.ndarray  # int32 [B, S, K2]
+    out_pdf: jnp.ndarray  # int32 [B, S, K2]
+    out_logw: jnp.ndarray  # float32 [B, S, K2]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
     num_frames: int = dataclasses.field(metadata=dict(static=True))
@@ -53,10 +56,23 @@ class DeviceE2eSupervision:
         in_logw = s.in_logw if s.in_logw.ndim == 3 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
+        import numpy as np
+
+        from torchain_tpu.ops.device_graphs import _out_tables
+
+        odst, opdf, ologw = _out_tables(
+            np.asarray(in_src)[:, None],
+            np.asarray(in_pdf)[:, None],
+            np.asarray(in_logw)[:, None],
+            np.float32(-np.inf),
+        )
         return DeviceE2eSupervision(
             in_src=jnp.asarray(in_src),
             in_pdf=jnp.asarray(in_pdf),
             in_logw=jnp.asarray(in_logw),
+            out_dst=jnp.asarray(odst[:, 0]),
+            out_pdf=jnp.asarray(opdf[:, 0]),
+            out_logw=jnp.asarray(ologw[:, 0]),
             final_logw=jnp.asarray(final),
             weight=jnp.broadcast_to(
                 jnp.asarray(s.weight, dtype=jnp.float32), (B,)
@@ -119,20 +135,26 @@ def e2e_backward(
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
+    omask = sup.out_dst >= 0
+
     def step(b, inputs):
+        # out-arc tables (grouped by src slot): the beta pullback is a
+        # plain per-slot masked logsumexp, no segment ops (see num_scan)
         y_t, alpha_t = inputs
         arc_w = jnp.where(
-            mask, sup.in_logw + _gather_pdfs(y_t, sup.in_pdf) + b[:, :, None], NEG_INF
+            omask,
+            sup.out_logw + _gather_pdfs(y_t, sup.out_pdf) + _gather_states(b, sup.out_dst),
+            NEG_INF,
         )
-        arc_post = _gather_states(alpha_t, sup.in_src) + arc_w
+        arc_post = alpha_t[:, :, None] + arc_w
         post = jnp.where(
-            mask & valid[:, None, None],
+            omask & valid[:, None, None],
             jnp.exp(arc_post - safe_logp[:, None, None]),
             0.0,
         )
-        flat_idx = (jnp.arange(B)[:, None, None] * P + sup.in_pdf).reshape(-1)
+        flat_idx = (jnp.arange(B)[:, None, None] * P + sup.out_pdf).reshape(-1)
         gamma_t = jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
-        nb = beta_pullback(arc_w, sup.in_src, S)
+        nb = jax.nn.logsumexp(arc_w, axis=-1)
         return nb, gamma_t
 
     bT = sup.final_logw

@@ -29,34 +29,6 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 NEG_INF = -jnp.inf
 
 
-def beta_pullback(
-    arc_w: jnp.ndarray,  # [B, S, K] in-arc weights incl. beta(dst); NEG_INF pad
-    src: jnp.ndarray,  # int32 [B, S, K] source-state ids (-1 = pad)
-    S: int,
-) -> jnp.ndarray:
-    """Per-src-state logsumexp of in-arc weights: [B, S, K] -> beta [B, S].
-
-    Stabilizes with a PER-SRC-SLOT max (segment_max over flattened (b, src)
-    ids), not a frame-global max: with a global max, any src state whose
-    best arc is more than ~88 nats below the frame maximum would underflow
-    to -inf in float32, silently zeroing its gamma contributions at earlier
-    frames (matters for cyclic e2e graphs and long chunks).  Mirrors
-    den_scan._seg_logsumexp.
-    """
-    B = arc_w.shape[0]
-    mask = src >= 0
-    flat_w = jnp.where(mask, arc_w, NEG_INF).reshape(-1)
-    src_idx = (
-        jnp.arange(B)[:, None, None] * S + jnp.clip(src, 0, S - 1)
-    ).reshape(-1)
-    m = jax.ops.segment_max(flat_w, src_idx, num_segments=B * S)  # [B*S]
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    contrib = jnp.where(mask.reshape(-1), jnp.exp(flat_w - m_safe[src_idx]), 0.0)
-    acc = jax.ops.segment_sum(contrib, src_idx, num_segments=B * S)
-    nb = jnp.where(acc > 0, jnp.log(jnp.maximum(acc, 1e-300)) + m_safe, NEG_INF)
-    return nb.reshape(B, S)
-
-
 def _gather_states(alpha: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """alpha [B, S], idx [B, S, K] (values in [0, S), -1 = pad) -> [B, S, K]."""
     B, S = alpha.shape
@@ -109,20 +81,27 @@ def num_backward(
 ) -> jnp.ndarray:
     """Returns gamma [B, T, P] = d(log_prob)/dy (numerator occupancies).
     Sequences with non-finite log_p yield zero gamma (the caller applies the
-    numeric-failure policy)."""
+    numeric-failure policy).
+
+    Runs over the OUT-arc tables (the in-arc set regrouped by source slot in
+    DeviceSupervision.from_host): the beta pullback is then a plain masked
+    logsumexp over the arc axis — per-src-slot stabilization by
+    construction (the ADVICE r1 underflow fix) with no data-dependent
+    segment ops inside the scan."""
     B, T, P = y.shape
-    S, K = sup.max_states, sup.max_arcs
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
     def step(b, inputs):
         # b [B, S]: log beta of frame t+1 states; process frame step t
-        y_t, src, pdf, logw, alpha_t = inputs
-        mask = src >= 0
+        y_t, odst, opdf, ologw, alpha_t = inputs
+        mask = odst >= 0
         arc_w = jnp.where(
-            mask, logw + _gather_pdfs(y_t, pdf) + b[:, :, None], NEG_INF
-        )  # in-arc weight + beta(dst): [B, S(dst), K]
-        arc_post = _gather_states(alpha_t, src) + arc_w
+            mask,
+            ologw + _gather_pdfs(y_t, opdf) + _gather_states(b, odst),
+            NEG_INF,
+        )  # out-arc weight + beta(dst): [B, S(src), K2]
+        arc_post = alpha_t[:, :, None] + arc_w
         post = jnp.where(
             mask & valid[:, None, None],
             jnp.exp(arc_post - safe_logp[:, None, None]),
@@ -130,23 +109,22 @@ def num_backward(
         )
         # scatter into pdf space: flat one-hot scatter-add per batch row
         flat_idx = (
-            jnp.arange(B)[:, None, None] * P + pdf
+            jnp.arange(B)[:, None, None] * P + opdf
         ).reshape(-1)
         gamma_t = (
             jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
         )
-        # pull beta back to frame-t states: logsumexp over arcs grouped by
-        # src slot, stabilized per-slot (see beta_pullback)
-        nb = beta_pullback(arc_w, src, S)
+        # beta pullback: per-src-slot masked logsumexp over out-arcs
+        nb = jax.nn.logsumexp(arc_w, axis=-1)
         return nb, gamma_t
 
     bT = sup.final_logw  # [B, S]
     ys = jnp.swapaxes(y, 0, 1)
-    srcs = jnp.swapaxes(sup.in_src, 0, 1)
-    pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
-    logws = jnp.swapaxes(sup.in_logw, 0, 1)
+    odsts = jnp.swapaxes(sup.out_dst, 0, 1)
+    opdfs = jnp.swapaxes(sup.out_pdf, 0, 1)
+    ologws = jnp.swapaxes(sup.out_logw, 0, 1)
     _, gammas = jax.lax.scan(
-        step, bT, (ys, srcs, pdfs, logws, alphas[:-1]), reverse=True,
+        step, bT, (ys, odsts, opdfs, ologws, alphas[:-1]), reverse=True,
         unroll=UNROLL,
     )
     return jnp.swapaxes(gammas, 0, 1)
