@@ -22,6 +22,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def measure(fn, *args, warmup=2, windows=4, iters=8):
     import jax
 
+    from torchain_tpu.utils.compile_cache import enable as _cc
+    _cc()
+
     out = fn(*args)
     jax.block_until_ready(out)
     for _ in range(warmup):

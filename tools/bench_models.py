@@ -26,6 +26,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from torchain_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax.numpy as jnp
     import optax
 
