@@ -52,7 +52,7 @@ from torchain_tpu.graphs.den_graph import DenGraph
 VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(104 * 1024 * 1024)))
 
 #: hold V in f32 while it fits this many bytes; bf16 beyond
-F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(44 * 1024 * 1024)))
+F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(68 * 1024 * 1024)))
 
 
 def _round_up(x: int, m: int) -> int:
