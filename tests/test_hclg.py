@@ -233,3 +233,45 @@ def test_word_recipe_wer_gate():
     # word task is harder than phones (lexicon constraints actually help);
     # untrained sits near ~100% WER
     assert score["wer"] < 25.0, score
+
+
+def test_hclg_with_tied_left_tree():
+    """Word HCLG over a data-driven tied LEFT-context tree (the tied pdf
+    map must flow through lexicon expansion consistently with training
+    supervision)."""
+    import numpy as np
+
+    from torchain_tpu.graphs import (
+        accumulate_tree_stats,
+        build_tied_tree,
+    )
+    from torchain_tpu.data.loader import Utterance
+    from torchain_tpu.fstkit import enumerate_paths
+    from torchain_tpu.graphs.hclg import Lexicon, make_hclg
+
+    rng = np.random.default_rng(0)
+    utts = []
+    for _ in range(30):
+        phones = list(rng.integers(1, 5, size=rng.integers(3, 7)))
+        durs = [int(rng.integers(1, 4)) for _ in phones]
+        feats = rng.normal(size=(sum(durs), 6)).astype(np.float32)
+        utts.append(Utterance(feats=feats, alignment=list(zip(phones, durs))))
+    stats = accumulate_tree_stats(utts, num_phones=4)
+    tree = build_tied_tree(stats, num_pdfs=14)
+
+    from torchain_tpu.fstkit import Fst
+
+    g = Fst()
+    s0, s1 = g.add_state(), g.add_state()
+    g.add_arc(s0, 1, 0.0, s1)
+    g.add_arc(s1, 2, 0.0, s1)
+    g.set_final(s1, 0.0)
+    lex = Lexicon(prons={1: [(1, 2)], 2: [(3,)]})
+    fst, olabels = make_hclg(g, lex, tree)
+    assert not fst.has_epsilons()
+    assert len(olabels) == fst.num_arcs
+    # every emitted pdf must be a valid tied pdf id
+    for s, a in fst.all_arcs():
+        assert 0 <= a.label - 1 < tree.num_pdfs
+    # at least one full path accepted (word 1 then word 2)
+    assert any(True for _ in enumerate_paths(fst))
