@@ -79,11 +79,8 @@ def make_hclg(
         raise ValueError("word grammar must be epsilon-free")
     rd = getattr(tree, "right_dependent", None)
     if rd is not None and (rd(0) or rd(1)):
-        raise NotImplementedError(
-            "word HCLG with right-context (triphone) trees needs cross-word "
-            "lookahead states; use a left-context tree for word decoding "
-            "(the den/supervision/phone-decode paths are triphone-complete)"
-        )
+        lexicon.validate(tree.num_phones)
+        return _make_hclg_triphone(word_lm, lexicon, tree, topo, lm_scale)
     lexicon.validate(tree.num_phones)
     need_prev = tree.context_dependent(0) or tree.context_dependent(1)
     need_loop_ctx = tree.context_dependent(1)
@@ -175,6 +172,148 @@ def make_hclg(
                     else:
                         after = ("chain", g2, pron, 1)
                     phone_steps(src, q0, prev, after, lmw, w)
+
+    arc_olabel = [
+        ol for s in range(out.num_states) for ol in olabel_per_state.get(s, [])
+    ]
+    assert len(arc_olabel) == out.num_arcs
+    return out, arc_olabel
+
+
+def _make_hclg_triphone(
+    word_lm: Fst,
+    lexicon: Lexicon,
+    tree,
+    topo: ChainTopology,
+    lm_scale: float,
+) -> tuple[Fst, list[int]]:
+    """Right-context (triphone) word HCLG with CROSS-WORD context.
+
+    Triphone pdfs depend on (left, phone, right), so a phone's frames can
+    only be emitted once its successor phone is known — including across
+    word boundaries (the role of Kaldi's context FST C with cross-word
+    expansion in mkgraph).  Same delayed-emission device as
+    den_graph._expand_lm_to_hmm_triphone, lifted from a phone LM to the
+    phone stream induced by grammar∘lexicon:
+
+      continuation keys (where the stream goes after the pending phone):
+        ("bnd", g)              word boundary at grammar state g
+        ("bnd_ns", g)           ditto, silence just taken (no second sil)
+        ("chain", g2, pron, i)  inside a pronunciation, position i next
+      graph states:
+        ("pend", cont, q, prev, word)  committed to phone q (left context
+            `prev`, word label `word` if q starts a word), frames not yet
+            emitted; expansion picks q's successor from `cont`, fixing
+            q's pdfs.  Successor-choice weights (grammar/silence) ride
+            q's entry arcs, as does q's word label.
+        ("loop", cont2, q2, q, prev, word2)  q's self-loop, successor
+            already chosen; exits into ("pend", cont2, q2, q, word2).
+        ("floop", q, prev) / ("final",)  utterance-final variants
+            (right context = BOUNDARY).
+    """
+    use_sil = lexicon.sil_phone > 0
+    log_sil = math.log(lexicon.sil_prob) if use_sil else 0.0
+    log_nosil = math.log(1.0 - lexicon.sil_prob) if use_sil else 0.0
+
+    out = Fst()
+    olabel_per_state: dict[int, list[int]] = {}
+    state_of: dict[tuple, int] = {}
+    stack: list[tuple] = []
+    seen: set[tuple] = set()
+
+    def state(key: tuple) -> int:
+        if key not in state_of:
+            state_of[key] = out.add_state()
+        return state_of[key]
+
+    def visit(key: tuple) -> int:
+        if key not in seen:
+            seen.add(key)
+            stack.append(key)
+        return state(key)
+
+    def add_arc(src: int, label: int, weight: float, dst: int, word: int):
+        out.add_arc(src, label, weight, dst)
+        olabel_per_state.setdefault(src, []).append(word)
+
+    def successors(cont: tuple):
+        """Enumerate the next-phone choices of a continuation key.
+
+        Returns (choices, final_weight): choices are (q2, weight, word2,
+        cont2); final_weight is the (scaled) grammar final weight if the
+        utterance may end here, else None."""
+        kind = cont[0]
+        if kind == "chain":
+            _, g2, pron, pos = cont
+            q2 = pron[pos]
+            if pos + 1 == len(pron):
+                nxt = ("bnd", g2)
+            else:
+                nxt = ("chain", g2, pron, pos + 1)
+            return [(q2, 0.0, 0, nxt)], None
+        _, g = cont
+        choices = []
+        word_w0 = 0.0
+        if kind == "bnd" and use_sil:
+            choices.append((lexicon.sil_phone, log_sil, 0, ("bnd_ns", g)))
+            word_w0 = log_nosil
+        for a in word_lm.arcs(g):
+            w, g2 = a.label, a.dst
+            lmw = a.weight * lm_scale + word_w0
+            for pron in lexicon.prons[w]:
+                if len(pron) == 1:
+                    nxt = ("bnd", g2)
+                else:
+                    nxt = ("chain", g2, pron, 1)
+                choices.append((pron[0], lmw, w, nxt))
+        final_w = word_lm.final(g) * lm_scale if word_lm.is_final(g) else None
+        return choices, final_w
+
+    def expand_pend(src: int, cont: tuple, q: int, prev: int, word_q: int, extra_w: float):
+        choices, final_w = successors(cont)
+        for q2, w2, word2, cont2 in choices:
+            pdf0 = tree.pdf(q, 0, prev, q2)
+            loop = visit(("loop", cont2, q2, q, prev, word2))
+            nxt = visit(("pend", cont2, q2, q, word2))
+            add_arc(src, pdf0 + 1, extra_w + w2 + topo.log_continue, loop, word_q)
+            add_arc(src, pdf0 + 1, extra_w + w2 + topo.log_end, nxt, word_q)
+        if final_w is not None:
+            pdf0 = tree.pdf(q, 0, prev, BOUNDARY)
+            loop = visit(("floop", q, prev))
+            fin = visit(("final",))
+            add_arc(src, pdf0 + 1, extra_w + final_w + topo.log_continue, loop, word_q)
+            add_arc(src, pdf0 + 1, extra_w + final_w + topo.log_end, fin, word_q)
+
+    # start state 0: the first-phone choice is folded in (no epsilon moves)
+    assert state(("start",)) == 0
+    seen.add(("start",))
+    first_choices, first_final = successors(("bnd", 0))
+    for q, w, word, cont2 in first_choices:
+        expand_pend(0, cont2, q, BOUNDARY, word, w)
+    if first_final is not None:  # zero-word utterance (unreachable for T>=1)
+        out.set_final(0, first_final)
+
+    while stack:
+        key = stack.pop()
+        kind = key[0]
+        src = state(key)
+        if kind == "pend":
+            _, cont, q, prev, word = key
+            expand_pend(src, cont, q, prev, word, 0.0)
+        elif kind == "loop":
+            _, cont2, q2, q, prev, word2 = key
+            pdf1 = tree.pdf(q, 1, prev, q2)
+            nxt = visit(("pend", cont2, q2, q, word2))
+            add_arc(src, pdf1 + 1, topo.log_continue, src, 0)
+            add_arc(src, pdf1 + 1, topo.log_end, nxt, 0)
+        elif kind == "floop":
+            _, q, prev = key
+            pdf1 = tree.pdf(q, 1, prev, BOUNDARY)
+            fin = visit(("final",))
+            add_arc(src, pdf1 + 1, topo.log_continue, src, 0)
+            add_arc(src, pdf1 + 1, topo.log_end, fin, 0)
+        else:  # ("final",)
+            out.set_final(src, 0.0)
 
     arc_olabel = [
         ol for s in range(out.num_states) for ol in olabel_per_state.get(s, [])
