@@ -1,0 +1,129 @@
+"""Standalone decode CLI (latgen-faster-mapped + compute-wer roles):
+posteriors ark + text graph sources -> hypotheses + WER, fully decoupled
+from training (SURVEY.md section 3.4 decode stage as its own surface)."""
+
+import numpy as np
+import pytest
+
+from torchain_tpu import io as tio
+from torchain_tpu.cli.decode import main as decode_main
+from torchain_tpu.data import synthetic_word_dataset, train_word_lm
+from torchain_tpu.fstkit import Fst
+from torchain_tpu.graphs import ContextTree
+
+
+def _peaked(pdfs, num_pdfs):
+    ll = np.full((len(pdfs), num_pdfs), -8.0, dtype=np.float32)
+    ll[np.arange(len(pdfs)), pdfs] = 0.0
+    return ll
+
+
+@pytest.fixture(scope="module")
+def word_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("decode_cli")
+    wc = synthetic_word_dataset(
+        num_utts=6, vocab_size=6, num_phones=5, feat_dim=8, context_width=2, seed=2
+    )
+    tree = wc.corpus.tree
+    # generative peaked posteriors per utterance (left-biphone pdf stream)
+    posts = {}
+    for i, tr in enumerate(wc.transcripts):
+        pdfs, prev = [], 0
+        for w in tr:
+            for q in wc.lexicon.prons[w][0]:
+                pdfs += [tree.pdf(q, 0, prev)] + [tree.pdf(q, 1, prev)] * 2
+                prev = q
+        posts[f"utt{i}"] = _peaked(pdfs, tree.num_pdfs)
+    ark = str(d / "post.ark")
+    tio.write_ark_binary(ark, posts)
+    lex_path = str(d / "lexicon.txt")
+    with open(lex_path, "w") as f:
+        for w, prons in wc.lexicon.prons.items():
+            for p in prons:
+                f.write(f"{w} {' '.join(map(str, p))}\n")
+    ref_path = str(d / "ref.txt")
+    with open(ref_path, "w") as f:
+        for i, tr in enumerate(wc.transcripts):
+            f.write(f"utt{i} {' '.join(map(str, tr))}\n")
+    return dict(
+        dir=d, ark=ark, lexicon=lex_path, ref=ref_path, wc=wc, tree=tree
+    )
+
+
+def test_word_mode_zero_wer(word_files, capsys):
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--hyp-out", str(word_files["dir"] / "hyp.txt"),
+        ]
+    )
+    assert res["num_utts"] == 6
+    assert res["wer"] == 0.0
+    # hyp file round-trips
+    with open(word_files["dir"] / "hyp.txt") as f:
+        lines = [l.split() for l in f if l.strip()]
+    assert len(lines) == 6
+    assert [int(x) for x in lines[0][1:]] == word_files["wc"].transcripts[0]
+
+
+def test_word_mode_explicit_word_lm(word_files):
+    g = train_word_lm(word_files["wc"].transcripts)
+    lm_path = str(word_files["dir"] / "g.fst.txt")
+    with open(lm_path, "w") as f:
+        f.write(g.to_text())
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--word-lm", lm_path,
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+        ]
+    )
+    assert res["wer"] == 0.0
+
+
+def test_phone_mode_with_nbest(tmp_path):
+    from torchain_tpu.graphs import PhoneLmOptions, estimate_phone_lm
+
+    rng = np.random.default_rng(0)
+    tree = ContextTree(4, context_width=1)
+    seqs = [[int(q) for q in rng.integers(1, 5, size=5)] for _ in range(20)]
+    plm = estimate_phone_lm(seqs, PhoneLmOptions(ngram_order=2, num_extra_lm_states=20))
+    lm_path = str(tmp_path / "plm.fst.txt")
+    with open(lm_path, "w") as f:
+        f.write(plm.to_text())
+
+    posts = {}
+    for i, seq in enumerate(seqs[:4]):
+        pdfs = []
+        for q in seq:
+            pdfs += [tree.pdf(q, 0)] + [tree.pdf(q, 1)] * 2
+        posts[f"u{i}"] = _peaked(pdfs, tree.num_pdfs)
+    ark = str(tmp_path / "post.ark")
+    with tio.MatrixWriter(ark) as w:  # text ark path
+        for utt, m in posts.items():
+            w.write(utt, m)
+    ref = str(tmp_path / "ref.txt")
+    with open(ref, "w") as f:
+        for i, seq in enumerate(seqs[:4]):
+            f.write(f"u{i} {' '.join(map(str, seq))}\n")
+
+    res = decode_main(
+        [
+            "--posteriors", ark,
+            "--mode", "phone",
+            "--phone-lm", lm_path,
+            "--num-phones", "4",
+            "--ref", ref,
+            "--nbest", "3",
+        ]
+    )
+    assert res["wer"] == 0.0

@@ -1,0 +1,194 @@
+"""Standalone decoding CLI: posteriors ark -> transcripts / N-best / WER.
+
+Behavioral reference: the reference recipe's decode stage shells out to
+Kaldi binaries separately from training — `latgen-faster-mapped
+--acoustic-scale=1.0 HCLG.fst ark:post.ark` followed by
+`lattice-best-path` and `compute-wer` (SURVEY.md section 3.4).  This CLI
+is that standalone surface for torchain_tpu: it consumes a posteriors
+archive written by cli.export_posteriors (or any Kaldi-format text/binary
+ark of [T, num_pdfs] log-likelihoods) plus graph sources, and emits
+hypotheses, optional N-best lists, and WER/PER against a reference.
+
+Graph sources (all plain text files):
+  phone mode: --phone-lm (fstkit text acceptor over phones) + a tree
+    (--tree Kaldi ContextDependency text, or --num-phones/--context-width
+    for the enumerated flavors).
+  word mode: adds --lexicon ("word_id phone1 phone2 ..." lines) and a
+    word grammar (--word-lm fstkit text, or --transcripts to estimate an
+    n-gram from reference word sequences).
+
+Reference/transcript file format: one utterance per line,
+"utt_id id1 id2 ..." (integer ids, matching the rest of the framework).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        "torchain-decode", description="decode a posteriors ark through a "
+        "phone or word graph (latgen-faster-mapped + compute-wer roles)"
+    )
+    p.add_argument("--posteriors", required=True, help="text or binary ark of [T,P] loglikes")
+    p.add_argument("--mode", choices=("phone", "word"), default="phone")
+    # tree sources
+    p.add_argument("--tree", help="Kaldi ContextDependency text file (TiedTree import)")
+    p.add_argument("--num-phones", type=int, default=0, help="enumerated tree: phone count")
+    p.add_argument("--context-width", type=int, default=1, choices=(1, 2))
+    # phone mode
+    p.add_argument("--phone-lm", help="fstkit text acceptor over phone ids")
+    # word mode
+    p.add_argument("--lexicon", help="text lexicon: 'word_id phone1 phone2 ...' per line")
+    p.add_argument("--word-lm", help="fstkit text acceptor over word ids")
+    p.add_argument("--word-lm-order", type=int, default=2)
+    p.add_argument("--sil-phone", type=int, default=0)
+    p.add_argument("--sil-prob", type=float, default=0.5)
+    # decoding options
+    p.add_argument("--beam", type=float, default=16.0)
+    p.add_argument("--max-active", type=int, default=7000)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.add_argument("--phone-insertion-bonus", type=float, default=0.0)
+    p.add_argument("--backend", choices=("auto", "native", "numpy"), default="auto")
+    p.add_argument("--nbest", type=int, default=0, help="also emit N-best lists")
+    # outputs / scoring
+    p.add_argument("--hyp-out", help="write hypotheses here ('utt_id id...' lines)")
+    p.add_argument("--ref", help="reference transcripts for WER/PER scoring")
+    return p
+
+
+def read_transcripts(path: str) -> dict[str, list[int]]:
+    out: dict[str, list[int]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                out[parts[0]] = [int(x) for x in parts[1:]]
+    return out
+
+
+def read_lexicon(path: str):
+    prons: dict[int, list[tuple[int, ...]]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            w = int(parts[0])
+            prons.setdefault(w, []).append(tuple(int(q) for q in parts[1:]))
+    return prons
+
+
+def load_tree(args):
+    from torchain_tpu.graphs import ContextTree
+    from torchain_tpu.graphs.tied_tree import read_kaldi_tree
+
+    if args.tree:
+        with open(args.tree) as f:
+            return read_kaldi_tree(f.read())
+    if args.num_phones <= 0:
+        raise SystemExit("need --tree or --num-phones")
+    return ContextTree(args.num_phones, context_width=args.context_width)
+
+
+def main(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+
+    import numpy as np
+
+    from torchain_tpu import io as tio
+    from torchain_tpu.fstkit import Fst
+    from torchain_tpu.eval import (
+        make_decoding_graph,
+        make_word_decoding_graph,
+        viterbi_decode,
+        wer,
+    )
+    from torchain_tpu.eval.lattice import lattice_decode, lattice_nbest
+
+    posts = tio.read_ark(args.posteriors)
+    if not posts:
+        raise SystemExit(f"no utterances in {args.posteriors}")
+    tree = load_tree(args)
+
+    if args.mode == "word":
+        if not args.lexicon:
+            raise SystemExit("word mode needs --lexicon")
+        from torchain_tpu.graphs.hclg import Lexicon
+
+        lex = Lexicon(
+            prons=read_lexicon(args.lexicon),
+            sil_phone=args.sil_phone,
+            sil_prob=args.sil_prob,
+        )
+        if args.word_lm:
+            with open(args.word_lm) as f:
+                g = Fst.from_text(f.read())
+        elif args.ref:
+            from torchain_tpu.data import train_word_lm
+
+            g = train_word_lm(
+                list(read_transcripts(args.ref).values()), order=args.word_lm_order
+            )
+        else:
+            raise SystemExit("word mode needs --word-lm or --ref (to train one)")
+        graph = make_word_decoding_graph(g, lex, tree, lm_scale=args.lm_scale)
+    else:
+        if not args.phone_lm:
+            raise SystemExit("phone mode needs --phone-lm")
+        with open(args.phone_lm) as f:
+            plm = Fst.from_text(f.read())
+        graph = make_decoding_graph(plm, tree, lm_scale=args.lm_scale)
+
+    hyps: dict[str, list[int]] = {}
+    nbests: dict[str, list] = {}
+    for utt, ll in posts.items():
+        ll = np.asarray(ll, np.float32) * args.acoustic_scale
+        if args.nbest > 0:
+            lat = lattice_decode(graph, ll, beam=args.beam)
+            nb = lattice_nbest(lat, args.nbest)
+            nbests[utt] = [(seq, float(s)) for seq, s in nb]
+            hyps[utt] = nb[0][0] if nb else []
+        else:
+            hyp, _ = viterbi_decode(
+                graph,
+                ll,
+                beam=args.beam,
+                backend=args.backend,
+                phone_bonus=args.phone_insertion_bonus,
+                max_active=args.max_active,
+            )
+            hyps[utt] = hyp
+
+    if args.hyp_out:
+        with open(args.hyp_out, "w") as f:
+            for utt, hyp in hyps.items():
+                f.write(utt + " " + " ".join(map(str, hyp)) + "\n")
+    for utt, hyp in hyps.items():
+        print(f"{utt} {' '.join(map(str, hyp))}")
+    if args.nbest > 0:
+        for utt, nb in nbests.items():
+            for i, (seq, s) in enumerate(nb):
+                print(f"# nbest {utt} [{i}] {s:.3f} {' '.join(map(str, seq))}")
+
+    result = {"num_utts": len(hyps)}
+    if args.ref:
+        refs = read_transcripts(args.ref)
+        common = [u for u in hyps if u in refs]
+        missing = [u for u in hyps if u not in refs]
+        if missing:
+            print(f"# {len(missing)} utts missing from --ref, unscored", file=sys.stderr)
+        score = wer([refs[u] for u in common], [hyps[u] for u in common])
+        label = "WER" if args.mode == "word" else "PER"
+        print(f"# {label} {score['wer']:.2f}% {score}", file=sys.stderr)
+        result.update(score)
+    print(json.dumps(result), file=sys.stderr)
+    return result
+
+
+if __name__ == "__main__":
+    main()
