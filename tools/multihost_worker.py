@@ -85,6 +85,8 @@ def main():
         out_logw=sup_dev.out_logw,
         final_logw=sup_dev.final_logw,
         weight=sup_dev.weight,
+        frame_vocab=sup_dev.frame_vocab,
+        pdf_local=sup_dev.pdf_local,
     )
     g = global_batch_from_local(mesh, arrays)
     import dataclasses as dc
@@ -99,6 +101,8 @@ def main():
         out_logw=g["out_logw"],
         final_logw=g["final_logw"],
         weight=g["weight"],
+        frame_vocab=g["frame_vocab"],
+        pdf_local=g["pdf_local"],
     )
 
     @jax.jit

@@ -86,28 +86,11 @@ def main():
     jax.profiler.stop_trace()
     print("trace captured", flush=True)
 
-    # aggregate device events from the xplane protobuf
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    # aggregate device events from the Chrome trace (xplane protos aren't
+    # importable in this image; the json.gz carries the same timeline)
+    from tools.trace_utils import print_summary
 
-    paths = sorted(glob.glob(args.logdir + "/**/*.xplane.pb", recursive=True))
-    if not paths:
-        print("no xplane found", flush=True)
-        return
-    xspace = xplane_pb2.XSpace()
-    xspace.ParseFromString(open(paths[-1], "rb").read())
-    totals = {}
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e9
-    top = sorted(totals.items(), key=lambda kv: -kv[1])[:30]
-    print(f"top device ops (ms total over {args.steps} steps):", flush=True)
-    for name, ms in top:
-        print(f"  {ms:10.3f} ms  {name[:120]}", flush=True)
+    print_summary(args.logdir, args.steps)
 
 
 if __name__ == "__main__":

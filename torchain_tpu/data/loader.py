@@ -133,21 +133,30 @@ class ChainDataset:
             self.num_dropped += 1  # Kaldi drops failed egs the same way
             return None
 
-    def estimate_sup_caps(self) -> tuple[int, int]:
-        """(max_states, max_arcs) over ALL chunks' compiled supervisions,
-        rounded to the dataset's buckets — the fixed padding multi-host
-        runs need so every process produces identically-shaped batches
-        without communicating.  Deterministic, so every host may call it
-        and agree; O(dataset) supervision compiles (one-time)."""
-        ms = ma = 1
+    def estimate_sup_caps(self) -> tuple[int, int, int]:
+        """(max_states, max_arcs, max_frame_vocab) over ALL chunks' compiled
+        supervisions, rounded to the dataset's buckets — the fixed padding
+        multi-host runs need so every process produces identically-shaped
+        batches without communicating.  Deterministic, so every host may
+        call it and agree; O(dataset) supervision compiles (one-time)."""
+        from torchain_tpu.ops.device_graphs import frame_vocab_width
+
+        ms = ma = mv = 1
         for _ui, _c0, _t, chunk_ali, left_ctx, right_ctx in self.chunks:
             sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
             if sup is None:
                 continue
             ms = max(ms, sup.max_states)
             ma = max(ma, sup.max_arcs)
+            mv = max(
+                mv, frame_vocab_width(sup.in_src[None], sup.in_pdf[None])
+            )
         r = lambda x, m: ((x + m - 1) // m) * m
-        return r(ms, self.sup_round_states), r(ma, self.sup_round_arcs)
+        return (
+            r(ms, self.sup_round_states),
+            r(ma, self.sup_round_arcs),
+            r(mv, 8),
+        )
 
     def batches(
         self,
@@ -185,7 +194,13 @@ class ChainDataset:
             if not drop_last:
                 raise ValueError("multi-host batches require drop_last=True")
         local_bs = batch_size // pc
-        pad_s, pad_k = sup_caps if sup_caps else (None, None)
+        if sup_caps:
+            # (S, K) or (S, K, W) — W was added with the gather-free
+            # numerator's per-frame pdf vocabulary
+            pad_s, pad_k = sup_caps[0], sup_caps[1]
+            pad_v = sup_caps[2] if len(sup_caps) > 2 else None
+        else:
+            pad_s = pad_k = pad_v = None
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
         )
@@ -245,6 +260,7 @@ class ChainDataset:
                         round_arcs_to=self.sup_round_arcs,
                         pad_states_to=pad_s,
                         pad_arcs_to=pad_k,
+                        pad_vocab_to=pad_v,
                     ),
                 )
 

@@ -248,6 +248,10 @@ class Supervision:
     in_logw: np.ndarray  # float32 [T, S, K]
     final_logw: np.ndarray  # float32 [S]
     num_states: np.ndarray  # int32 [T+1]
+    #: forced per-frame pdf-vocabulary width for DeviceSupervision.from_host
+    #: (multi-host batches need cross-process shape agreement; None = derive
+    #: from the batch content)
+    vocab_cap: "int | None" = None
 
 
 def compile_supervision(
@@ -347,6 +351,7 @@ def pad_and_stack_supervisions(
     round_arcs_to: int = 1,
     pad_states_to: int | None = None,
     pad_arcs_to: int | None = None,
+    pad_vocab_to: int | None = None,
 ) -> Supervision:
     """Stack per-chunk supervisions into batched tensors with shared padding
     (the moral equivalent of nnet3-chain-merge-egs producing
@@ -394,4 +399,5 @@ def pad_and_stack_supervisions(
         in_logw=in_logw,
         final_logw=final_logw,
         num_states=num_states,
+        vocab_cap=pad_vocab_to,
     )

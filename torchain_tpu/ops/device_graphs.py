@@ -200,6 +200,64 @@ def auto_den_graph(
     return DeviceDenGraph.from_host(host_graph)
 
 
+def _frame_vocab_tables(in_src, in_pdf, round_to=8, pad_to=None):
+    """Per-frame pdf vocabulary for the gather-free numerator.
+
+    For each (b, t) row the supervision references only a handful of
+    distinct pdfs (the tolerance window's phones x pdf-classes), so the
+    emission lookup can run over a tiny local vocabulary instead of the
+    full [B, T, P] output: returns
+
+      frame_vocab [B, T, W] int32 — the sorted distinct pdfs of each row
+        (0-padded; unused slots harmlessly re-reference pdf 0),
+      pdf_local   [B, T, S, K] int32 — each arc's index into its row's
+        vocabulary (0 for pad arcs).
+
+    W is the max row cardinality rounded up to `round_to` (or forced to
+    `pad_to` for cross-process shape agreement)."""
+    B, T, S, K = in_pdf.shape
+    flat = in_pdf.reshape(B * T, S * K).astype(np.int64)
+    valid = in_src.reshape(B * T, S * K) >= 0
+    BIG = np.int64(1) << 40
+    a = np.where(valid, flat, BIG)
+    order = np.argsort(a, axis=1, kind="stable")
+    s = np.take_along_axis(a, order, axis=1)
+    new = np.ones_like(s, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    new &= s < BIG
+    rank_sorted = np.cumsum(new, axis=1) - 1  # rank among row uniques
+    w_needed = int(max(1, new.sum(axis=1).max()))
+    W = ((w_needed + round_to - 1) // round_to) * round_to
+    if pad_to is not None:
+        if w_needed > pad_to:
+            raise ValueError(
+                f"frame pdf vocabulary needs {w_needed} slots > "
+                f"vocab cap {pad_to}"
+            )
+        W = pad_to
+    vocab = np.zeros((B * T, W), dtype=np.int32)
+    rows = np.broadcast_to(np.arange(B * T)[:, None], s.shape)
+    vocab[rows[new], rank_sorted[new]] = s[new].astype(np.int32)
+    local_sorted = np.where(s < BIG, np.maximum(rank_sorted, 0), 0)
+    local = np.zeros_like(flat, dtype=np.int32)
+    np.put_along_axis(local, order, local_sorted.astype(np.int32), axis=1)
+    return vocab.reshape(B, T, W), local.reshape(B, T, S, K)
+
+
+def frame_vocab_width(in_src, in_pdf) -> int:
+    """Max distinct pdfs in any (b, t) supervision row (unrounded) — the
+    quantity estimate_sup_caps aggregates for multi-host shape agreement."""
+    B, T, S, K = in_pdf.shape
+    flat = in_pdf.reshape(B * T, S * K).astype(np.int64)
+    valid = in_src.reshape(B * T, S * K) >= 0
+    BIG = np.int64(1) << 40
+    s = np.sort(np.where(valid, flat, BIG), axis=1)
+    new = np.ones_like(s, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    new &= s < BIG
+    return int(max(1, new.sum(axis=1).max()))
+
+
 def _out_tables(in_src, in_pdf, in_logw, neg_inf, round_to=4):
     """Regroup in-arc tables [B, T, S_dst, K] by SOURCE slot: returns
     (out_dst, out_pdf, out_logw) [B, T, S, K2], -1/-inf padded.
@@ -264,6 +322,10 @@ class DeviceSupervision:
     out_logw: jnp.ndarray  # float32 [B, T, S, K2]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
+    #: per-frame pdf vocabulary for the gather-free numerator (round 2):
+    #: the [B, T, P] emission gather/scatter collapses to W-sized lookups
+    frame_vocab: jnp.ndarray  # int32 [B, T, W]
+    pdf_local: jnp.ndarray  # int32 [B, T, S, K] (indices into frame_vocab)
     num_frames: int = dataclasses.field(metadata=dict(static=True))
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
@@ -282,6 +344,10 @@ class DeviceSupervision:
             np.asarray(in_src), np.asarray(in_pdf), np.asarray(in_logw),
             np.float32(-np.inf),
         )
+        frame_vocab, pdf_local = _frame_vocab_tables(
+            np.asarray(in_src), np.asarray(in_pdf),
+            pad_to=getattr(s, "vocab_cap", None),
+        )
         return DeviceSupervision(
             in_src=jnp.asarray(in_src),
             in_pdf=jnp.asarray(in_pdf),
@@ -290,6 +356,8 @@ class DeviceSupervision:
             out_pdf=jnp.asarray(out_pdf),
             out_logw=jnp.asarray(out_logw),
             final_logw=jnp.asarray(final),
+            frame_vocab=jnp.asarray(frame_vocab),
+            pdf_local=jnp.asarray(pdf_local),
             weight=jnp.broadcast_to(
                 jnp.asarray(s.weight, dtype=jnp.float32), (B,)
             ),

@@ -3,9 +3,27 @@
 Behavioral reference: kaldi/src/chain/chain-generic-numerator.{h,cc}
 (`GenericNumeratorComputation`): full log-space alpha/beta over cyclic
 per-sequence numerator graphs (self-loops allowed, states do not map to
-frames).  Same gather/masked-logsumexp machinery as num_scan.py, but the
-arc tables are constant over time, so the scan carries only [B, S] state
-vectors and the tables stay resident.
+frames).  Arc tables are constant over time, so the scan carries only
+[B, S] state vectors and the tables stay resident.
+
+TPU re-design (round 2, same motivation as num_scan.py): data-dependent
+gather/scatter lowers pathologically on TPU (~10 cycles/index, worse on
+bf16).  Because the e2e arc tables are TIME-CONSTANT, the pdf indexing
+here collapses to MXU one-hot matmuls with ZERO gathers or scatters:
+
+  * each sequence's graph references a small pdf vocabulary `vocab`
+    [B, Pv]; a one-hot [B, Pv, P] built by iota-comparison projects
+    y -> ysmall [B, T, Pv] (matmul);
+  * a second one-hot [B, S*K, Pv] over the arcs' local pdf ids expands
+    emissions to per-arc values [B, T, S, K] (matmul) and, transposed,
+    reduces per-arc posteriors to vocabulary space;
+  * gamma re-expands to [B, T, P] through the first one-hot (matmul).
+
+State selection in the scans uses comparison masks + masked logsumexp
+(per-src-slot stabilization by construction).  Selection matmuls run at
+HIGHEST precision: with 0/1 multiplicands the bf16x3 passes reproduce the
+float32 operand exactly, so this path stays bit-faithful to a direct
+gather.
 """
 
 from __future__ import annotations
@@ -14,6 +32,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.tree_util import register_dataclass
 
 from torchain_tpu.graphs.e2e import E2eSupervision
@@ -29,6 +48,33 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 
 NEG_INF = -jnp.inf
 
+_SEL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _seq_vocab_tables(in_src, in_pdf, round_to=8):
+    """Per-sequence pdf vocabulary: returns (vocab [B, Pv] int32 0-padded,
+    pdf_local [B, S, K] int32 indices into vocab, 0 for pad arcs)."""
+    B, S, K = in_pdf.shape
+    flat = in_pdf.reshape(B, S * K).astype(np.int64)
+    valid = in_src.reshape(B, S * K) >= 0
+    BIG = np.int64(1) << 40
+    a = np.where(valid, flat, BIG)
+    order = np.argsort(a, axis=1, kind="stable")
+    s = np.take_along_axis(a, order, axis=1)
+    new = np.ones_like(s, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    new &= s < BIG
+    rank_sorted = np.cumsum(new, axis=1) - 1
+    pv = int(max(1, new.sum(axis=1).max()))
+    Pv = ((pv + round_to - 1) // round_to) * round_to
+    vocab = np.zeros((B, Pv), dtype=np.int32)
+    rows = np.broadcast_to(np.arange(B)[:, None], s.shape)
+    vocab[rows[new], rank_sorted[new]] = s[new].astype(np.int32)
+    local_sorted = np.where(s < BIG, np.maximum(rank_sorted, 0), 0)
+    local = np.zeros_like(flat, dtype=np.int32)
+    np.put_along_axis(local, order, local_sorted.astype(np.int32), axis=1)
+    return vocab, local.reshape(B, S, K)
+
 
 @register_dataclass
 @dataclasses.dataclass
@@ -38,12 +84,17 @@ class DeviceE2eSupervision:
     in_src: jnp.ndarray  # int32 [B, S, K]
     in_pdf: jnp.ndarray  # int32 [B, S, K]
     in_logw: jnp.ndarray  # float32 [B, S, K]
-    #: the same arc set regrouped by SOURCE slot (backward pass tables)
+    #: the same arc set regrouped by SOURCE slot.  The gather-free backward
+    #: no longer reads these on device; kept for pytree/layout compatibility
+    #: (multi-host batch assembly ships them) and host-side cross-checks.
     out_dst: jnp.ndarray  # int32 [B, S, K2]
     out_pdf: jnp.ndarray  # int32 [B, S, K2]
     out_logw: jnp.ndarray  # float32 [B, S, K2]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
+    #: per-sequence pdf vocabulary (gather-free emission projection)
+    vocab: jnp.ndarray  # int32 [B, Pv]
+    pdf_local: jnp.ndarray  # int32 [B, S, K] (indices into vocab)
     num_frames: int = dataclasses.field(metadata=dict(static=True))
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
@@ -56,7 +107,6 @@ class DeviceE2eSupervision:
         in_logw = s.in_logw if s.in_logw.ndim == 3 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
-        import numpy as np
 
         from torchain_tpu.ops.device_graphs import _out_tables
 
@@ -65,6 +115,9 @@ class DeviceE2eSupervision:
             np.asarray(in_pdf)[:, None],
             np.asarray(in_logw)[:, None],
             np.float32(-np.inf),
+        )
+        vocab, pdf_local = _seq_vocab_tables(
+            np.asarray(in_src), np.asarray(in_pdf)
         )
         return DeviceE2eSupervision(
             in_src=jnp.asarray(in_src),
@@ -77,6 +130,8 @@ class DeviceE2eSupervision:
             weight=jnp.broadcast_to(
                 jnp.asarray(s.weight, dtype=jnp.float32), (B,)
             ),
+            vocab=jnp.asarray(vocab),
+            pdf_local=jnp.asarray(pdf_local),
             num_frames=int(s.num_frames),
             max_states=int(s.max_states),
             max_arcs=int(s.max_arcs),
@@ -84,16 +139,34 @@ class DeviceE2eSupervision:
         )
 
 
-def _gather_states(alpha, idx):
-    B, S = alpha.shape
-    return jnp.take_along_axis(
-        alpha, jnp.clip(idx, 0, S - 1).reshape(B, -1), axis=1
-    ).reshape(idx.shape)
+def _vocab_onehot(sup: DeviceE2eSupervision, P: int) -> jnp.ndarray:
+    """[B, Pv, P] float32 one-hot of each sequence's vocabulary."""
+    return (
+        sup.vocab[..., None] == jnp.arange(P, dtype=sup.vocab.dtype)
+    ).astype(jnp.float32)
 
 
-def _gather_pdfs(y_t, pdf):
-    B = y_t.shape[0]
-    return jnp.take_along_axis(y_t, pdf.reshape(B, -1), axis=1).reshape(pdf.shape)
+def _arc_onehot(sup: DeviceE2eSupervision) -> jnp.ndarray:
+    """[B, S, K, Pv] float32 one-hot of each arc's local pdf id."""
+    Pv = sup.vocab.shape[-1]
+    return (
+        sup.pdf_local[..., None] == jnp.arange(Pv, dtype=sup.pdf_local.dtype)
+    ).astype(jnp.float32)
+
+
+def _arc_emissions(y: jnp.ndarray, sup: DeviceE2eSupervision) -> jnp.ndarray:
+    """y [B, T, P] -> per-arc emission log-probs ylocal [B, T, S, K]
+    via two one-hot matmuls (no gathers)."""
+    B, T, P = y.shape
+    oh_v = _vocab_onehot(sup, P)  # [B, Pv, P]
+    ysmall = jnp.einsum(
+        "btp,bvp->btv", y.astype(jnp.float32), oh_v, precision=_SEL_PRECISION
+    )  # [B, T, Pv]
+    oh_a = _arc_onehot(sup)  # [B, S, K, Pv]
+    ylocal = jnp.einsum(
+        "btv,bskv->btsk", ysmall, oh_a, precision=_SEL_PRECISION
+    )
+    return ylocal
 
 
 def e2e_forward(
@@ -103,19 +176,24 @@ def e2e_forward(
     """Returns (log_prob [B], alphas [T+1, B, S])."""
     B, T, P = y.shape
     S = sup.max_states
-    mask = sup.in_src >= 0  # [B, S, K]
     a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
+    ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
+    mask = sup.in_src >= 0
+    warc = jnp.where(mask, sup.in_logw, 0.0)  # [B, S, K]
+    # loop-invariant selection mask, built once outside the scan body
+    hit = sup.in_src[..., None] == jnp.arange(S, dtype=sup.in_src.dtype)
 
-    def step(alpha, y_t):
-        vals = jnp.where(
-            mask,
-            _gather_states(alpha, sup.in_src) + sup.in_logw + _gather_pdfs(y_t, sup.in_pdf),
-            NEG_INF,
+    def step(alpha, yl):
+        sel = jnp.max(
+            jnp.where(hit, alpha[:, None, None, :], NEG_INF), axis=-1
         )
+        vals = sel + warc + jnp.where(mask, yl, 0.0)
         nxt = jax.nn.logsumexp(vals, axis=-1)
         return nxt, nxt
 
-    aT, alphas = jax.lax.scan(step, a0, jnp.swapaxes(y, 0, 1), unroll=UNROLL)
+    aT, alphas = jax.lax.scan(
+        step, a0, jnp.swapaxes(ylocal, 0, 1), unroll=UNROLL
+    )
     alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
@@ -130,36 +208,48 @@ def e2e_backward(
     """Returns gamma [B, T, P] = d(log_prob)/dy; zero for non-finite
     sequences."""
     B, T, P = y.shape
-    S, K = sup.max_states, sup.max_arcs
-    mask = sup.in_src >= 0
+    S = sup.max_states
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
-    omask = sup.out_dst >= 0
+    ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
+    mask = sup.in_src >= 0
+    hit = sup.in_src[..., None] == jnp.arange(S, dtype=sup.in_src.dtype)
 
-    def step(b, inputs):
-        # out-arc tables (grouped by src slot): the beta pullback is a
-        # plain per-slot masked logsumexp, no segment ops (see num_scan)
-        y_t, alpha_t = inputs
-        arc_w = jnp.where(
-            omask,
-            sup.out_logw + _gather_pdfs(y_t, sup.out_pdf) + _gather_states(b, sup.out_dst),
-            NEG_INF,
+    def step(beta, inputs):
+        # beta [B, S] at frame t+1; emit per-arc posteriors of frame step t
+        yl, alpha_t = inputs
+        w = jnp.where(mask, sup.in_logw + yl, NEG_INF) + beta[:, :, None]
+        prev = jax.nn.logsumexp(
+            jnp.where(hit, w[..., None], NEG_INF), axis=(1, 2)
         )
-        arc_post = alpha_t[:, :, None] + arc_w
+        sel_alpha = jnp.max(
+            jnp.where(hit, alpha_t[:, None, None, :], NEG_INF), axis=-1
+        )
         post = jnp.where(
-            omask & valid[:, None, None],
-            jnp.exp(arc_post - safe_logp[:, None, None]),
+            valid[:, None, None],
+            jnp.exp(sel_alpha + w - safe_logp[:, None, None]),
             0.0,
-        )
-        flat_idx = (jnp.arange(B)[:, None, None] * P + sup.out_pdf).reshape(-1)
-        gamma_t = jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
-        nb = jax.nn.logsumexp(arc_w, axis=-1)
-        return nb, gamma_t
+        )  # [B, S, K]
+        return prev, post
 
-    bT = sup.final_logw
-    _, gammas = jax.lax.scan(
-        step, bT, (jnp.swapaxes(y, 0, 1), alphas[:-1]), reverse=True,
+    _, posts = jax.lax.scan(
+        step,
+        sup.final_logw,
+        (jnp.swapaxes(ylocal, 0, 1), alphas[:-1]),
+        reverse=True,
         unroll=UNROLL,
     )
-    return jnp.swapaxes(gammas, 0, 1)
+    post = jnp.swapaxes(posts, 0, 1)  # [B, T, S, K]
+
+    # reduce to vocabulary space and re-expand to pdf space: two matmuls,
+    # no scatter
+    oh_a = _arc_onehot(sup)  # [B, S, K, Pv]
+    gamma_small = jnp.einsum(
+        "btsk,bskv->btv", post, oh_a, precision=_SEL_PRECISION
+    )  # [B, T, Pv]
+    oh_v = _vocab_onehot(sup, P)  # [B, Pv, P]
+    gamma = jnp.einsum(
+        "btv,bvp->btp", gamma_small, oh_v, precision=_SEL_PRECISION
+    )
+    return gamma

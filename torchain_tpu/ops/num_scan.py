@@ -4,10 +4,26 @@ packed per-frame arc tensors.
 Behavioral reference: kaldi/src/chain/chain-numerator.cc
 (`NumeratorComputation`): log-domain recursion over the time-sorted
 supervision FST, gathering nnet log-probs by (frame, pdf), emitting
-occupancy derivatives.  Re-designed for TPU: the frame-local packing
-(graphs/supervision.py) turns Kaldi's ragged time-sorted state ranges into
-dense [B, T, S, K] tables so each step is two gathers and a masked
-logsumexp — no scatter, no raggedness, fully vectorized over the batch.
+occupancy derivatives.
+
+TPU re-design (round 2): profiling on the v5e showed that data-dependent
+gather/scatter is the enemy — ~0.25 ms per op inside a scan regardless of
+operand size (bf16 scatter-add is emulated and far worse), and even ONE
+vectorized [B*T*S*K]-index gather over the [B, T, P] output costs ~15 ms
+(~10 cycles/index).  This implementation therefore indexes y exactly once
+per pass through a tiny per-frame pdf vocabulary and does everything else
+with comparison masks (pure VPU math):
+
+  * `DeviceSupervision.frame_vocab` [B, T, W] holds each row's distinct
+    pdfs (W ~ 8-16 « P); `ysmall = take_along_axis(y, frame_vocab)` is a
+    ~30x smaller gather than the naive per-arc one;
+  * per-arc emissions select from `ysmall` by a one-hot comparison with
+    `pdf_local` [B, T, S, K]; alpha/beta recursions select predecessor
+    values by comparison masks + masked logsumexp (per-src-slot
+    stabilization by construction — the ADVICE r1 fix);
+  * the beta scan also emits per-arc posteriors reduced to vocabulary
+    space [B, T, W]; gamma is ONE [B*T*W]-index scatter-add into
+    [B, T, P], float32.
 """
 
 from __future__ import annotations
@@ -29,19 +45,27 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 NEG_INF = -jnp.inf
 
 
-def _gather_states(alpha: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """alpha [B, S], idx [B, S, K] (values in [0, S), -1 = pad) -> [B, S, K]."""
-    B, S = alpha.shape
-    flat = jnp.take_along_axis(
-        alpha, jnp.clip(idx, 0, S - 1).reshape(B, -1), axis=1
+def _gather_vocab(y: jnp.ndarray, sup: DeviceSupervision) -> jnp.ndarray:
+    """The one real gather: y [B, T, P] -> ysmall [B, T, W] float32."""
+    return jnp.take_along_axis(
+        y.astype(jnp.float32), sup.frame_vocab, axis=2
     )
-    return flat.reshape(idx.shape)
 
 
-def _gather_pdfs(y_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
-    """y_t [B, P], pdf [B, S, K] -> [B, S, K]."""
-    B = y_t.shape[0]
-    return jnp.take_along_axis(y_t, pdf.reshape(B, -1), axis=1).reshape(pdf.shape)
+def _emit(ysm: jnp.ndarray, pdf_local: jnp.ndarray) -> jnp.ndarray:
+    """ysm [B, W], pdf_local [B, S, K] -> emission log-probs [B, S, K].
+    Gather-free: one-hot comparison against iota(W) (exactly one hit)."""
+    W = ysm.shape[-1]
+    hit = pdf_local[..., None] == jnp.arange(W, dtype=pdf_local.dtype)
+    return jnp.sum(jnp.where(hit, ysm[:, None, None, :], 0.0), axis=-1)
+
+
+def _select_src(x: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """x [B, S], src [B, S, K] (values in [0, S), -1 = pad) -> [B, S, K]
+    with x[b, src[b, s, k]] (pad slots yield -inf)."""
+    S = x.shape[1]
+    hit = src[..., None] == jnp.arange(S, dtype=src.dtype)
+    return jnp.max(jnp.where(hit, x[:, None, None, :], NEG_INF), axis=-1)
 
 
 def num_forward(
@@ -52,22 +76,23 @@ def num_forward(
     B, T, P = y.shape
     S = sup.max_states
     a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
+    ysmall = _gather_vocab(y, sup)  # [B, T, W]
 
     def step(alpha, inputs):
-        y_t, src, pdf, logw = inputs
-        vals = jnp.where(
-            src >= 0,
-            _gather_states(alpha, src) + logw + _gather_pdfs(y_t, pdf),
-            NEG_INF,
-        )  # [B, S, K]
+        ysm, src, lpdf, logw = inputs
+        vals = _select_src(alpha, src) + jnp.where(
+            src >= 0, logw + _emit(ysm, lpdf), 0.0
+        )
         nxt = jax.nn.logsumexp(vals, axis=-1)
         return nxt, nxt
 
-    ys = jnp.swapaxes(y, 0, 1)  # [T, B, P]
-    srcs = jnp.swapaxes(sup.in_src, 0, 1)  # [T, B, S, K]
-    pdfs = jnp.swapaxes(sup.in_pdf, 0, 1)
-    logws = jnp.swapaxes(sup.in_logw, 0, 1)
-    aT, alphas = jax.lax.scan(step, a0, (ys, srcs, pdfs, logws), unroll=UNROLL)
+    xs = (
+        jnp.swapaxes(ysmall, 0, 1),  # [T, B, W]
+        jnp.swapaxes(sup.in_src, 0, 1),  # [T, B, S, K]
+        jnp.swapaxes(sup.pdf_local, 0, 1),
+        jnp.swapaxes(sup.in_logw, 0, 1),
+    )
+    aT, alphas = jax.lax.scan(step, a0, xs, unroll=UNROLL)
     alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
@@ -83,48 +108,64 @@ def num_backward(
     Sequences with non-finite log_p yield zero gamma (the caller applies the
     numeric-failure policy).
 
-    Runs over the OUT-arc tables (the in-arc set regrouped by source slot in
-    DeviceSupervision.from_host): the beta pullback is then a plain masked
-    logsumexp over the arc axis — per-src-slot stabilization by
-    construction (the ADVICE r1 underflow fix) with no data-dependent
-    segment ops inside the scan."""
+    One reverse scan carries beta [B, S] and emits per-frame occupancies
+    already reduced to vocabulary space [B, W]; the only scatter is the
+    final [B*T*W]-index expansion to [B, T, P]."""
     B, T, P = y.shape
+    S = sup.max_states
+    W = sup.frame_vocab.shape[-1]
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
-    def step(b, inputs):
-        # b [B, S]: log beta of frame t+1 states; process frame step t
-        y_t, odst, opdf, ologw, alpha_t = inputs
-        mask = odst >= 0
-        arc_w = jnp.where(
-            mask,
-            ologw + _gather_pdfs(y_t, opdf) + _gather_states(b, odst),
-            NEG_INF,
-        )  # out-arc weight + beta(dst): [B, S(src), K2]
-        arc_post = alpha_t[:, :, None] + arc_w
-        post = jnp.where(
-            mask & valid[:, None, None],
-            jnp.exp(arc_post - safe_logp[:, None, None]),
-            0.0,
-        )
-        # scatter into pdf space: flat one-hot scatter-add per batch row
-        flat_idx = (
-            jnp.arange(B)[:, None, None] * P + opdf
-        ).reshape(-1)
-        gamma_t = (
-            jnp.zeros((B * P,)).at[flat_idx].add(post.reshape(-1)).reshape(B, P)
-        )
-        # beta pullback: per-src-slot masked logsumexp over out-arcs
-        nb = jax.nn.logsumexp(arc_w, axis=-1)
-        return nb, gamma_t
+    ysmall = _gather_vocab(y, sup)  # [B, T, W]
 
-    bT = sup.final_logw  # [B, S]
-    ys = jnp.swapaxes(y, 0, 1)
-    odsts = jnp.swapaxes(sup.out_dst, 0, 1)
-    opdfs = jnp.swapaxes(sup.out_pdf, 0, 1)
-    ologws = jnp.swapaxes(sup.out_logw, 0, 1)
-    _, gammas = jax.lax.scan(
-        step, bT, (ys, odsts, opdfs, ologws, alphas[:-1]), reverse=True,
-        unroll=UNROLL,
+    def step(beta, inputs):
+        # beta: [B, S] log-betas of frame t+1 states; emit occupancies of
+        # frame step t and pull beta back to frame t states
+        ysm, src, lpdf, logw, alpha_t = inputs
+        arc_w = jnp.where(src >= 0, logw + _emit(ysm, lpdf), NEG_INF) + beta[
+            :, :, None
+        ]  # [B, S, K]: arc weight + emission + beta(dst)
+        hit_src = src[..., None] == jnp.arange(S, dtype=src.dtype)
+        prev = jax.nn.logsumexp(
+            jnp.where(hit_src, arc_w[..., None], NEG_INF), axis=(1, 2)
+        )  # [B, S'] — per-src-slot stabilized pullback
+        sel_alpha = jnp.max(
+            jnp.where(hit_src, alpha_t[:, None, None, :], NEG_INF), axis=-1
+        )
+        post = jnp.where(
+            valid[:, None, None],
+            jnp.exp(sel_alpha + arc_w - safe_logp[:, None, None]),
+            0.0,
+        )  # [B, S, K] per-arc occupancies
+        hit_w = (
+            lpdf[..., None] == jnp.arange(W, dtype=lpdf.dtype)
+        )  # [B, S, K, W]
+        gsm = jnp.sum(jnp.where(hit_w, post[..., None], 0.0), axis=(1, 2))
+        return prev, gsm  # gsm [B, W]
+
+    xs = (
+        jnp.swapaxes(ysmall, 0, 1),
+        jnp.swapaxes(sup.in_src, 0, 1),
+        jnp.swapaxes(sup.pdf_local, 0, 1),
+        jnp.swapaxes(sup.in_logw, 0, 1),
+        alphas[:-1],
     )
-    return jnp.swapaxes(gammas, 0, 1)
+    _, gsm = jax.lax.scan(
+        step, sup.final_logw, xs, reverse=True, unroll=UNROLL
+    )
+    gamma_small = jnp.swapaxes(gsm, 0, 1)  # [B, T, W]
+
+    # expand to pdf space: ONE flat scatter-add (f32; unused vocab slots
+    # carry 0.0 and harmlessly re-target (b, t, pdf 0))
+    flat_idx = (
+        (jnp.arange(B)[:, None, None] * T + jnp.arange(T)[None, :, None]) * P
+        + sup.frame_vocab
+    ).reshape(-1)
+    gamma = (
+        jnp.zeros((B * T * P,), dtype=jnp.float32)
+        .at[flat_idx]
+        .add(gamma_small.reshape(-1))
+        .reshape(B, T, P)
+    )
+    return gamma
