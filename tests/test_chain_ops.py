@@ -266,24 +266,24 @@ class TestBetaPullbackStability:
     the frame maximum underflows to -inf in float32, silently zeroing its
     gamma contributions at earlier frames."""
 
-    def test_out_tables_regroup_arcs_by_source(self):
-        # the pullback now runs over out-arc tables (grouped by src slot in
-        # DeviceSupervision.from_host), so per-slot stabilization is the
-        # plain logsumexp over the K2 axis; verify the regrouping is exact
-        from torchain_tpu.ops.device_graphs import _out_tables
+    def test_frame_vocab_tables_index_every_arc(self):
+        # the gather-free numerator routes every emission through the
+        # per-frame pdf vocabulary; verify the vocabulary covers exactly
+        # the valid arcs' pdfs and pdf_local round-trips each arc
+        from torchain_tpu.ops.device_graphs import _frame_vocab_tables
 
-        in_src = np.array([[[[[0, 1], [0, -1]]]]], dtype=np.int32)[0]  # [1,1,2,2]
-        in_pdf = np.array([[[[1, 2], [3, 0]]]], dtype=np.int32)
-        in_logw = np.array([[[[-1.0, -2.0], [-200.0, np.float32("-inf")]]]], np.float32)
-        odst, opdf, ologw = _out_tables(in_src, in_pdf, in_logw, np.float32(-np.inf))
-        # src slot 0 owns arcs to dst 0 (pdf 1, -1.0) and dst 1 (pdf 3, -200)
-        arcs0 = {(int(d), int(pp), float(w)) for d, pp, w in
-                 zip(odst[0, 0, 0], opdf[0, 0, 0], ologw[0, 0, 0]) if d >= 0}
-        assert arcs0 == {(0, 1, -1.0), (1, 3, -200.0)}
-        # src slot 1 owns the arc to dst 0 (pdf 2, -2.0)
-        arcs1 = {(int(d), int(pp), float(w)) for d, pp, w in
-                 zip(odst[0, 0, 1], opdf[0, 0, 1], ologw[0, 0, 1]) if d >= 0}
-        assert arcs1 == {(0, 2, -2.0)}
+        in_src = np.array([[[[0, 1], [0, -1]]]], dtype=np.int32)  # [1,1,2,2]
+        in_pdf = np.array([[[[7, 2], [7, 9]]]], dtype=np.int32)
+        vocab, local = _frame_vocab_tables(in_src, in_pdf, round_to=1)
+        assert vocab.shape[:2] == (1, 1) and local.shape == in_pdf.shape
+        # valid pdfs {7, 2} -> sorted vocabulary [2, 7]
+        assert vocab[0, 0, 0] == 2 and vocab[0, 0, 1] == 7
+        # each VALID arc's local index points at its pdf
+        valid = in_src >= 0
+        got = vocab[0, 0][local[0, 0]]
+        np.testing.assert_array_equal(got[valid[0, 0]], in_pdf[0, 0][valid[0, 0]])
+        # pad arcs harmlessly reference slot 0
+        assert local[0, 0, 1, 1] == 0
 
     def test_huge_spread_gradients_match_oracle(self, setup):
         # supervision backward with an extreme-spread y: the float64 oracle

@@ -80,9 +80,6 @@ def main():
         in_src=sup_dev.in_src,
         in_pdf=sup_dev.in_pdf,
         in_logw=sup_dev.in_logw,
-        out_dst=sup_dev.out_dst,
-        out_pdf=sup_dev.out_pdf,
-        out_logw=sup_dev.out_logw,
         final_logw=sup_dev.final_logw,
         weight=sup_dev.weight,
         frame_vocab=sup_dev.frame_vocab,
@@ -96,9 +93,6 @@ def main():
         in_src=g["in_src"],
         in_pdf=g["in_pdf"],
         in_logw=g["in_logw"],
-        out_dst=g["out_dst"],
-        out_pdf=g["out_pdf"],
-        out_logw=g["out_logw"],
         final_logw=g["final_logw"],
         weight=g["weight"],
         frame_vocab=g["frame_vocab"],

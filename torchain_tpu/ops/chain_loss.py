@@ -213,13 +213,6 @@ def chain_loss(
     aux keys: objf (per-frame MMI objective), l2_term, oor_term, xent_objf
     (all already normalized by `weight`), weight, num_failed."""
     y = nnet_output
-    if _os.environ.get("TORCHAIN_Y_BARRIER", "0") == "1":
-        # cut XLA layout propagation between the trunk and the fwd-bwd
-        # scans: a bf16 trunk can poison y's layout and de-optimize the
-        # numerator/denominator while-loops (profiled on the bf16
-        # conformer: the num scan ran ~100x slower than in the f32
-        # program; BENCH_NOTES round 2)
-        y = jax.lax.optimization_barrier(y)
     B, T, P = y.shape
     num_logp, den_logz, gamma_num = chain_logprobs(
         y, den, sup, opts.leaky_hmm_coefficient

@@ -258,68 +258,17 @@ def frame_vocab_width(in_src, in_pdf) -> int:
     return int(max(1, new.sum(axis=1).max()))
 
 
-def _out_tables(in_src, in_pdf, in_logw, neg_inf, round_to=4):
-    """Regroup in-arc tables [B, T, S_dst, K] by SOURCE slot: returns
-    (out_dst, out_pdf, out_logw) [B, T, S, K2], -1/-inf padded.
-
-    The numerator backward's beta pullback then becomes a plain masked
-    logsumexp over the K2 axis — per-src-slot stabilization by
-    construction, with NO data-dependent segment ops in the scan (the
-    dynamic segment_max/segment_sum pullback lowered pathologically inside
-    some XLA programs; BENCH_NOTES round 2)."""
-    B, T, S, K = in_src.shape
-    src = in_src.reshape(B * T, S * K)
-    valid = src >= 0
-    # stable sort arcs of each (b, t) by src slot
-    order = np.argsort(np.where(valid, src, S + 1), axis=1, kind="stable")
-    src_sorted = np.take_along_axis(src, order, axis=1)
-    dst_of_arc = np.broadcast_to(
-        np.repeat(np.arange(S, dtype=np.int32), K)[None, :], (B * T, S * K)
-    )
-    dst_sorted = np.take_along_axis(dst_of_arc, order, axis=1)
-    pdf_sorted = np.take_along_axis(in_pdf.reshape(B * T, S * K), order, axis=1)
-    w_sorted = np.take_along_axis(in_logw.reshape(B * T, S * K), order, axis=1)
-    valid_sorted = src_sorted <= S  # padded entries got S+1
-    valid_sorted &= np.take_along_axis(valid, order, axis=1)
-    # rank within equal-src runs
-    first = np.zeros_like(src_sorted, dtype=bool)
-    first[:, 0] = True
-    first[:, 1:] = src_sorted[:, 1:] != src_sorted[:, :-1]
-    pos = np.arange(S * K)[None, :]
-    run_start = np.maximum.accumulate(np.where(first, pos, 0), axis=1)
-    rank = pos - run_start
-    K2 = int(rank[valid_sorted].max()) + 1 if valid_sorted.any() else 1
-    K2 = ((K2 + round_to - 1) // round_to) * round_to
-    out_dst = np.full((B * T, S, K2), -1, dtype=np.int32)
-    out_pdf = np.zeros((B * T, S, K2), dtype=np.int32)
-    out_logw = np.full((B * T, S, K2), neg_inf, dtype=np.float32)
-    rows = np.broadcast_to(np.arange(B * T)[:, None], src_sorted.shape)
-    m = valid_sorted
-    out_dst[rows[m], src_sorted[m], rank[m]] = dst_sorted[m]
-    out_pdf[rows[m], src_sorted[m], rank[m]] = pdf_sorted[m]
-    out_logw[rows[m], src_sorted[m], rank[m]] = w_sorted[m]
-    shape = (B, T, S, K2)
-    return (
-        out_dst.reshape(shape),
-        out_pdf.reshape(shape),
-        out_logw.reshape(shape),
-    )
-
-
 @register_dataclass
 @dataclasses.dataclass
 class DeviceSupervision:
     """Batched packed numerator supervision [B, T, S, K] (see
-    graphs.supervision.Supervision for the layout contract).  The out_*
-    tables are the same arc set regrouped by SOURCE slot (derived in
-    from_host), consumed by the backward pass."""
+    graphs.supervision.Supervision for the layout contract).
+    `frame_vocab`/`pdf_local` are the per-frame pdf vocabulary derived in
+    from_host for the gather-free numerator (ops/num_scan.py)."""
 
     in_src: jnp.ndarray  # int32 [B, T, S, K]
     in_pdf: jnp.ndarray  # int32 [B, T, S, K]
     in_logw: jnp.ndarray  # float32 [B, T, S, K]
-    out_dst: jnp.ndarray  # int32 [B, T, S, K2]
-    out_pdf: jnp.ndarray  # int32 [B, T, S, K2]
-    out_logw: jnp.ndarray  # float32 [B, T, S, K2]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
     #: per-frame pdf vocabulary for the gather-free numerator (round 2):
@@ -340,10 +289,6 @@ class DeviceSupervision:
         in_logw = s.in_logw if s.in_logw.ndim == 4 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
-        out_dst, out_pdf, out_logw = _out_tables(
-            np.asarray(in_src), np.asarray(in_pdf), np.asarray(in_logw),
-            np.float32(-np.inf),
-        )
         frame_vocab, pdf_local = _frame_vocab_tables(
             np.asarray(in_src), np.asarray(in_pdf),
             pad_to=getattr(s, "vocab_cap", None),
@@ -352,9 +297,6 @@ class DeviceSupervision:
             in_src=jnp.asarray(in_src),
             in_pdf=jnp.asarray(in_pdf),
             in_logw=jnp.asarray(in_logw),
-            out_dst=jnp.asarray(out_dst),
-            out_pdf=jnp.asarray(out_pdf),
-            out_logw=jnp.asarray(out_logw),
             final_logw=jnp.asarray(final),
             frame_vocab=jnp.asarray(frame_vocab),
             pdf_local=jnp.asarray(pdf_local),

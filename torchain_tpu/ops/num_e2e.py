@@ -84,12 +84,6 @@ class DeviceE2eSupervision:
     in_src: jnp.ndarray  # int32 [B, S, K]
     in_pdf: jnp.ndarray  # int32 [B, S, K]
     in_logw: jnp.ndarray  # float32 [B, S, K]
-    #: the same arc set regrouped by SOURCE slot.  The gather-free backward
-    #: no longer reads these on device; kept for pytree/layout compatibility
-    #: (multi-host batch assembly ships them) and host-side cross-checks.
-    out_dst: jnp.ndarray  # int32 [B, S, K2]
-    out_pdf: jnp.ndarray  # int32 [B, S, K2]
-    out_logw: jnp.ndarray  # float32 [B, S, K2]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
     #: per-sequence pdf vocabulary (gather-free emission projection)
@@ -107,15 +101,6 @@ class DeviceE2eSupervision:
         in_logw = s.in_logw if s.in_logw.ndim == 3 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
-
-        from torchain_tpu.ops.device_graphs import _out_tables
-
-        odst, opdf, ologw = _out_tables(
-            np.asarray(in_src)[:, None],
-            np.asarray(in_pdf)[:, None],
-            np.asarray(in_logw)[:, None],
-            np.float32(-np.inf),
-        )
         vocab, pdf_local = _seq_vocab_tables(
             np.asarray(in_src), np.asarray(in_pdf)
         )
@@ -123,9 +108,6 @@ class DeviceE2eSupervision:
             in_src=jnp.asarray(in_src),
             in_pdf=jnp.asarray(in_pdf),
             in_logw=jnp.asarray(in_logw),
-            out_dst=jnp.asarray(odst[:, 0]),
-            out_pdf=jnp.asarray(opdf[:, 0]),
-            out_logw=jnp.asarray(ologw[:, 0]),
             final_logw=jnp.asarray(final),
             weight=jnp.broadcast_to(
                 jnp.asarray(s.weight, dtype=jnp.float32), (B,)
