@@ -1,19 +1,29 @@
 """Benchmark: chain-training throughput in audio-seconds/s/chip.
 
-Runs the full jitted train step (TDNN-F + dense-MXU chain loss) at a
-realistic configuration on whatever accelerator is available (the driver
-runs this on one real TPU chip) and prints ONE JSON line.
+Runs the full jitted train step (TDNN-F + chain loss on the auto-selected
+denominator path) at two realistic configurations and prints ONE JSON
+line.
+
+Timing protocol (round-2 adjudication, BENCH_NOTES): the headline is the
+**device-trace span per step** — jax.profiler's device timeline measured
+by the chip itself — NOT host wall clock.  Through the axon relay,
+host-side window timing is untrustworthy in both directions (pipelined
+windows reported wall/step *below* the device span of one step, which is
+physically impossible for state-dependent steps; chained-dispatch
+differencing reported 30x above it).  The device span of N queued
+dependent steps is relay-proof: dispatch is async, the device executes
+the chain back-to-back, and the trace records device timestamps.  Wall
+time is reported alongside for transparency.
 
 Baseline note: the reference (torchain) publishes no numbers
 (BASELINE.md); `vs_baseline` is measured against 1000 audio-s/s — the
-order-of-magnitude throughput of the Kaldi-era single-GPU chain setups the
-reference targeted (BASELINE.md ecosystem anchors).
+order-of-magnitude throughput of the Kaldi-era single-GPU chain setups
+the reference targeted (BASELINE.md ecosystem anchors).
 """
 
 import json
+import shutil
 import time
-
-import numpy as np
 
 
 def _enable_compile_cache():
@@ -29,41 +39,60 @@ def _enable_compile_cache():
         pass
 
 
-def production_config():
-    """Production-scale measurement (VERDICT r1 item 1): 4-gram pruned LM +
-    left-biphone tree (S~3.9k, P=1680), VMEM-resident Pallas denominator,
-    TDNN-F bf16 trunk, B=128.  Returns dict of extra headline fields."""
-    import time as _t
+def _measure(step_fn, state, feats, den, sup, logdir, steps=10):
+    """Device-trace-measured per-step time for the full train step.
 
+    Returns (device_ms, wall_ms, state); device_ms is NaN if the trace
+    could not be parsed (e.g. CPU backend), in which case callers fall
+    back to wall_ms."""
     import jax
+
+    for _ in range(3):
+        state, metrics = step_fn(state, feats, den, sup)
+    jax.block_until_ready(metrics["loss"])
+
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, feats, den, sup)
+        jax.block_until_ready(metrics["loss"])
+        wall = min(wall, (time.perf_counter() - t0) / steps)
+
+    device_ms = float("nan")
+    try:
+        from tools.trace_utils import device_summary, load_latest_trace
+
+        shutil.rmtree(logdir, ignore_errors=True)
+        jax.profiler.start_trace(logdir)
+        for _ in range(steps):
+            state, metrics = step_fn(state, feats, den, sup)
+        jax.block_until_ready(metrics["loss"])
+        jax.profiler.stop_trace()
+        device_ms = device_summary(load_latest_trace(logdir))["span_ms"] / steps
+    except Exception:
+        pass
+    return device_ms, wall * 1e3, state
+
+
+def _build(corpus, dtype, B, T_OUT):
     import jax.numpy as jnp
     import optax
 
-    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.data import ChainDataset
     from torchain_tpu.graphs import SupervisionOptions
     from torchain_tpu.models import TDNNF, TdnnfConfig
     from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.ops.device_graphs import DeviceSupervision
     from torchain_tpu.train import create_train_state, make_train_step
 
-    B, T_OUT = 128, 50
-    corpus = synthetic_dataset(
-        num_utts=2 * B,
-        num_phones=40,
-        feat_dim=40,
-        utt_frames_out=(T_OUT, T_OUT + 10),
-        seed=0,
-        context_width=2,
-        lm_order=4,
-        lm_extra_states=2000,
-    )
     cfg = TdnnfConfig(
         num_pdfs=corpus.tree.num_pdfs,
         hidden_dim=768,
         bottleneck_dim=96,
         prefinal_dim=256,
         num_layers=9,
-        dtype=jnp.bfloat16,
+        dtype=dtype,
     )
     left, right = cfg.context
     dataset = ChainDataset(
@@ -85,24 +114,45 @@ def production_config():
             l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
         )
     )
-    model = TDNNF(cfg)
-    state = create_train_state(model, feats, tx)
-    for _ in range(3):
-        state, metrics = step_fn(state, feats, den, sup)
-    jax.block_until_ready(metrics["loss"])
-    best = float("inf")
-    for _ in range(4):
-        t0 = _t.perf_counter()
-        for _ in range(10):
-            state, metrics = step_fn(state, feats, den, sup)
-        jax.block_until_ready(metrics["loss"])
-        best = min(best, (_t.perf_counter() - t0) / 10)
-    audio = batch.feats.shape[0] * batch.sup.num_frames * 3 * 0.010
+    state = create_train_state(TDNNF(cfg), feats, tx)
+    audio_s = batch.feats.shape[0] * batch.sup.num_frames * 3 * 0.010
+    return step_fn, state, feats, den, sup, audio_s
+
+
+def production_config():
+    """Production-scale measurement (VERDICT r1 item 1): 4-gram pruned LM +
+    left-biphone tree (S~3.9k, P=1680), VMEM-resident Pallas denominator,
+    TDNN-F bf16 trunk, B=128.  Returns dict of extra headline fields."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchain_tpu.data import synthetic_dataset
+
+    B, T_OUT = 128, 50
+    corpus = synthetic_dataset(
+        num_utts=2 * B,
+        num_phones=40,
+        feat_dim=40,
+        utt_frames_out=(T_OUT, T_OUT + 10),
+        seed=0,
+        context_width=2,
+        lm_order=4,
+        lm_extra_states=2000,
+    )
+    step_fn, state, feats, den, sup, audio_s = _build(
+        corpus, jnp.bfloat16, B, T_OUT
+    )
+    device_ms, wall_ms, _ = _measure(
+        step_fn, state, feats, den, sup, "/tmp/tb_bench_prod"
+    )
+    step_ms = device_ms if device_ms == device_ms else wall_ms
+    n_dev = max(1, len(jax.devices()))
     return {
         "production_den_path": type(den).__name__,
-        "production_step_ms": round(best * 1e3, 2),
+        "production_step_ms": round(step_ms, 2),
+        "production_wall_step_ms": round(wall_ms, 2),
         "production_audio_s_per_s_per_chip": round(
-            audio / best / max(1, len(jax.devices())), 1
+            audio_s / (step_ms / 1e3) / n_dev, 1
         ),
     }
 
@@ -110,95 +160,57 @@ def production_config():
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     _enable_compile_cache()
 
-    from torchain_tpu.data import ChainDataset, synthetic_dataset
-    from torchain_tpu.graphs import SupervisionOptions
-    from torchain_tpu.models import TDNNF, TdnnfConfig
-    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
-    from torchain_tpu.ops.device_graphs import DeviceSupervision
-    from torchain_tpu.train import create_train_state, make_train_step
+    from torchain_tpu.data import synthetic_dataset
 
     # realistic scale: ~40 phones, pruned TRIGRAM phone LM (den graph
-    # ~2k states / ~4k expanded, Kaldi-recipe scale), T_out=50 (1.5 s audio
+    # ~2k states / ~4k arcs, Kaldi-recipe scale), T_out=50 (1.5 s audio
     # per chunk at 10 ms input frames, frame-subsampling 3), batch 64
-    B, T_OUT, FEAT = 64, 50, 40
+    B, T_OUT = 64, 50
     corpus = synthetic_dataset(
         num_utts=2 * B,
         num_phones=40,
-        feat_dim=FEAT,
+        feat_dim=40,
         utt_frames_out=(T_OUT, T_OUT + 10),
         seed=0,
         lm_order=3,
         lm_extra_states=1000,
     )
-    def make_cfg(dtype):
-        return TdnnfConfig(
-            num_pdfs=corpus.tree.num_pdfs,
-            hidden_dim=768,
-            bottleneck_dim=96,
-            prefinal_dim=256,
-            num_layers=9,
-            dtype=dtype,
+
+    # measure f32 and bf16 trunks IN ONE process and report the best
+    results = {}
+    for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        step_fn, state, feats, den, sup, audio_s = _build(
+            corpus, dtype, B, T_OUT
         )
-
-    cfg = make_cfg(jnp.float32)
-    left, right = cfg.context
-    dataset = ChainDataset(
-        corpus.utts,
-        corpus.tree,
-        corpus.norm_fst,
-        chunk_frames_out=T_OUT,
-        left_context=left,
-        right_context=right,
-        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
-    )
-    batch = next(dataset.batches(B, shuffle=False))
-    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
-    sup = DeviceSupervision.from_host(batch.sup)
-    feats = jnp.asarray(batch.feats)
-
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
-    step_fn = make_train_step(
-        ChainLossOptions(
-            l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
+        device_ms, wall_ms, _ = _measure(
+            step_fn, state, feats, den, sup, f"/tmp/tb_bench_{tag}"
         )
-    )
+        results[tag] = (device_ms, wall_ms, audio_s, type(den).__name__)
 
-    # measure f32 and bf16 trunks IN ONE process (cross-run machine noise
-    # here exceeds the dtype delta; same-process min-of-windows is reliable)
-    def measure(dtype):
-        model = TDNNF(make_cfg(dtype))
-        state = create_train_state(model, feats, tx)
-        for _ in range(3):
-            state, metrics = step_fn(state, feats, den, sup)
-        jax.block_until_ready(metrics["loss"])
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(20):
-                state, metrics = step_fn(state, feats, den, sup)
-            jax.block_until_ready(metrics["loss"])
-            best = min(best, (time.perf_counter() - t0) / 20)
-        return best
-
-    best = min(measure(jnp.float32), measure(jnp.bfloat16))
-
-    b_actual = batch.feats.shape[0]
-    audio_seconds_per_batch = b_actual * batch.sup.num_frames * 3 * 0.010
-    value = audio_seconds_per_batch / best / max(1, len(jax.devices()))
+    # prefer device-trace numbers; fall back to wall (CPU dev runs)
+    have_device = all(r[0] == r[0] for r in results.values())
+    pick = min(results, key=lambda k: results[k][0 if have_device else 1])
+    device_ms, wall_ms, audio_s, den_name = results[pick]
+    step_ms = device_ms if have_device else wall_ms
+    n_dev = max(1, len(jax.devices()))
+    value = audio_s / (step_ms / 1e3) / n_dev
     out = {
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / 1000.0, 3),
+        "protocol": "device_trace_span" if have_device else "wall_window",
+        "dtype": pick,
+        "den_path": den_name,
+        "step_ms": round(step_ms, 2),
+        "wall_step_ms": round(wall_ms, 2),
     }
     # second headline: the production-scale (4-gram biphone) configuration
-    # on the VMEM-resident Pallas path — TPU only (the VERDICT r1 "report
-    # BOTH graph scales" requirement); guarded so a failure/timeout there
-    # never loses the primary metric
+    # (the VERDICT r1 "report BOTH graph scales" requirement); guarded so
+    # a failure/timeout there never loses the primary metric
     if jax.default_backend() == "tpu":
         try:
             out.update(production_config())
