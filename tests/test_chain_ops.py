@@ -303,3 +303,31 @@ class TestBetaPullbackStability:
                 np.asarray(gamma[b]), og, atol=3e-4,
                 err_msg="per-slot-stabilized beta pullback must match oracle",
             )
+
+
+class TestPallasVocabKernels:
+    """The TPU Pallas vocab gather/scatter kernels (num_scan._gather_vocab /
+    _scatter_vocab) must agree with the XLA fallback.  On CPU they run in
+    interpret mode (TORCHAIN_NUM_PALLAS=force), so keep shapes tiny."""
+
+    def test_gather_and_backward_match_fallback(self, setup, monkeypatch):
+        batch = setup["batch"]
+        sup = DeviceSupervision.from_host(batch)
+        yj = jnp.asarray(setup["y"])
+
+        monkeypatch.setenv("TORCHAIN_NUM_PALLAS", "0")
+        ys_ref = num_scan._gather_vocab(yj, sup)
+        lp_ref, al_ref = num_scan.num_forward(yj, sup, ysmall=ys_ref)
+        g_ref = num_scan.num_backward(yj, sup, lp_ref, al_ref, ysmall=ys_ref)
+
+        monkeypatch.setenv("TORCHAIN_NUM_PALLAS", "force")
+        ys_pl = num_scan._gather_vocab(yj, sup)
+        np.testing.assert_allclose(
+            np.asarray(ys_pl), np.asarray(ys_ref), atol=1e-6,
+            err_msg="Pallas vocab gather must match take_along_axis",
+        )
+        g_pl = num_scan.num_backward(yj, sup, lp_ref, al_ref, ysmall=ys_pl)
+        np.testing.assert_allclose(
+            np.asarray(g_pl), np.asarray(g_ref), atol=1e-6,
+            err_msg="Pallas vocab scatter must match the unique-index scatter",
+        )

@@ -72,7 +72,10 @@ def test_conformer_model_parallel_matches_single_device():
     sup = DeviceSupervision.from_host(batch.sup)
     feats = jnp.asarray(batch.feats)
     tx = optax.adam(1e-3)
-    step_fn = make_train_step(ChainLossOptions(leaky_hmm_coefficient=0.1))
+    step_fn = make_train_step(
+        ChainLossOptions(leaky_hmm_coefficient=0.1),
+        donate=False,  # the reference state is reused for the sharded run
+    )
 
     state = create_train_state(model, feats, tx)
     _, m_ref = step_fn(state, feats, den, sup)
@@ -122,7 +125,10 @@ def test_sharded_loss_matches_single_device():
 
     model, cfg, den, batch_obj, example_feats = g._build_tiny(batch=8)
     tx = optax.adam(1e-3)
-    step_fn = make_train_step(ChainLossOptions(leaky_hmm_coefficient=0.1))
+    step_fn = make_train_step(
+        ChainLossOptions(leaky_hmm_coefficient=0.1),
+        donate=False,  # the reference state is reused for the sharded run
+    )
 
     sup_host = DeviceSupervision.from_host(batch_obj.sup)
     feats_np = jnp.asarray(batch_obj.feats)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--config", default="trigram", choices=("trigram", "production"))
     ap.add_argument("--steps", type=int, default=6, help="traced steps")
     ap.add_argument("--logdir", default="/tmp/tb_matrix")
+    ap.add_argument(
+        "--detail", action="store_true",
+        help="print full by_source/top_ops attribution tables",
+    )
     args = ap.parse_args()
 
     import jax
@@ -168,6 +172,22 @@ def main():
                 ),
                 flush=True,
             )
+            if args.detail and s["by_source"]:
+                print(
+                    json.dumps(
+                        dict(
+                            by_source=[
+                                (src.rsplit("/", 1)[-1], round(ms / args.steps, 3))
+                                for src, ms in s["by_source"][:24]
+                            ],
+                            top_ops=[
+                                (n, round(ms / args.steps, 3))
+                                for n, ms in s["top_ops"][:24]
+                            ],
+                        )
+                    ),
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

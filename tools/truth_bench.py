@@ -79,7 +79,8 @@ def build(config, B, T_OUT=50, dtype="bf16"):
     step_fn = make_train_step(
         ChainLossOptions(
             l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
-        )
+        ),
+        donate=False,  # these protocols replay the same state object
     )
     model = TDNNF(cfg)
     state = create_train_state(model, feats, tx)

@@ -157,11 +157,19 @@ def _num_forward_backward(y, sup):
     (NumeratorComputation) vs cyclic e2e graphs
     (GenericNumeratorComputation)."""
     if isinstance(sup, DeviceE2eSupervision):
-        num_logp, alphas = num_e2e.e2e_forward(y, sup)
-        gamma_num = num_e2e.e2e_backward(y, sup, num_logp, alphas)
+        ylocal = num_e2e._arc_emissions(y, sup)
+        num_logp, alphas = num_e2e.e2e_forward(y, sup, ylocal=ylocal)
+        gamma_num = num_e2e.e2e_backward(
+            y, sup, num_logp, alphas, ylocal=ylocal
+        )
     else:
-        num_logp, alphas = num_scan.num_forward(y, sup)
-        gamma_num = num_scan.num_backward(y, sup, num_logp, alphas)
+        # one vocab gather shared by both passes (the per-index cost of
+        # TPU gathers dominates at production scale; BENCH_NOTES round 2)
+        ysmall = num_scan._gather_vocab(y, sup)
+        num_logp, alphas = num_scan.num_forward(y, sup, ysmall=ysmall)
+        gamma_num = num_scan.num_backward(
+            y, sup, num_logp, alphas, ysmall=ysmall
+        )
     return num_logp, gamma_num
 
 

@@ -49,7 +49,7 @@ from torchain_tpu.graphs.den_graph import DenGraph
 
 #: usable VMEM budget per core (bytes); v5e measured to accept 120 MiB
 #: (tools/probe_vmem.py) — leave headroom for Mosaic's own buffers
-VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(104 * 1024 * 1024)))
+VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(110 * 1024 * 1024)))
 
 #: hold V in f32 while it fits this many bytes; bf16 beyond
 F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(68 * 1024 * 1024)))
@@ -161,9 +161,13 @@ class DeviceResidentDenGraph:
 def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
     """Conservative VMEM feasibility check for this graph + batch size."""
     S, KS = g.num_states, g.num_states * g.num_slots
-    stream = 2 * 4 * batch * (KS + S + KS)  # pe in, sh out, occ out (dbl buf)
+    it = g.V.dtype.itemsize
+    # resident: V [S, KS] + slot one-hot [KS, P] (backward projection)
+    resident = g.vmem_bytes + KS * g.num_pdfs * it
+    # double-buffered streams: pe + ah in (V.dtype), gamma out (f32)
+    stream = 2 * batch * (2 * it * KS + 4 * g.num_pdfs)
     scratch = 4 * batch * (S + KS + S)
-    return g.vmem_bytes + stream + scratch <= VMEM_BUDGET
+    return resident + stream + scratch <= VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -207,11 +211,11 @@ def _fwd_kernel(
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, KS]
-    alpha = h * pe_ref[0]
+    alpha = h * pe_ref[0].astype(jnp.float32)
     c = jnp.sum(alpha, axis=-1, keepdims=True)  # [B, 1]
     logc_ref[0] = jnp.broadcast_to(jnp.log(c), (c.shape[0], LANE))
     alpha_hat = alpha / c
-    ah_ref[0] = alpha_hat
+    ah_ref[0] = alpha_hat.astype(ah_ref.dtype)
     nxt = alpha_hat[:, 0:S]
     for k in range(1, K):
         nxt = nxt + alpha_hat[:, k * S : (k + 1) * S]
@@ -227,9 +231,10 @@ def _bwd_kernel(
     f_ref,  # [1, B, LANE] F_t = cumsum(logc + ymax), broadcast lanes (rev)
     ymax_ref,  # [1, B, LANE] (reversed)
     v_ref,  # [S, KS] resident
+    oh_ref,  # [KS, P] resident slot->pdf one-hot (V.dtype)
     init_ref,  # [1, S]
     logz_ref,  # [B, LANE]
-    occ_ref,  # [1, B, KS] out: alpha_hat * bh * scale  (reversed t)
+    gamma_ref,  # [1, B, P] out: per-frame pdf occupancies (reversed t)
     bh_ref,  # scratch [B, KS] f32
     g_ref,  # scratch [B, LANE] f32
 ):
@@ -243,14 +248,22 @@ def _bwd_kernel(
     def col(tile):  # all-equal broadcast lanes -> [B, 1] scalar column
         return jnp.max(tile, axis=-1, keepdims=True)
 
-    pe = pe_ref[0]
-    ah = ah_ref[0]  # = (pe * (L sh_prev) @ V) / c_t, stored by the forward
+    pe = pe_ref[0].astype(jnp.float32)
+    ah = ah_ref[0].astype(jnp.float32)  # = (pe * (L sh_prev) @ V) / c_t
     bh = bh_ref[...]
     # scale folds the stored normalization back in:
     # ah_unnorm * bh * exp(F_{t-1} + ymax_t + G - logZ)
     #   = ah * bh * exp(F_t + G - logZ)        (F_t = F_{t-1} + ymax + logc)
     scale = jnp.exp(col(f_ref[0]) + col(g_ref[...]) - col(logz_ref[...]))  # [B, 1]
-    occ_ref[0] = ah * bh * scale
+    occ = ah * bh * scale  # [B, KS] slot occupancies of frame t
+    # slot -> pdf projection IN-KERNEL: the [B, KS] occupancies never
+    # leave VMEM (the [T, B, KS] occ stream was the largest HBM term of
+    # the backward at production scale; BENCH_NOTES round 2)
+    gamma_ref[0] = jax.lax.dot_general(
+        occ.astype(oh_ref.dtype), oh_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     # beta pullback: v = (pe * bh) @ V^T, then leak^T, broadcast to slots
     w = (pe * bh).astype(v_ref.dtype)
     v = jax.lax.dot_general(
@@ -281,11 +294,20 @@ def _pe_of(y, g: DeviceResidentDenGraph):
 
     The slot projection is a constant-index lane gather; XLA lowers
     jnp.take on the last axis to an efficient dynamic-gather here (unlike
-    the [B, S, K] pattern den_table tripped on)."""
-    ymax = jax.lax.stop_gradient(jnp.max(y, axis=-1))  # [B, T]
-    p = jnp.exp(y - ymax[..., None])  # [B, T, P]
-    pe = jnp.take(p, g.slot_pdf, axis=-1)  # [B, T, KS]
-    return jnp.swapaxes(pe, 0, 1), ymax, p
+    the [B, S, K] pattern den_table tripped on).  y is transposed to
+    time-major BEFORE the KS-expansion so the kernel-layout pe array
+    ([T, B, KS], ~4.7x bigger than y at production scale) is born in its
+    final layout instead of being transposed afterwards (saved a ~200 MB
+    HBM round-trip per step at B=128; BENCH_NOTES round 2)."""
+    yt = jnp.swapaxes(y, 0, 1)  # [T, B, P] — cheap: pre-expansion
+    ymax_t = jax.lax.stop_gradient(jnp.max(yt, axis=-1))  # [T, B]
+    p = jnp.exp(yt - ymax_t[..., None])  # [T, B, P]
+    # the pe/ah streams ride in V's dtype: pe is only ever a multiplicand
+    # feeding the V matmuls (which run in V.dtype anyway), so bf16 streams
+    # halve the dominant HBM term at production scale without leaving the
+    # documented bf16-V error band; small f32-V graphs stay exact
+    pe = jnp.take(p, g.slot_pdf, axis=-1).astype(g.V.dtype)  # [T, B, KS]
+    return pe, ymax_t.T, p
 
 
 def den_forward(
@@ -316,7 +338,7 @@ def den_forward(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, KS), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, KS), g.V.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -351,8 +373,9 @@ def den_backward(
 
     nt = T
     rev3 = lambda t: (nt - 1 - t, 0, 0)
+    P = g.num_pdfs
     kern = functools.partial(_bwd_kernel, leaky, K, S)
-    occ = pl.pallas_call(
+    gamma = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -361,11 +384,12 @@ def den_backward(
             pl.BlockSpec((1, B, LANE), rev3),
             pl.BlockSpec((1, B, LANE), rev3),
             pl.BlockSpec((S, KS), lambda t: (0, 0)),
+            pl.BlockSpec((KS, P), lambda t: (0, 0)),
             pl.BlockSpec((1, S), lambda t: (0, 0)),
             pl.BlockSpec((B, LANE), lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B, KS), rev3),
-        out_shape=jax.ShapeDtypeStruct((T, B, KS), jnp.float32),
+        out_specs=pl.BlockSpec((1, B, P), rev3),
+        out_shape=jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, KS), jnp.float32),
             pltpu.VMEM((B, LANE), jnp.float32),
@@ -380,15 +404,8 @@ def den_backward(
         tile(F),
         tile(ymax.T),
         g.V,
+        g.slot_onehot.astype(g.V.dtype),
         g.init,
         jnp.broadcast_to(log_z[:, None], (B, LANE)),
-    )
-
-    # gamma scatter: one batched slot->pdf projection outside the scan
-    gamma = jax.lax.dot_general(
-        occ.astype(g.V.dtype),
-        g.slot_onehot.astype(g.V.dtype),
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [T, B, P]
+    )  # [T, B, P] — the slot->pdf projection happened in-kernel
     return jnp.swapaxes(gamma, 0, 1)

@@ -154,12 +154,14 @@ def _arc_emissions(y: jnp.ndarray, sup: DeviceE2eSupervision) -> jnp.ndarray:
 def e2e_forward(
     y: jnp.ndarray,  # [B, T, P]
     sup: DeviceE2eSupervision,
+    ylocal: jnp.ndarray | None = None,  # [B, T, S, K] to share with backward
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (log_prob [B], alphas [T+1, B, S])."""
     B, T, P = y.shape
     S = sup.max_states
     a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
-    ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
+    if ylocal is None:
+        ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
     mask = sup.in_src >= 0
     warc = jnp.where(mask, sup.in_logw, 0.0)  # [B, S, K]
     # loop-invariant selection mask, built once outside the scan body
@@ -186,6 +188,7 @@ def e2e_backward(
     sup: DeviceE2eSupervision,
     log_p: jnp.ndarray,
     alphas: jnp.ndarray,
+    ylocal: jnp.ndarray | None = None,  # [B, T, S, K] shared with forward
 ) -> jnp.ndarray:
     """Returns gamma [B, T, P] = d(log_prob)/dy; zero for non-finite
     sequences."""
@@ -194,7 +197,8 @@ def e2e_backward(
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
-    ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
+    if ylocal is None:
+        ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
     mask = sup.in_src >= 0
     hit = sup.in_src[..., None] == jnp.arange(S, dtype=sup.in_src.dtype)
 

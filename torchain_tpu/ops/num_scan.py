@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from torchain_tpu.ops.device_graphs import DeviceSupervision
 
@@ -45,11 +46,104 @@ UNROLL = int(_os.environ.get("TORCHAIN_SCAN_UNROLL", "4"))
 NEG_INF = -jnp.inf
 
 
+def _use_pallas_vocab() -> bool:
+    """Pallas vocab kernels run on TPU only: interpret mode (the CPU
+    fallback) emulates the grid in Python and makes CPU test runs crawl.
+    TORCHAIN_NUM_PALLAS=force enables interpret mode for equivalence
+    tests; =0 disables the kernels everywhere."""
+    mode = _os.environ.get("TORCHAIN_NUM_PALLAS", "1")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
 def _gather_vocab(y: jnp.ndarray, sup: DeviceSupervision) -> jnp.ndarray:
-    """The one real gather: y [B, T, P] -> ysmall [B, T, W] float32."""
-    return jnp.take_along_axis(
-        y.astype(jnp.float32), sup.frame_vocab, axis=2
-    )
+    """The one real gather: y [B, T, P] -> ysmall [B, T, W] float32.
+
+    XLA lowers the [B*T*W]-index take_along_axis at ~10 cycles/index
+    (~1 ms/step at production scale); the Pallas kernel instead streams
+    one [B, P] frame at a time and selects each of the W vocabulary
+    entries with a one-hot lane comparison — pure VPU math, ~4x faster
+    (BENCH_NOTES round 2)."""
+    if not _use_pallas_vocab():
+        return jnp.take_along_axis(
+            y.astype(jnp.float32), sup.frame_vocab, axis=2
+        )
+    B, T, P = y.shape
+    W = sup.frame_vocab.shape[-1]
+    # Mosaic block constraint: the last two dims of a block must be
+    # divisible by (8, 128) or cover the array — so stream time-major
+    # [T, B, P] blocks of (1, B, P)
+    yt = jnp.swapaxes(y, 0, 1)  # [T, B, P]
+    vt = jnp.swapaxes(sup.frame_vocab, 0, 1)  # [T, B, W]
+
+    def kern(y_ref, v_ref, o_ref):
+        yb = y_ref[0].astype(jnp.float32)  # [B, P]
+        vv = v_ref[0]  # [B, W]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        cols = []
+        for w in range(W):
+            hit = vv[:, w : w + 1] == iota  # [B, P]
+            cols.append(
+                jnp.sum(jnp.where(hit, yb, 0.0), axis=1, keepdims=True)
+            )
+        o_ref[0] = jnp.concatenate(cols, axis=1)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B, W), jnp.float32),
+        interpret=_interpret(),
+    )(yt, vt)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _scatter_vocab(
+    gsm_t: jnp.ndarray,  # [T, B, W] f32 vocabulary-space occupancies
+    sup: DeviceSupervision,
+    P: int,
+) -> jnp.ndarray:
+    """Expand vocabulary-space gamma to pdf space: [T, B, W] -> [B, T, P].
+
+    Pad vocabulary slots carry exactly 0.0 (no arc indexes them), so the
+    one-hot accumulation over W is exact even where vocab rows repeat
+    pdf 0 in their padding."""
+    T, B, W = gsm_t.shape
+    vt = jnp.swapaxes(sup.frame_vocab, 0, 1)  # [T, B, W]
+
+    def kern(g_ref, v_ref, o_ref):
+        g = g_ref[0]  # [B, W]
+        vv = v_ref[0]  # [B, W]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        acc = jnp.zeros_like(o_ref[0])
+        for w in range(W):
+            hit = vv[:, w : w + 1] == iota  # [B, P]
+            acc = acc + jnp.where(hit, g[:, w : w + 1], 0.0)
+        o_ref[0] = acc
+
+    gamma_t = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, P), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+        interpret=_interpret(),
+    )(gsm_t, vt)
+    return jnp.swapaxes(gamma_t, 0, 1)
 
 
 def _emit(ysm: jnp.ndarray, pdf_local: jnp.ndarray) -> jnp.ndarray:
@@ -71,12 +165,14 @@ def _select_src(x: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
 def num_forward(
     y: jnp.ndarray,  # [B, T, P]
     sup: DeviceSupervision,
+    ysmall: jnp.ndarray | None = None,  # [B, T, W] to share with backward
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (log_prob [B], alphas [T+1, B, S])."""
     B, T, P = y.shape
     S = sup.max_states
     a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
-    ysmall = _gather_vocab(y, sup)  # [B, T, W]
+    if ysmall is None:
+        ysmall = _gather_vocab(y, sup)  # [B, T, W]
 
     def step(alpha, inputs):
         ysm, src, lpdf, logw = inputs
@@ -103,6 +199,7 @@ def num_backward(
     sup: DeviceSupervision,
     log_p: jnp.ndarray,  # [B]
     alphas: jnp.ndarray,  # [T+1, B, S]
+    ysmall: jnp.ndarray | None = None,  # [B, T, W] shared with forward
 ) -> jnp.ndarray:
     """Returns gamma [B, T, P] = d(log_prob)/dy (numerator occupancies).
     Sequences with non-finite log_p yield zero gamma (the caller applies the
@@ -117,7 +214,8 @@ def num_backward(
     safe_logp = jnp.where(jnp.isfinite(log_p), log_p, 0.0)
     valid = jnp.isfinite(log_p)
 
-    ysmall = _gather_vocab(y, sup)  # [B, T, W]
+    if ysmall is None:
+        ysmall = _gather_vocab(y, sup)  # [B, T, W]
 
     def step(beta, inputs):
         # beta: [B, S] log-betas of frame t+1 states; emit occupancies of
@@ -154,18 +252,34 @@ def num_backward(
     _, gsm = jax.lax.scan(
         step, sup.final_logw, xs, reverse=True, unroll=UNROLL
     )
-    gamma_small = jnp.swapaxes(gsm, 0, 1)  # [B, T, W]
 
-    # expand to pdf space: ONE flat scatter-add (f32; unused vocab slots
-    # carry 0.0 and harmlessly re-target (b, t, pdf 0))
+    if _use_pallas_vocab():
+        return _scatter_vocab(gsm, sup, P)
+
+    # XLA fallback: ONE flat scatter of provably-unique indices.
+    # frame_vocab rows are strictly increasing over their valid prefix and
+    # 0-padded after it, so a slot is valid iff it is slot 0 or exceeds its
+    # predecessor; pad slots (whose gamma is exactly 0 — no arc indexes
+    # them) are routed out of bounds and dropped, which lets XLA skip the
+    # sort/dedup lowering of a colliding scatter-add.
+    gamma_small = jnp.swapaxes(gsm, 0, 1)  # [B, T, W]
+    vocab = sup.frame_vocab
+    vocab_valid = jnp.concatenate(
+        [
+            jnp.ones(vocab.shape[:2] + (1,), dtype=bool),
+            vocab[..., 1:] > vocab[..., :-1],
+        ],
+        axis=-1,
+    )
     flat_idx = (
         (jnp.arange(B)[:, None, None] * T + jnp.arange(T)[None, :, None]) * P
-        + sup.frame_vocab
-    ).reshape(-1)
+        + vocab
+    )
+    flat_idx = jnp.where(vocab_valid, flat_idx, B * T * P).reshape(-1)
     gamma = (
         jnp.zeros((B * T * P,), dtype=jnp.float32)
         .at[flat_idx]
-        .add(gamma_small.reshape(-1))
+        .set(gamma_small.reshape(-1), mode="drop", unique_indices=True)
         .reshape(B, T, P)
     )
     return gamma

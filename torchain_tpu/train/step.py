@@ -13,6 +13,8 @@ so objf/weight semantics match the single-chip run exactly.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -22,10 +24,18 @@ from torchain_tpu.ops.device_graphs import DeviceSupervision
 from torchain_tpu.train.state import ChainTrainState
 
 
-def make_train_step(loss_opts: ChainLossOptions, use_xent: bool = True):
-    """Returns jitted (state, feats, den, sup) -> (state, metrics)."""
+def make_train_step(
+    loss_opts: ChainLossOptions, use_xent: bool = True, donate: bool = True
+):
+    """Returns jitted (state, feats, den, sup) -> (state, metrics).
 
-    @jax.jit
+    By default the train state is donated: params/opt-state buffers are
+    updated in place (training loops rebind `state = step(state, ...)`),
+    halving the peak parameter-side HBM footprint.  Pass donate=False for
+    callers that deliberately replay the same state object (timing
+    probes).  CPU backends ignore donation."""
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         state: ChainTrainState,
         feats: jnp.ndarray,  # [B, T_in, F]
