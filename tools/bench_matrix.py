@@ -36,6 +36,10 @@ def main():
         "--detail", action="store_true",
         help="print full by_source/top_ops attribution tables",
     )
+    ap.add_argument(
+        "--impl", default="dot", choices=("dot", "conv"),
+        help="TDNN-F factored-layer lowering",
+    )
     args = ap.parse_args()
 
     import jax
@@ -80,6 +84,7 @@ def main():
                 prefinal_dim=256,
                 num_layers=9,
                 dtype=dtype,
+                impl=args.impl,
             )
             return TDNNF(cfg), cfg.context
         cfg = ConformerConfig(

@@ -102,6 +102,45 @@ class TDNN(nn.Module):
         return chain, xent
 
 
+class _TapDot(nn.Module):
+    """A width-2 dilated 1-D 'conv' as two strided-slice matmuls.
+
+    Parameter-compatible with nn.Conv (kernel [2, in, out], optional bias
+    [out]) but lowered as dot_general on MXU-friendly [B*T, C] operands:
+    measured on v5e, XLA's conv_general_dilated lowering of the same layer
+    leaves ~2x on the table at TDNN-F shapes (BENCH_NOTES round 2)."""
+
+    features: int
+    dilation: int = 1
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_feat = x.shape[-1]
+        # same shape AND fan-in convention as nn.Conv's kernel (the
+        # receptive-field dim counts toward fan-in), so checkpoints and the
+        # semi-orthogonal projection are interchangeable across impls
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, in_feat, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        d, s = self.dilation, self.stride
+        t_out = (x.shape[1] - d - 1) // s + 1
+        lag = x[:, 0 : (t_out - 1) * s + 1 : s]
+        now = x[:, d : d + (t_out - 1) * s + 1 : s]
+        y = jnp.dot(lag, kernel[0]) + jnp.dot(now, kernel[1])
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class TdnnfLayer(nn.Module):
     """One factored layer: semi-orthogonal linear (context [-d, 0]) ->
     bottleneck -> affine (context [0, +d]) -> relu -> batchnorm, with a
@@ -113,30 +152,48 @@ class TdnnfLayer(nn.Module):
     stride: int = 1
     bypass_scale: float = 0.66
     dtype: Any = jnp.float32
+    #: "dot" = strided-slice matmuls (TPU default), "conv" = nn.Conv
+    impl: str = "dot"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # first factor: kernel covers (t - d, t); named linear_pre so the
-        # periodic semi-orthogonal projection finds it
-        h = nn.Conv(
-            self.bottleneck_dim,
-            kernel_size=(2,),
-            kernel_dilation=(self.dilation,),
-            strides=(self.stride,),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            name="linear_pre",
-        )(x)
-        # second factor: kernel covers (t, t + d)
-        h = nn.Conv(
-            self.hidden_dim,
-            kernel_size=(2,),
-            kernel_dilation=(self.dilation,),
-            padding="VALID",
-            dtype=self.dtype,
-            name="affine",
-        )(h)
+        if self.impl == "dot":
+            # first factor: kernel covers (t - d, t); named linear_pre so
+            # the periodic semi-orthogonal projection finds it
+            h = _TapDot(
+                self.bottleneck_dim,
+                dilation=self.dilation,
+                stride=self.stride,
+                use_bias=False,
+                dtype=self.dtype,
+                name="linear_pre",
+            )(x)
+            # second factor: kernel covers (t, t + d)
+            h = _TapDot(
+                self.hidden_dim,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name="affine",
+            )(h)
+        else:
+            h = nn.Conv(
+                self.bottleneck_dim,
+                kernel_size=(2,),
+                kernel_dilation=(self.dilation,),
+                strides=(self.stride,),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                name="linear_pre",
+            )(x)
+            h = nn.Conv(
+                self.hidden_dim,
+                kernel_size=(2,),
+                kernel_dilation=(self.dilation,),
+                padding="VALID",
+                dtype=self.dtype,
+                name="affine",
+            )(h)
         h = nn.relu(h)
         h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(h)
         # bypass: crop x to align with h (d left from factor 1, d right from
@@ -162,6 +219,9 @@ class TdnnfConfig:
     frame_subsampling_factor: int = 3
     #: dilation per layer after the subsample layer (Kaldi time-stride 3)
     dilation: int = 3
+    #: factored-layer lowering: "dot" (strided-slice matmuls, TPU default)
+    #: or "conv" (lax.conv_general_dilated) — numerically identical
+    impl: str = "dot"
 
     def layer_geometry(self) -> list[tuple[int, int]]:
         """(dilation, stride) per tdnnf layer."""
@@ -206,6 +266,7 @@ class TDNNF(nn.Module):
                 dilation=d,
                 stride=s,
                 dtype=cfg.dtype,
+                impl=cfg.impl,
                 name=f"tdnnf{i}",
             )(x, train)
         chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
