@@ -46,6 +46,10 @@ class ConformerConfig:
     #: v5e, the bf16 grouped conv lowers catastrophically (122 ms vs
     #: 2.8 ms full step) — it is bandwidth-trivial anyway
     depthwise_f32: bool = True
+    #: depthwise lowering: "shift" = kernel-tap shifted multiply-adds
+    #: (pure VPU elementwise, no grouped-conv lowering), "conv" =
+    #: lax.conv feature_group_count — numerically identical
+    depthwise_impl: str = "shift"
 
     @property
     def context(self) -> tuple[int, int]:
@@ -69,6 +73,39 @@ class RelPositionBias(nn.Module):
         rel = np.arange(T)[None, :] - np.arange(T)[:, None]  # static
         idx = np.clip(rel, -self.num_buckets, self.num_buckets) + self.num_buckets
         return jnp.transpose(emb[idx], (2, 0, 1))  # [H, T, T]
+
+
+class DepthwiseShift(nn.Module):
+    """Depthwise 1-D conv (SAME padding) as kernel-tap shifted
+    multiply-adds.  Parameter-compatible with
+    nn.Conv(features=dim, feature_group_count=dim): kernel [K, 1, dim],
+    bias [dim].  On TPU the grouped-conv lowering of a depthwise conv is
+    scalar-unfriendly; K shifted elementwise FMAs are pure VPU work that
+    XLA fuses into one pass."""
+
+    features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C]
+        K = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (K, 1, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        ).astype(self.dtype)
+        T = x.shape[1]
+        lo = (K - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, K - 1 - lo), (0, 0)))
+        y = xp[:, 0:T] * kernel[0, 0]
+        for k in range(1, K):
+            y = y + xp[:, k : k + T] * kernel[k, 0]
+        return y + bias
 
 
 class ConformerBlock(nn.Module):
@@ -108,14 +145,22 @@ class ConformerBlock(nn.Module):
         h = nn.Dense(2 * cfg.dim, dtype=cfg.dtype, name="conv_in")(h)
         h = nn.glu(h, axis=-1)
         dw_dtype = jnp.float32 if cfg.depthwise_f32 else cfg.dtype
-        h = nn.Conv(
-            cfg.dim,
-            kernel_size=(cfg.conv_kernel,),
-            feature_group_count=cfg.dim,
-            padding="SAME",
-            dtype=dw_dtype,
-            name="depthwise",
-        )(h.astype(dw_dtype))
+        if cfg.depthwise_impl == "shift":
+            h = DepthwiseShift(
+                cfg.dim,
+                kernel_size=cfg.conv_kernel,
+                dtype=dw_dtype,
+                name="depthwise",
+            )(h.astype(dw_dtype))
+        else:
+            h = nn.Conv(
+                cfg.dim,
+                kernel_size=(cfg.conv_kernel,),
+                feature_group_count=cfg.dim,
+                padding="SAME",
+                dtype=dw_dtype,
+                name="depthwise",
+            )(h.astype(dw_dtype))
         # f32 batch-norm island (running stats must not accumulate in bf16)
         h = nn.BatchNorm(
             use_running_average=not train, axis_name=None, dtype=jnp.float32
