@@ -167,8 +167,10 @@ def main():
 
     # realistic scale: ~40 phones, pruned TRIGRAM phone LM (den graph
     # ~2k states / ~4k arcs, Kaldi-recipe scale), T_out=50 (1.5 s audio
-    # per chunk at 10 ms input frames, frame-subsampling 3), batch 64
-    B, T_OUT = 64, 50
+    # per chunk at 10 ms input frames, frame-subsampling 3), batch 128
+    # (the measured audio-s/s sweet spot: B=64 -> 128 gains ~3%, B=256
+    # regresses — BENCH_NOTES round 2 batch sweep)
+    B, T_OUT = 128, 50
     corpus = synthetic_dataset(
         num_utts=2 * B,
         num_phones=40,

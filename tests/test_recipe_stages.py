@@ -1,0 +1,122 @@
+"""Kaldi-recipe stages beyond plain fit(): exponential LR decay
+(nnet3 train.py initial/final-effective-lrate schedule) and the final
+'combine' stage (checkpoint averaging)."""
+
+import jax
+import numpy as np
+
+from torchain_tpu.data import ChainDataset, synthetic_dataset
+from torchain_tpu.graphs import SupervisionOptions
+from torchain_tpu.models import TDNNF, TdnnfConfig
+from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+from torchain_tpu.train import Trainer, TrainerConfig
+from torchain_tpu.train.trainer import make_optimizer
+
+
+def _trainer(tmp_path, **tcfg_kw):
+    corpus = synthetic_dataset(num_utts=10, num_phones=5, feat_dim=8, seed=7)
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=32,
+        bottleneck_dim=8,
+        prefinal_dim=16,
+        num_layers=2,
+    )
+    model = TDNNF(cfg)
+    left, right = cfg.context
+    ds = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=12,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(frame_subsampling_factor=3),
+        seed=3,
+    )
+    den = auto_den_graph(corpus.den_graph)
+    tcfg = TrainerConfig(
+        num_epochs=1,
+        batch_size=4,
+        log_every=1000,
+        semi_ortho_every=0,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        loss=ChainLossOptions(leaky_hmm_coefficient=0.1),
+        **tcfg_kw,
+    )
+    t_in = 12 * 3 + left + right
+    trainer = Trainer(
+        model, den, tcfg, np.zeros((2, t_in, 8), np.float32), tree=corpus.tree
+    )
+    return trainer, ds
+
+
+def test_lr_schedule_hits_final_value():
+    cfg = TrainerConfig(lr=1e-2, lr_final=1e-4, lr_decay_steps=100)
+    tx = make_optimizer(cfg)
+    # the schedule inside the chained optimizer: probe via optax apply on a
+    # dummy param over many steps and watch the update magnitude shrink
+    import optax
+
+    sched = optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.lr_decay_steps,
+        decay_rate=cfg.lr_final / cfg.lr,
+        end_value=cfg.lr_final,
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-2, rtol=1e-6)
+    mid = float(sched(50))
+    assert 1e-4 < mid < 1e-2, "decay must be strictly between endpoints"
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1000)), 1e-4, rtol=1e-5)
+    # geometric midpoint: lr(50) = sqrt(lr0 * lr_final)
+    np.testing.assert_allclose(mid, 1e-3, rtol=1e-4)
+    del tx
+
+
+def test_sgd_with_decay_updates_shrink(tmp_path):
+    trainer, ds = _trainer(
+        tmp_path, optimizer="sgd", lr=1e-2, lr_final=1e-5, lr_decay_steps=6
+    )
+    params0 = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.fit(ds)
+    params1 = jax.tree.map(np.asarray, trainer.state.params)
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(a - b).max()), params0, params1)
+    )
+    assert max(moved) > 0, "decayed-LR training must still move params"
+
+
+def test_combine_averages_last_checkpoints(tmp_path):
+    trainer, ds = _trainer(tmp_path, checkpoint_every=10_000)
+    # manufacture three checkpoints with known, distinct params
+    with trainer.mesh:
+        batch = next(ds.batches(4, shuffle=False))
+        feats, sup = trainer._put_batch(batch)
+        snaps = []
+        for i in range(3):
+            trainer.state, _ = trainer.train_step(
+                trainer.state, feats, trainer.den, sup
+            )
+            trainer.current_epoch = 0
+            trainer.batch_in_epoch = i + 1
+            trainer.save_checkpoint()
+            snaps.append(jax.tree.map(np.asarray, trainer.state.params))
+    n = trainer.combine(last_n=3)
+    assert n == 3
+    expect = jax.tree.map(lambda a, b, c: (a + b + c) / 3.0, *snaps)
+    got = jax.tree.map(np.asarray, trainer.state.params)
+    jax.tree.map(
+        lambda e, g: np.testing.assert_allclose(g, e, rtol=1e-6, atol=1e-7),
+        expect,
+        got,
+    )
+
+
+def test_combine_with_fewer_checkpoints_is_noop(tmp_path):
+    trainer, ds = _trainer(tmp_path, checkpoint_every=10_000)
+    before = jax.tree.map(np.asarray, trainer.state.params)
+    n = trainer.combine(last_n=3)  # no checkpoints saved yet
+    assert n == 0
+    after = jax.tree.map(np.asarray, trainer.state.params)
+    jax.tree.map(np.testing.assert_array_equal, before, after)

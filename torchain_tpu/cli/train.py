@@ -37,6 +37,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--lr-final", type=float, default=0.0,
+        help="exponential LR decay from --lr to this value over the run "
+        "(Kaldi nnet3 train.py initial/final-effective-lrate schedule)",
+    )
+    p.add_argument(
+        "--combine-last", type=int, default=0,
+        help="after training, average the params of the last N checkpoints "
+        "(Kaldi 'combine' stage); requires --checkpoint-dir",
+    )
     p.add_argument("--optimizer", choices=("adam", "sgd"), default="adam")
     p.add_argument("--l2-regularize", type=float, default=5e-4)
     p.add_argument("--leaky-hmm-coefficient", type=float, default=0.1)
@@ -280,8 +290,15 @@ def main(argv=None) -> dict:
         corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree
     )
     print(f"[stage 1] den path: {type(den).__name__}")
+    # Kaldi-style exponential decay reaches --lr-final exactly at the last
+    # step of the scheduled run (epochs * batches-per-epoch)
+    n_records = len(dataset.chunks) or len(corpus.utts)  # e2e: ~1 chunk/utt
+    steps_per_epoch = max(1, n_records // args.batch_size)
+    decay_steps = args.steps if args.steps else args.epochs * steps_per_epoch
     tcfg = TrainerConfig(
         lr=args.lr,
+        lr_final=args.lr_final,
+        lr_decay_steps=decay_steps if args.lr_final > 0 else 0,
         optimizer=args.optimizer,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
@@ -374,6 +391,10 @@ def main(argv=None) -> dict:
         trainer.dump_metrics(args.metrics_out)
     if args.checkpoint_dir:
         trainer.save_checkpoint()
+    if args.combine_last and args.checkpoint_dir:
+        n = trainer.combine(args.combine_last)
+        print(f"[stage 2c] combine: averaged last {n} checkpoints "
+              "(subsequent valid/decode stages use the combined model)")
 
     out = dict(objf=results.objf, steps=int(trainer.state.step))
     if valid_utts and not args.e2e:

@@ -39,6 +39,12 @@ from torchain_tpu.train.step import make_eval_step, make_train_step
 @dataclasses.dataclass
 class TrainerConfig:
     lr: float = 1e-3
+    #: Kaldi-recipe exponential LR decay: when set (> 0) the learning rate
+    #: decays from `lr` to `lr_final` over `lr_decay_steps` optimizer
+    #: steps (lr(t) = lr * (lr_final/lr)^(t/steps), the nnet3 train.py
+    #: schedule), then holds at lr_final
+    lr_final: float = 0.0
+    lr_decay_steps: int = 0
     momentum: float = 0.9
     optimizer: str = "adam"  # adam | sgd
     grad_clip: float = 5.0
@@ -55,10 +61,18 @@ class TrainerConfig:
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    lr = cfg.lr
+    if cfg.lr_final > 0.0 and cfg.lr_decay_steps > 0:
+        lr = optax.exponential_decay(
+            init_value=cfg.lr,
+            transition_steps=cfg.lr_decay_steps,
+            decay_rate=cfg.lr_final / cfg.lr,
+            end_value=cfg.lr_final,
+        )
     if cfg.optimizer == "adam":
-        opt = optax.adam(cfg.lr)
+        opt = optax.adam(lr)
     elif cfg.optimizer == "sgd":
-        opt = optax.sgd(cfg.lr, momentum=cfg.momentum)
+        opt = optax.sgd(lr, momentum=cfg.momentum)
     else:
         raise ValueError(cfg.optimizer)
     if cfg.grad_clip > 0:
@@ -336,6 +350,41 @@ class Trainer:
             if self._ckpt_mgr is not None:
                 self.save_checkpoint()
         return self.results
+
+    def combine(self, last_n: int = 3) -> int:
+        """Kaldi 'combine' stage (steps/nnet3/chain/train.py final-model
+        combination role): average the parameters of the last `last_n`
+        checkpoints into the live state.  Kaldi searches convex weights
+        over the last iterations' models to maximize train objf; uniform
+        averaging is the modern equivalent (checkpoint averaging), and the
+        caller can evaluate() the result against the pre-combine model.
+        Returns the number of checkpoints combined."""
+        if self._ckpt_mgr is None:
+            return 0
+        import orbax.checkpoint as ocp
+
+        steps = sorted(self._ckpt_mgr.all_steps())[-max(1, last_n):]
+        if len(steps) < 2:
+            return len(steps)
+        target = dict(
+            params=self.state.params,
+            batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
+            step=self.state.step,
+            epoch=np.asarray(0, np.int32),
+            batch_in_epoch=np.asarray(0, np.int32),
+        )
+        acc = None
+        for s in steps:
+            restored = self._ckpt_mgr.restore(
+                s, args=ocp.args.StandardRestore(target)
+            )
+            p = restored["params"]
+            acc = p if acc is None else jax.tree.map(jnp.add, acc, p)
+        avg = jax.tree.map(lambda x: x / len(steps), acc)
+        avg = jax.device_put(avg, replicated(self.mesh))
+        self.state = self.state.replace(params=avg)
+        return len(steps)
 
     def evaluate(self, dataset: ChainDataset, max_batches: int = 0) -> ChainResults:
         """Validation pass (nnet3-chain-compute-prob parity): objf over a
