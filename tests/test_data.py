@@ -233,3 +233,59 @@ class TestGlobalCmvn:
 
         with pytest.raises(ValueError):
             compute_cmvn_stats([])
+
+
+class TestSupervisionCacheAndPrecompile:
+    """Round-2 host-pipeline fixes: supervision compilations are cached
+    across epochs (Kaldi compiles egs once, offline) and precompile() fills
+    the cache from parallel worker processes with identical results."""
+
+    def _ds(self):
+        from torchain_tpu.data import ChainDataset, synthetic_dataset
+        from torchain_tpu.graphs import SupervisionOptions
+
+        corpus = synthetic_dataset(num_utts=12, num_phones=5, feat_dim=8, seed=11)
+        return ChainDataset(
+            corpus.utts,
+            corpus.tree,
+            corpus.norm_fst,
+            chunk_frames_out=12,
+            left_context=6,
+            right_context=6,
+            sup_opts=SupervisionOptions(frame_subsampling_factor=3),
+            seed=5,
+        )
+
+    def test_cache_reuses_compilations_across_epochs(self):
+        ds = self._ds()
+        b1 = [b for b in ds.batches(4, epoch=0)]
+        assert len(ds._sup_cache) > 0, "epoch must populate the cache"
+        calls = {"n": 0}
+        orig = ds._chunk_supervision
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        ds._chunk_supervision = counting
+        b2 = [b for b in ds.batches(4, epoch=0)]
+        assert calls["n"] == 0, "second epoch must not recompile"
+        for x, y in zip(b1, b2):
+            np.testing.assert_array_equal(x.sup.in_src, y.sup.in_src)
+            np.testing.assert_allclose(x.sup.in_logw, y.sup.in_logw)
+
+    def test_precompile_matches_inline(self):
+        ds_a, ds_b = self._ds(), self._ds()
+        n = ds_b.precompile(num_workers=2)
+        assert n == len(ds_b.chunks)
+        for x, y in zip(ds_a.batches(4, epoch=1), ds_b.batches(4, epoch=1)):
+            np.testing.assert_array_equal(x.sup.in_src, y.sup.in_src)
+            np.testing.assert_allclose(x.sup.in_logw, y.sup.in_logw)
+            np.testing.assert_allclose(x.feats, y.feats)
+
+    def test_cache_size_cap_respected(self):
+        ds = self._ds()
+        ds.sup_cache_size = 2
+        for _ in ds.batches(4, epoch=0):
+            pass
+        assert len(ds._sup_cache) <= 2

@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "(Kaldi 'combine' stage); requires --checkpoint-dir",
     )
     p.add_argument("--optimizer", choices=("adam", "sgd"), default="adam")
+    p.add_argument(
+        "--precompile-egs", type=int, default=0, metavar="WORKERS",
+        help="compile all chunk supervisions up-front in N parallel worker "
+        "processes (nnet3-chain-get-egs offline-prep role); they are "
+        "cached across epochs either way",
+    )
     p.add_argument("--l2-regularize", type=float, default=5e-4)
     p.add_argument("--leaky-hmm-coefficient", type=float, default=0.1)
     p.add_argument("--xent-regularize", type=float, default=0.1)
@@ -285,6 +291,11 @@ def main(argv=None) -> dict:
             ),
             seed=args.seed,
         )
+
+    if args.precompile_egs and hasattr(dataset, "precompile"):
+        t_pre = time.time()
+        n_pre = dataset.precompile(num_workers=args.precompile_egs)
+        print(f"[stage 1] precompiled {n_pre} egs in {time.time()-t_pre:.1f}s")
 
     den = auto_den_graph(
         corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree

@@ -41,6 +41,19 @@ from torchain_tpu.graphs.supervision import (
     subsample_alignment,
 )
 
+_PRECOMPILE_DS = None
+
+
+def _precompile_init(ds):
+    global _PRECOMPILE_DS
+    _PRECOMPILE_DS = ds
+
+
+def _precompile_one(chunk_idx: int):
+    _ui, _c0, _t, ali, lc, rc = _PRECOMPILE_DS.chunks[chunk_idx]
+    return _PRECOMPILE_DS._chunk_supervision(ali, lc, rc)
+
+
 @dataclasses.dataclass
 class ChainBatch:
     """One training minibatch (host numpy; train step moves it on-device)."""
@@ -82,6 +95,20 @@ class ChainDataset:
     ):
         self.tree = tree
         self.norm_fst = norm_fst
+        # the SAME normalization FST composes against every chunk: verify
+        # eps-freeness + arcsort it ONCE (re-sorting it per chunk was the
+        # dominant cost of supervision compilation at den-graph scale —
+        # BENCH_NOTES round 2 host-pipeline fix)
+        from torchain_tpu.fstkit.algorithms import arcsort
+
+        if norm_fst.has_epsilons():
+            raise ValueError("normalization FST must be epsilon-free")
+        self._norm_ready = arcsort(norm_fst)
+        #: compiled-supervision cache, chunk index -> Supervision | None;
+        #: chunks are deterministic so entries stay valid for the dataset
+        #: lifetime (Kaldi's analogue: egs are compiled once, offline).
+        self._sup_cache: dict[int, object] = {}
+        self.sup_cache_size = 100_000
         self.left_context = left_context
         self.right_context = right_context
         self.sup_opts = sup_opts
@@ -127,11 +154,59 @@ class ChainDataset:
                 right_context_phone=right_ctx,
             )
             return compile_supervision(
-                compose(fst, self.norm_fst), self.tree.num_pdfs
+                compose(fst, self._norm_ready, b_ready=True),
+                self.tree.num_pdfs,
             )
         except ValueError:
             self.num_dropped += 1  # Kaldi drops failed egs the same way
             return None
+
+    def _sup_of(self, chunk_idx: int):
+        """Compiled supervision of chunk #chunk_idx, cached across epochs
+        (chunks are deterministic; Kaldi compiles egs once, offline)."""
+        if chunk_idx in self._sup_cache:
+            return self._sup_cache[chunk_idx]
+        _ui, _c0, _t, chunk_ali, left_ctx, right_ctx = self.chunks[chunk_idx]
+        sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
+        if len(self._sup_cache) < self.sup_cache_size:
+            self._sup_cache[chunk_idx] = sup
+        return sup
+
+    def precompile(self, num_workers: int | None = None) -> int:
+        """Compile every chunk's supervision in parallel worker processes
+        and fill the cache (nnet3-chain-get-egs role: egs preparation is an
+        offline, parallel stage in Kaldi).  Returns the number compiled.
+        Uses fork workers; numpy payloads pickle back cheaply."""
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        import os
+
+        todo = [
+            i
+            for i in range(min(len(self.chunks), self.sup_cache_size))
+            if i not in self._sup_cache
+        ]
+        if not todo:
+            return 0
+        num_workers = num_workers or min(16, os.cpu_count() or 1)
+        if num_workers <= 1:
+            for i in todo:
+                self._sup_of(i)
+            return len(todo)
+        ctx = mp.get_context("fork")
+        with cf.ProcessPoolExecutor(
+            num_workers,
+            mp_context=ctx,
+            initializer=_precompile_init,
+            initargs=(self,),
+        ) as ex:
+            for i, sup in zip(
+                todo, ex.map(_precompile_one, todo, chunksize=8)
+            ):
+                if sup is None:
+                    self.num_dropped += 1
+                self._sup_cache[i] = sup
+        return len(todo)
 
     def estimate_sup_caps(self) -> tuple[int, int, int]:
         """(max_states, max_arcs, max_frame_vocab) over ALL chunks' compiled
@@ -142,8 +217,8 @@ class ChainDataset:
         from torchain_tpu.ops.device_graphs import frame_vocab_width
 
         ms = ma = mv = 1
-        for _ui, _c0, _t, chunk_ali, left_ctx, right_ctx in self.chunks:
-            sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
+        for ci in range(len(self.chunks)):
+            sup = self._sup_of(ci)
             if sup is None:
                 continue
             ms = max(ms, sup.max_states)
@@ -204,9 +279,9 @@ class ChainDataset:
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
         )
-        by_len: dict[int, list[tuple]] = {}
-        for c in self.chunks:
-            by_len.setdefault(c[2], []).append(c)
+        by_len: dict[int, list[int]] = {}
+        for ci, c in enumerate(self.chunks):
+            by_len.setdefault(c[2], []).append(ci)
         order = sorted(by_len)
         if shuffle:
             for k in order:
@@ -220,8 +295,9 @@ class ChainDataset:
                 if multi:
                     part = part[pi * local_bs : (pi + 1) * local_bs]
                 feats, sups, holes = [], [], []
-                for ui, c0, t, chunk_ali, left_ctx, right_ctx in part:
-                    sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
+                for ci in part:
+                    ui, c0, t, chunk_ali, left_ctx, right_ctx = self.chunks[ci]
+                    sup = self._sup_of(ci)
                     if sup is None:
                         if multi:
                             # placeholder keeps local shapes fixed; filled
@@ -296,6 +372,9 @@ class E2eChainDataset:
         self._stack = pad_and_stack_e2e
         self.tree = tree
         self.norm_fst = norm_fst
+        from torchain_tpu.fstkit.algorithms import arcsort
+
+        self._norm_ready = arcsort(norm_fst)  # sort ONCE, reuse per utt
         self.left_context = left_context
         self.right_context = right_context
         self.fsf = frame_subsampling_factor
@@ -335,7 +414,9 @@ class E2eChainDataset:
                 self.num_dropped += 1
                 continue
             try:
-                fst = self._make_fst(keep, self.tree, self.norm_fst)
+                fst = self._make_fst(
+                    keep, self.tree, self._norm_ready, norm_ready=True
+                )
                 sup = self._compile(fst, t_out, self.tree.num_pdfs)
             except ValueError:
                 self.num_dropped += 1

@@ -192,18 +192,28 @@ def reverse(fst: Fst) -> Fst:
     return out
 
 
-def compose(a: Fst, b: Fst) -> Fst:
+def compose(a: Fst, b: Fst, *, a_ready: bool = False, b_ready: bool = False) -> Fst:
     """Acceptor intersection: paths accepted by both, weights added.
 
     Both inputs must be epsilon-free (chain usage composes eps-free
     supervision FSTs with the eps-free normalization FST —
     kaldi/src/chain/chain-supervision.cc `AddWeightToSupervisionFst`).
     Call rm_epsilon() first otherwise.
+
+    a_ready/b_ready declare an input already epsilon-free AND arcsorted,
+    skipping the per-call check + sort-copy — the loader composes every
+    chunk against the SAME large normalization FST, so sorting it once
+    (ChainDataset) instead of per chunk removed the dominant term of
+    supervision compilation (BENCH_NOTES round 2 host-pipeline fix).
     """
-    if a.has_epsilons() or b.has_epsilons():
-        raise ValueError("compose requires epsilon-free inputs; run rm_epsilon first")
-    a = arcsort(a)
-    b = arcsort(b)
+    if not a_ready:
+        if a.has_epsilons():
+            raise ValueError("compose requires epsilon-free inputs; run rm_epsilon first")
+        a = arcsort(a)
+    if not b_ready:
+        if b.has_epsilons():
+            raise ValueError("compose requires epsilon-free inputs; run rm_epsilon first")
+        b = arcsort(b)
     state_id: dict[tuple[int, int], int] = {}
     out = Fst()
 

@@ -57,14 +57,16 @@ def make_e2e_supervision_fst(
     norm_fst: Fst,
     topo: ChainTopology = ChainTopology(),
     left_context_phone: int = BOUNDARY,
+    norm_ready: bool = False,
 ) -> Fst:
     """Transcript HMM composed with the normalization FST (num/den scale
     matching).  NOTE: Kaldi supervision FSTs are unweighted and the
     topology probabilities live in the den graph only; we keep the
     unweighted convention (weights come from the composition) to match
-    `AddWeightToSupervisionFst` semantics."""
+    `AddWeightToSupervisionFst` semantics.  norm_ready declares norm_fst
+    already eps-free + arcsorted (E2eChainDataset sorts it once)."""
     sup = transcript_to_e2e_fst(phones, tree, topo, left_context_phone)
-    out = compose(sup, norm_fst)
+    out = compose(sup, norm_fst, b_ready=norm_ready)
     out = connect(out)
     if out.num_states == 0:
         raise ValueError(
