@@ -130,8 +130,15 @@ class ConformerBlock(nn.Module):
         h = ln(x, "ln_attn")
         B, T, D = h.shape
         H = cfg.num_heads
-        qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h).reshape(B, T, 3, H, D // H)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # contiguous feature slices, NOT a [B,T,3,H,dh] reshape+index:
+        # the 5-D slice forced a per-layer layout copy on TPU (trace
+        # copy.9xx, BENCH_NOTES round 2); contiguous slices fold into the
+        # attention einsum's own transpose
+        qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h)
+        dh = D // H
+        q = qkv[..., 0 * D : 1 * D].reshape(B, T, H, dh)
+        k = qkv[..., 1 * D : 2 * D].reshape(B, T, H, dh)
+        v = qkv[..., 2 * D : 3 * D].reshape(B, T, H, dh)
         logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / np.sqrt(D // H)
         logits = logits + bias[None]
         att = jnp.einsum(
