@@ -116,3 +116,71 @@ def test_malformed_binary_ark_raises(tmp_path):
     open(p, "wb").write(b"u1 XY")
     with pytest.raises(ValueError):
         read_ark_binary(p)
+
+
+class TestScp:
+    """scp offset index: the ark,scp dual-output + random-access reader
+    (RandomAccessBaseFloatMatrixReader / rspecifier roles)."""
+
+    def _mats(self):
+        rng = np.random.default_rng(3)
+        return {
+            f"utt{i}": rng.normal(size=(5 + i, 4)).astype(np.float32)
+            for i in range(4)
+        }
+
+    def test_ark_scp_dual_output_roundtrip(self, tmp_path):
+        from torchain_tpu.io import ScpReader
+
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        mats = self._mats()
+        write_ark_binary(ark, mats, scp_path=scp)
+        r = ScpReader(scp)
+        assert set(r.keys()) == set(mats)
+        # random access, out of order
+        for utt in reversed(list(mats)):
+            np.testing.assert_array_equal(r[utt], mats[utt])
+
+    def test_scp_matches_sequential_ark(self, tmp_path):
+        from torchain_tpu.io import read_scp
+
+        ark = str(tmp_path / "f.ark")
+        scp = str(tmp_path / "f.scp")
+        mats = self._mats()
+        write_ark_binary(ark, mats, compress=True, scp_path=scp)
+        seq = read_ark_binary(ark)
+        rand = read_scp(scp)
+        for utt in mats:
+            np.testing.assert_array_equal(seq[utt], rand[utt])
+
+    def test_rspecifier_dispatch(self, tmp_path):
+        from torchain_tpu.io import MatrixWriter, read_rspecifier
+
+        mats = self._mats()
+        ark = str(tmp_path / "g.ark")
+        scp = str(tmp_path / "g.scp")
+        write_ark_binary(ark, mats, scp_path=scp)
+        txt = str(tmp_path / "g_t.ark")
+        with MatrixWriter(txt) as w:
+            for u, m in mats.items():
+                w[u] = m
+        for rspec in (f"ark:{ark}", f"scp:{scp}", f"ark,t:{txt}", ark):
+            got = read_rspecifier(rspec)
+            assert set(got) == set(mats)
+            np.testing.assert_allclose(got["utt0"], mats["utt0"], atol=1e-5)
+
+    def test_kaldi_dir_with_scp(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import load_kaldi_dir
+
+        rng = np.random.default_rng(5)
+        feats = {"u1": rng.normal(size=(9, 4)).astype(np.float32)}
+        write_ark_binary(
+            str(tmp_path / "feats.ark"),
+            feats,
+            scp_path=str(tmp_path / "feats.scp"),
+        )
+        (tmp_path / "ali.txt").write_text("u1 1:3 2:2 3:4\n")
+        utts = load_kaldi_dir(str(tmp_path), feats_file="feats.scp")
+        assert len(utts) == 1 and utts[0].feats.shape == (9, 4)
+        assert utts[0].alignment == [(1, 3), (2, 2), (3, 4)]

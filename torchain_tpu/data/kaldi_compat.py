@@ -102,7 +102,12 @@ def load_kaldi_dir(
     `ali.txt`.  Utterances missing either side are skipped (or raise when
     strict=True).  Feature length is cross-checked against the alignment."""
     root = pathlib.Path(data_dir)
-    feats = read_ark(str(root / feats_file))
+    if feats_file.endswith(".scp"):
+        from torchain_tpu.io import read_scp
+
+        feats = read_scp(str(root / feats_file))
+    else:
+        feats = read_ark(str(root / feats_file))
     alis = read_alignments(str(root / ali_file))
     utts: list[Utterance] = []
     skipped = []

@@ -183,6 +183,38 @@ def _encode_cm1(f, mat: np.ndarray) -> None:
     f.write(codes.tobytes())
 
 
+def _read_binary_record(f) -> np.ndarray:
+    """Read ONE binary record starting at the `\\x00B` marker (the byte a
+    Kaldi scp offset points at) — FM/DM/FV/DV/CM."""
+    marker = f.read(2)
+    if marker != b"\x00B":
+        raise ValueError(
+            f"not a binary ark record (marker {marker!r}); "
+            "use read_ark_text for ark,t archives"
+        )
+    token = bytearray()
+    ch = f.read(1)
+    while ch not in (b" ", b""):
+        token.extend(ch)
+        ch = f.read(1)
+    tok = token.decode()
+    if tok in ("FM", "DM"):
+        rows = _read_basic_int32(f)
+        cols = _read_basic_int32(f)
+        dt = "<f4" if tok == "FM" else "<f8"
+        n = rows * cols * (4 if tok == "FM" else 8)
+        mat = np.frombuffer(f.read(n), dtype=dt).reshape(rows, cols)
+        return mat.astype(np.float32)
+    if tok in ("FV", "DV"):
+        dim = _read_basic_int32(f)
+        dt = "<f4" if tok == "FV" else "<f8"
+        n = dim * (4 if tok == "FV" else 8)
+        return np.frombuffer(f.read(n), dtype=dt).astype(np.float32)
+    if tok == "CM":
+        return _decode_cm1(f)
+    raise ValueError(f"unsupported binary ark token {tok!r}")
+
+
 def read_ark_binary(path: str) -> dict[str, np.ndarray]:
     """Read a binary Kaldi archive of float/double matrices, vectors, or
     compressed (CM) matrices into float32 arrays."""
@@ -199,60 +231,104 @@ def read_ark_binary(path: str) -> dict[str, np.ndarray]:
                 ch = f.read(1)
             if not utt:
                 raise ValueError("malformed binary ark: empty utt id")
-            marker = f.read(2)
-            if marker != b"\x00B":
-                raise ValueError(
-                    f"not a binary ark record (marker {marker!r}); "
-                    "use read_ark_text for ark,t archives"
-                )
-            token = bytearray()
-            ch = f.read(1)
-            while ch not in (b" ", b""):
-                token.extend(ch)
-                ch = f.read(1)
-            tok = token.decode()
-            uid = utt.decode()
-            if tok in ("FM", "DM"):
-                rows = _read_basic_int32(f)
-                cols = _read_basic_int32(f)
-                dt = "<f4" if tok == "FM" else "<f8"
-                n = rows * cols * (4 if tok == "FM" else 8)
-                mat = np.frombuffer(f.read(n), dtype=dt).reshape(rows, cols)
-                out[uid] = mat.astype(np.float32)
-            elif tok in ("FV", "DV"):
-                dim = _read_basic_int32(f)
-                dt = "<f4" if tok == "FV" else "<f8"
-                n = dim * (4 if tok == "FV" else 8)
-                out[uid] = np.frombuffer(f.read(n), dtype=dt).astype(np.float32)
-            elif tok == "CM":
-                out[uid] = _decode_cm1(f)
-            else:
-                raise ValueError(f"unsupported binary ark token {tok!r}")
+            out[utt.decode()] = _read_binary_record(f)
     return out
 
 
 def write_ark_binary(
-    path: str, mats: dict[str, np.ndarray], compress: bool = False
+    path: str,
+    mats: dict[str, np.ndarray],
+    compress: bool = False,
+    scp_path: str | None = None,
 ) -> None:
     """Write float matrices as a binary Kaldi archive (FM, or CM compressed
     format 1 with `compress=True`) — what `copy-feats ark:... ark:...`
-    produces."""
-    with open(path, "wb") as f:
-        for utt, mat in mats.items():
-            if " " in utt:
-                raise ValueError("utterance ids must not contain spaces")
-            mat = np.asarray(mat, dtype=np.float32)
-            if mat.ndim != 2:
-                raise ValueError("expected [T, D] matrices")
-            f.write(utt.encode() + b" \x00B")
-            if compress:
-                f.write(b"CM ")
-                _encode_cm1(f, mat)
-            else:
-                f.write(b"FM ")
-                _write_basic_int32(f, mat.shape[0])
-                _write_basic_int32(f, mat.shape[1])
-                f.write(mat.astype("<f4").tobytes())
+    produces.  With `scp_path`, also write the offset index (the
+    `ark,scp:` dual-output form): lines `utt ark_path:offset` where the
+    offset points at the record's `\\x00B` marker."""
+    scp = open(scp_path, "w") if scp_path else None
+    try:
+        with open(path, "wb") as f:
+            for utt, mat in mats.items():
+                if " " in utt:
+                    raise ValueError("utterance ids must not contain spaces")
+                mat = np.asarray(mat, dtype=np.float32)
+                if mat.ndim != 2:
+                    raise ValueError("expected [T, D] matrices")
+                f.write(utt.encode() + b" ")
+                if scp is not None:
+                    scp.write(f"{utt} {path}:{f.tell()}\n")
+                f.write(b"\x00B")
+                if compress:
+                    f.write(b"CM ")
+                    _encode_cm1(f, mat)
+                else:
+                    f.write(b"FM ")
+                    _write_basic_int32(f, mat.shape[0])
+                    _write_basic_int32(f, mat.shape[1])
+                    f.write(mat.astype("<f4").tobytes())
+    finally:
+        if scp is not None:
+            scp.close()
+
+
+class ScpReader:
+    """Random-access reader over a Kaldi `.scp` index (`utt path:offset`
+    per line — the RandomAccessBaseFloatMatrixReader role).  Records are
+    read lazily on [] access; `keys()` lists utterances without IO."""
+
+    def __init__(self, scp_path: str):
+        self.entries: dict[str, tuple[str, int]] = {}
+        with open(scp_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                utt, loc = line.split(None, 1)
+                if ":" not in loc:
+                    raise ValueError(f"scp line without offset: {line!r}")
+                ark, off = loc.rsplit(":", 1)
+                self.entries[utt] = (ark, int(off))
+
+    def keys(self):
+        return self.entries.keys()
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __contains__(self, utt: str) -> bool:
+        return utt in self.entries
+
+    def __getitem__(self, utt: str) -> np.ndarray:
+        ark, off = self.entries[utt]
+        with open(ark, "rb") as f:
+            f.seek(off)
+            return _read_binary_record(f)
+
+    def items(self):
+        for utt in self.entries:
+            yield utt, self[utt]
+
+
+def read_scp(path: str) -> dict[str, np.ndarray]:
+    """Eagerly read every record referenced by a Kaldi scp index."""
+    return dict(ScpReader(path).items())
+
+
+def read_rspecifier(rspec: str) -> dict[str, np.ndarray]:
+    """Read a Kaldi-style rspecifier: `ark:path`, `ark,t:path`,
+    `scp:path`, or a bare path (auto-detected)."""
+    if ":" in rspec and rspec.split(":", 1)[0].replace(",", "").isalpha():
+        kind, path = rspec.split(":", 1)
+        kinds = set(kind.split(","))
+        if "scp" in kinds:
+            return read_scp(path)
+        if "t" in kinds:
+            return read_ark_text(path)
+        if "ark" in kinds:
+            return read_ark(path)
+        raise ValueError(f"unsupported rspecifier {rspec!r}")
+    return read_ark(rspec)
 
 
 def read_ark(path: str) -> dict[str, np.ndarray]:
