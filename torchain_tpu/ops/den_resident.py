@@ -300,13 +300,21 @@ def _pe_of(y, g: DeviceResidentDenGraph):
     final layout instead of being transposed afterwards (saved a ~200 MB
     HBM round-trip per step at B=128; BENCH_NOTES round 2)."""
     yt = jnp.swapaxes(y, 0, 1)  # [T, B, P] — cheap: pre-expansion
+    T, B, P = yt.shape
     ymax_t = jax.lax.stop_gradient(jnp.max(yt, axis=-1))  # [T, B]
     p = jnp.exp(yt - ymax_t[..., None])  # [T, B, P]
     # the pe/ah streams ride in V's dtype: pe is only ever a multiplicand
     # feeding the V matmuls (which run in V.dtype anyway), so bf16 streams
     # halve the dominant HBM term at production scale without leaving the
-    # documented bf16-V error band; small f32-V graphs stay exact
-    pe = jnp.take(p, g.slot_pdf, axis=-1).astype(g.V.dtype)  # [T, B, KS]
+    # documented bf16-V error band; small f32-V graphs stay exact.
+    # The take runs on a flattened [T*B, P] view: on the 3-D form XLA
+    # picked a gather-friendly layout and inserted a 0.3 ms relayout copy
+    # before the kernel (trace copy.976, BENCH_NOTES round 2)
+    pe = (
+        jnp.take(p.reshape(T * B, P), g.slot_pdf, axis=-1)
+        .astype(g.V.dtype)
+        .reshape(T, B, -1)
+    )  # [T, B, KS]
     return pe, ymax_t.T, p
 
 
