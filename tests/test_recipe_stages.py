@@ -120,3 +120,46 @@ def test_combine_with_fewer_checkpoints_is_noop(tmp_path):
     assert n == 0
     after = jax.tree.map(np.asarray, trainer.state.params)
     jax.tree.map(np.testing.assert_array_equal, before, after)
+
+
+def test_grad_accumulation_equals_mean_gradient(tmp_path):
+    """With SGD (no clip) and two identical micro-batches, one MultiSteps
+    update over k=2 equals a single step on the mean gradient — i.e. the
+    params move once, by -lr * grad, after the second micro-step."""
+    trainer, ds = _trainer(
+        tmp_path,
+        optimizer="sgd",
+        momentum=0.0,
+        lr=1e-2,
+        grad_clip=0.0,
+        grad_accum_steps=2,
+    )
+    ref, _ = _trainer(
+        tmp_path / "ref",
+        optimizer="sgd",
+        momentum=0.0,
+        lr=1e-2,
+        grad_clip=0.0,
+    )
+    # identical init
+    ref.state = ref.state.replace(params=trainer.state.params)
+    batch = next(ds.batches(4, shuffle=False))
+    with trainer.mesh:
+        feats, sup = trainer._put_batch(batch)
+        p0 = jax.tree.map(np.asarray, trainer.state.params)
+        trainer.state, _ = trainer.train_step(trainer.state, feats, trainer.den, sup)
+        p1 = jax.tree.map(np.asarray, trainer.state.params)
+        # first micro-step: accumulate only, no update
+        jax.tree.map(np.testing.assert_array_equal, p0, p1)
+        trainer.state, _ = trainer.train_step(trainer.state, feats, trainer.den, sup)
+        p2 = jax.tree.map(np.asarray, trainer.state.params)
+    with ref.mesh:
+        feats, sup = ref._put_batch(batch)
+        ref.state, _ = ref.train_step(ref.state, feats, ref.den, sup)
+        pr = jax.tree.map(np.asarray, ref.state.params)
+    # both micro-batches identical -> mean grad == single-batch grad
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
+        p2,
+        pr,
+    )

@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-layers", type=int, default=5)
     p.add_argument("--chunk-frames", type=int, default=30, help="output-rate chunk size")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument(
+        "--grad-accum-steps", type=int, default=1,
+        help="accumulate gradients over N micro-batches per optimizer "
+        "update (effective batch = N * batch-size)",
+    )
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument(
@@ -310,6 +315,7 @@ def main(argv=None) -> dict:
         lr=args.lr,
         lr_final=args.lr_final,
         lr_decay_steps=decay_steps if args.lr_final > 0 else 0,
+        grad_accum_steps=args.grad_accum_steps,
         optimizer=args.optimizer,
         batch_size=args.batch_size,
         num_epochs=args.epochs,

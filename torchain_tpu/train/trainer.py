@@ -48,6 +48,10 @@ class TrainerConfig:
     momentum: float = 0.9
     optimizer: str = "adam"  # adam | sgd
     grad_clip: float = 5.0
+    #: accumulate gradients over N micro-batches before each optimizer
+    #: update (optax.MultiSteps); the effective batch is N * batch_size
+    #: with the same per-step device memory
+    grad_accum_steps: int = 1
     loss: ChainLossOptions = dataclasses.field(default_factory=ChainLossOptions)
     batch_size: int = 16
     num_epochs: int = 2
@@ -76,7 +80,9 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.optimizer)
     if cfg.grad_clip > 0:
-        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
 
 
