@@ -1,0 +1,134 @@
+"""Decode-side benchmark: RTF of the active-token Viterbi decoder over a
+word HCLG (latgen-faster-mapped role — SURVEY.md section 3.4).
+
+Trains a small model briefly on the synthetic word corpus (so posteriors
+have realistic sharpness — flat posteriors would inflate the active set),
+then times best-path decoding per utterance.  Host-side work (the decoder
+is csrc/decoder.cc via ctypes, with a numpy fallback), so this runs on
+CPU: JAX_PLATFORMS=cpu recommended.
+
+Prints one JSON line: RTF (audio seconds decoded per wall second),
+graph size, WER, per backend.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", type=int, default=100)
+    ap.add_argument("--num-phones", type=int, default=12)
+    ap.add_argument("--utts", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--beam", type=float, default=16.0)
+    ap.add_argument("--max-active", type=int, default=7000)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from torchain_tpu.data import (
+        ChainDataset,
+        synthetic_word_dataset,
+        train_word_lm,
+    )
+    from torchain_tpu.eval import make_word_decoding_graph, viterbi_decode, wer
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import TDNNF, TdnnfConfig
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.train import Trainer, TrainerConfig
+    from torchain_tpu.train.step import make_forward_fn
+
+    wc = synthetic_word_dataset(
+        num_utts=args.utts,
+        vocab_size=args.vocab,
+        num_phones=args.num_phones,
+        feat_dim=24,
+        words_per_utt=(6, 14),
+        noise=0.3,
+        seed=1,
+    )
+    corpus = wc.corpus
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=128,
+        bottleneck_dim=32,
+        prefinal_dim=64,
+        num_layers=3,
+    )
+    model = TDNNF(cfg)
+    left, right = cfg.context
+    fsf = cfg.frame_subsampling_factor
+    dataset = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=18,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+    )
+    den = auto_den_graph(corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree)
+    trainer = Trainer(
+        model,
+        den,
+        TrainerConfig(
+            lr=2e-3,
+            num_epochs=args.epochs,
+            batch_size=8,
+            semi_ortho_every=4,
+            log_every=10_000,
+            loss=ChainLossOptions(
+                l2_regularize=1e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
+            ),
+        ),
+        np.zeros((2, 18 * fsf + left + right, 24), np.float32),
+    )
+    trainer.fit(dataset, log_fn=lambda s: None)
+
+    word_lm = train_word_lm(wc.transcripts)
+    t0 = time.perf_counter()
+    g = make_word_decoding_graph(word_lm, wc.lexicon, corpus.tree)
+    build_s = time.perf_counter() - t0
+
+    fwd = make_forward_fn(model)
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+
+    posts, audio_s = [], 0.0
+    for u in corpus.utts:
+        pad = np.pad(u.feats, ((left, right), (0, 0)), mode="edge")
+        y = np.asarray(fwd(variables, pad[None]))[0]
+        posts.append(y)
+        audio_s += u.feats.shape[0] * 0.010  # 10 ms input frames
+
+    out = dict(
+        hclg_states=int(g.num_states),
+        hclg_arcs=int(len(g.src)),
+        build_s=round(build_s, 2),
+        audio_s=round(audio_s, 1),
+        num_utts=len(posts),
+    )
+    for backend in ("native", "numpy"):
+        hyps = []
+        t0 = time.perf_counter()
+        for y in posts:
+            words, _ = viterbi_decode(
+                g, y, beam=args.beam, backend=backend, max_active=args.max_active
+            )
+            hyps.append(words)
+        dt = time.perf_counter() - t0
+        res = wer(wc.transcripts, hyps)
+        out[f"{backend}_rtf"] = round(audio_s / dt, 1)
+        out[f"{backend}_wer"] = round(res["wer"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
