@@ -216,7 +216,7 @@ class ChainDataset:
         call it and agree; O(dataset) supervision compiles (one-time)."""
         from torchain_tpu.ops.device_graphs import frame_vocab_width
 
-        ms = ma = mv = 1
+        ms = ma = mv = mst = 1
         for ci in range(len(self.chunks)):
             sup = self._sup_of(ci)
             if sup is None:
@@ -226,11 +226,14 @@ class ChainDataset:
             mv = max(
                 mv, frame_vocab_width(sup.in_src[None], sup.in_pdf[None])
             )
+            if sup.in_src.shape[0] > 1:  # steady (frames >= 1) arc width
+                mst = max(mst, int((sup.in_src[1:] >= 0).sum(-1).max()))
         r = lambda x, m: ((x + m - 1) // m) * m
         return (
             r(ms, self.sup_round_states),
             r(ma, self.sup_round_arcs),
             r(mv, 8),
+            r(mst, 4),
         )
 
     def batches(
@@ -274,8 +277,9 @@ class ChainDataset:
             # numerator's per-frame pdf vocabulary
             pad_s, pad_k = sup_caps[0], sup_caps[1]
             pad_v = sup_caps[2] if len(sup_caps) > 2 else None
+            pad_st = sup_caps[3] if len(sup_caps) > 3 else None
         else:
-            pad_s = pad_k = pad_v = None
+            pad_s = pad_k = pad_v = pad_st = None
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
         )
@@ -337,6 +341,7 @@ class ChainDataset:
                         pad_states_to=pad_s,
                         pad_arcs_to=pad_k,
                         pad_vocab_to=pad_v,
+                        pad_steady_to=pad_st,
                     ),
                 )
 

@@ -252,6 +252,8 @@ class Supervision:
     #: (multi-host batches need cross-process shape agreement; None = derive
     #: from the batch content)
     vocab_cap: "int | None" = None
+    #: forced steady-frame (frames >= 1) arc-slot width, same agreement role
+    steady_cap: "int | None" = None
 
 
 def compile_supervision(
@@ -352,6 +354,7 @@ def pad_and_stack_supervisions(
     pad_states_to: int | None = None,
     pad_arcs_to: int | None = None,
     pad_vocab_to: int | None = None,
+    pad_steady_to: int | None = None,
 ) -> Supervision:
     """Stack per-chunk supervisions into batched tensors with shared padding
     (the moral equivalent of nnet3-chain-merge-egs producing
@@ -400,4 +403,5 @@ def pad_and_stack_supervisions(
         final_logw=final_logw,
         num_states=num_states,
         vocab_cap=pad_vocab_to,
+        steady_cap=pad_steady_to,
     )

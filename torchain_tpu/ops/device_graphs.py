@@ -279,6 +279,13 @@ class DeviceSupervision:
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
     num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+    #: max in-degree over frames >= 1 (rounded): frame 0 concentrates the
+    #: normalization FST's initial fan-in (up to ~50 arcs/state) while the
+    #: steady state needs 2-12, so the scans run on [..., :steady_arcs]
+    #: slices and only the one frame-0 step uses the full K (round-2 fix:
+    #: 4x less numerator work at trigram scale).  Arcs are left-packed per
+    #: (b, t, s) row, so the static slice is exact.
+    steady_arcs: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @staticmethod
     def from_host(s: Supervision) -> "DeviceSupervision":
@@ -293,6 +300,20 @@ class DeviceSupervision:
             np.asarray(in_src), np.asarray(in_pdf),
             pad_to=getattr(s, "vocab_cap", None),
         )
+        K = in_src.shape[-1]
+        need = 1
+        if in_src.shape[1] > 1:
+            need = int(
+                max(1, (np.asarray(in_src[:, 1:]) >= 0).sum(-1).max())
+            )
+        steady = min(K, -(-need // 4) * 4)  # round to 4, capped at K
+        cap = getattr(s, "steady_cap", None)
+        if cap is not None:  # multi-host: forced cross-process agreement
+            if need > cap:
+                raise ValueError(
+                    f"steady frames need {need} arc slots > steady cap {cap}"
+                )
+            steady = min(K, int(cap))
         return DeviceSupervision(
             in_src=jnp.asarray(in_src),
             in_pdf=jnp.asarray(in_pdf),
@@ -307,4 +328,5 @@ class DeviceSupervision:
             max_states=int(s.max_states),
             max_arcs=int(s.max_arcs),
             num_pdfs=int(s.num_pdfs),
+            steady_arcs=steady,
         )

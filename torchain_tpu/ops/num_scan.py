@@ -146,6 +146,14 @@ def _scatter_vocab(
     return jnp.swapaxes(gamma_t, 0, 1)
 
 
+def _steady(sup: DeviceSupervision) -> int:
+    """Arc-slot count of frames >= 1 (falls back to the full K when the
+    container predates / omits the steady split)."""
+    K = sup.in_src.shape[-1]
+    k = getattr(sup, "steady_arcs", 0)
+    return k if 0 < k <= K else K
+
+
 def _emit(ysm: jnp.ndarray, pdf_local: jnp.ndarray) -> jnp.ndarray:
     """ysm [B, W], pdf_local [B, S, K] -> emission log-probs [B, S, K].
     Gather-free: one-hot comparison against iota(W) (exactly one hit)."""
@@ -182,14 +190,26 @@ def num_forward(
         nxt = jax.nn.logsumexp(vals, axis=-1)
         return nxt, nxt
 
-    xs = (
-        jnp.swapaxes(ysmall, 0, 1),  # [T, B, W]
-        jnp.swapaxes(sup.in_src, 0, 1),  # [T, B, S, K]
-        jnp.swapaxes(sup.pdf_local, 0, 1),
-        jnp.swapaxes(sup.in_logw, 0, 1),
+    # frame 0 outside the scan at full K (it concentrates the
+    # normalization FST's initial fan-in); frames >= 1 scan over the much
+    # narrower steady-arc slice (arcs are left-packed, so this is exact)
+    Kr = _steady(sup)
+    alpha1, _ = step(
+        a0,
+        (ysmall[:, 0], sup.in_src[:, 0], sup.pdf_local[:, 0], sup.in_logw[:, 0]),
     )
-    aT, alphas = jax.lax.scan(step, a0, xs, unroll=UNROLL)
-    alphas = jnp.concatenate([a0[None], alphas], axis=0)
+    if T > 1:
+        xs = (
+            jnp.swapaxes(ysmall[:, 1:], 0, 1),  # [T-1, B, W]
+            jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),  # [T-1, B, S, Kr]
+            jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
+            jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+        )
+        aT, rest = jax.lax.scan(step, alpha1, xs, unroll=UNROLL)
+        alphas = jnp.concatenate([a0[None], alpha1[None], rest], axis=0)
+    else:
+        aT = alpha1
+        alphas = jnp.concatenate([a0[None], alpha1[None]], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
 
@@ -242,16 +262,37 @@ def num_backward(
         gsm = jnp.sum(jnp.where(hit_w, post[..., None], 0.0), axis=(1, 2))
         return prev, gsm  # gsm [B, W]
 
-    xs = (
-        jnp.swapaxes(ysmall, 0, 1),
-        jnp.swapaxes(sup.in_src, 0, 1),
-        jnp.swapaxes(sup.pdf_local, 0, 1),
-        jnp.swapaxes(sup.in_logw, 0, 1),
-        alphas[:-1],
+    # frames T-1..1 scan at the steady arc width; the wide frame-0 step
+    # (normalization initial fan-in) runs once outside (mirrors num_forward)
+    Kr = _steady(sup)
+    if T > 1:
+        xs = (
+            jnp.swapaxes(ysmall[:, 1:], 0, 1),
+            jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),
+            jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
+            jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+            alphas[1:-1],
+        )
+        beta1, gsm_rest = jax.lax.scan(
+            step, sup.final_logw, xs, reverse=True, unroll=UNROLL
+        )
+    else:
+        beta1, gsm_rest = sup.final_logw, None
+    _, gsm0 = step(
+        beta1,
+        (
+            ysmall[:, 0],
+            sup.in_src[:, 0],
+            sup.pdf_local[:, 0],
+            sup.in_logw[:, 0],
+            alphas[0],
+        ),
     )
-    _, gsm = jax.lax.scan(
-        step, sup.final_logw, xs, reverse=True, unroll=UNROLL
-    )
+    gsm = (
+        jnp.concatenate([gsm0[None], gsm_rest], axis=0)
+        if gsm_rest is not None
+        else gsm0[None]
+    )  # [T, B, W]
 
     if _use_pallas_vocab():
         return _scatter_vocab(gsm, sup, P)
