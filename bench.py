@@ -69,7 +69,13 @@ def _measure(step_fn, state, feats, den, sup, logdir, steps=10):
             state, metrics = step_fn(state, feats, den, sup)
         jax.block_until_ready(metrics["loss"])
         jax.profiler.stop_trace()
-        device_ms = device_summary(load_latest_trace(logdir))["span_ms"] / steps
+        s = device_summary(load_latest_trace(logdir))
+        # busy (sum of XLA-module execution durations) is the per-step
+        # device truth: the raw span can include device-IDLE gaps when the
+        # relay's dispatch feed hiccups mid-trace (observed: a 124 ms span
+        # over 63 ms of busy), while module durations cannot under-report
+        # a step — one program runs at a time per core
+        device_ms = (s["busy_ms"] or s["span_ms"]) / steps
     except Exception:
         pass
     return device_ms, wall * 1e3, state

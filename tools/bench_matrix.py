@@ -152,7 +152,8 @@ def main():
             jax.profiler.stop_trace()
             try:
                 s = device_summary(load_latest_trace(logdir))
-                dev_ms = s["span_ms"] / args.steps
+                # busy = sum of module durations (gap-proof; see bench.py)
+                dev_ms = (s["busy_ms"] or s["span_ms"]) / args.steps
             except Exception as e:  # noqa: BLE001
                 s, dev_ms = dict(by_source=[]), float("nan")
             audio = B * batch.sup.num_frames * 3 * 0.010
