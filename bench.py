@@ -26,6 +26,30 @@ import shutil
 import time
 
 
+def _tpu_reachable(timeout_s: int = 150) -> bool:
+    """Probe backend initialization in a THROWAWAY subprocess with a hard
+    timeout.  The axon PJRT client creation blocks in C (uninterruptible)
+    when the relay daemon is down — observed live: jax.devices() hung
+    indefinitely after the relay died mid-session.  SIGKILL on the probe
+    always works; the caller then falls back to the CPU platform instead
+    of hanging the whole bench."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # explicit CPU run: nothing to probe
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: TPU compiles through the axon
     relay cost minutes; caching makes repeat runs (and the driver's bench
@@ -164,7 +188,11 @@ def production_config():
 
 
 def main():
+    tpu_dead = not _tpu_reachable()
     import jax
+
+    if tpu_dead:  # relay down: CPU fallback beats hanging forever
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     _enable_compile_cache()
@@ -216,6 +244,8 @@ def main():
         "step_ms": round(step_ms, 2),
         "wall_step_ms": round(wall_ms, 2),
     }
+    if tpu_dead:
+        out["tpu_unreachable"] = True  # relay down; CPU-fallback numbers
     # second headline: the production-scale (4-gram biphone) configuration
     # (the VERDICT r1 "report BOTH graph scales" requirement); guarded so
     # a failure/timeout there never loses the primary metric
