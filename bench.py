@@ -27,27 +27,11 @@ import time
 
 
 def _tpu_reachable(timeout_s: int = 150) -> bool:
-    """Probe backend initialization in a THROWAWAY subprocess with a hard
-    timeout.  The axon PJRT client creation blocks in C (uninterruptible)
-    when the relay daemon is down — observed live: jax.devices() hung
-    indefinitely after the relay died mid-session.  SIGKILL on the probe
-    always works; the caller then falls back to the CPU platform instead
-    of hanging the whole bench."""
-    import os
-    import subprocess
-    import sys
+    """Killable-subprocess backend probe (see torchain_tpu.utils.backend):
+    a dead relay makes jax.devices() hang uninterruptibly in-process."""
+    from torchain_tpu.utils.backend import backend_reachable
 
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return True  # explicit CPU run: nothing to probe
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return backend_reachable(timeout_s)
 
 
 def _enable_compile_cache():

@@ -95,7 +95,8 @@ def main():
     step_fn = make_train_step(
         ChainLossOptions(
             l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
-        )
+        ),
+        donate=False,  # timing harness replays the same state object
     )
     print(f"backend={jax.default_backend()}", flush=True)
 

@@ -64,7 +64,7 @@ def main():
     audio_s = B_actual * batch.sup.num_frames * 3 * 0.010
 
     # 1. full train step
-    step_fn = make_train_step(opts)
+    step_fn = make_train_step(opts, donate=False)  # timeit replays state
     t_full = timeit(lambda s: step_fn(s, feats, den, sup)[0], state, iters=20)
     print(f"full train step   : {t_full*1e3:8.3f} ms ({audio_s/t_full:10.0f} audio-s/s)", flush=True)
 

@@ -311,6 +311,10 @@ def main(argv=None) -> dict:
     n_records = len(dataset.chunks) or len(corpus.utts)  # e2e: ~1 chunk/utt
     steps_per_epoch = max(1, n_records // args.batch_size)
     decay_steps = args.steps if args.steps else args.epochs * steps_per_epoch
+    # optax.MultiSteps advances the inner schedule once per ACCUMULATION
+    # CYCLE, not per micro-batch — scale the horizon so lr_final is still
+    # reached at the end of training
+    decay_steps = max(1, decay_steps // max(1, args.grad_accum_steps))
     tcfg = TrainerConfig(
         lr=args.lr,
         lr_final=args.lr_final,

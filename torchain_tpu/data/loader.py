@@ -107,8 +107,13 @@ class ChainDataset:
         #: compiled-supervision cache, chunk index -> Supervision | None;
         #: chunks are deterministic so entries stay valid for the dataset
         #: lifetime (Kaldi's analogue: egs are compiled once, offline).
+        #: Bounded by BOTH an entry cap and a byte budget (packed tables
+        #: run to hundreds of KB/chunk at production sizes — an unbounded
+        #: cache could eat 10s of GB of host RAM on a real corpus).
         self._sup_cache: dict[int, object] = {}
+        self._sup_cache_bytes = 0
         self.sup_cache_size = 100_000
+        self.sup_cache_max_bytes = 4 * 1024**3
         self.left_context = left_context
         self.right_context = right_context
         self.sup_opts = sup_opts
@@ -168,9 +173,25 @@ class ChainDataset:
             return self._sup_cache[chunk_idx]
         _ui, _c0, _t, chunk_ali, left_ctx, right_ctx = self.chunks[chunk_idx]
         sup = self._chunk_supervision(chunk_ali, left_ctx, right_ctx)
-        if len(self._sup_cache) < self.sup_cache_size:
-            self._sup_cache[chunk_idx] = sup
+        self._cache_store(chunk_idx, sup)
         return sup
+
+    def _sup_nbytes(self, sup) -> int:
+        if sup is None:
+            return 0
+        return sum(
+            a.nbytes
+            for a in (sup.in_src, sup.in_pdf, sup.in_logw, sup.final_logw)
+        )
+
+    def _cache_store(self, chunk_idx: int, sup) -> None:
+        n = self._sup_nbytes(sup)
+        if (
+            len(self._sup_cache) < self.sup_cache_size
+            and self._sup_cache_bytes + n <= self.sup_cache_max_bytes
+        ):
+            self._sup_cache[chunk_idx] = sup
+            self._sup_cache_bytes += n
 
     def precompile(self, num_workers: int | None = None) -> int:
         """Compile every chunk's supervision in parallel worker processes
@@ -205,7 +226,7 @@ class ChainDataset:
             ):
                 if sup is None:
                     self.num_dropped += 1
-                self._sup_cache[i] = sup
+                self._cache_store(i, sup)
         return len(todo)
 
     def estimate_sup_caps(self) -> tuple[int, int, int]:
@@ -379,6 +400,8 @@ class E2eChainDataset:
         self.norm_fst = norm_fst
         from torchain_tpu.fstkit.algorithms import arcsort
 
+        if norm_fst.has_epsilons():  # check ONCE (compose gets b_ready=True)
+            raise ValueError("normalization FST must be epsilon-free")
         self._norm_ready = arcsort(norm_fst)  # sort ONCE, reuse per utt
         self.left_context = left_context
         self.right_context = right_context

@@ -306,8 +306,20 @@ class ScpReader:
             return _read_binary_record(f)
 
     def items(self):
-        for utt in self.entries:
-            yield utt, self[utt]
+        """Iterate (utt, matrix) with ONE open per ark file, reading each
+        ark's records in offset order (an scp over N utterances must not
+        cost N open/seek/close cycles)."""
+        by_ark: dict[str, list[tuple[int, str]]] = {}
+        for utt, (ark, off) in self.entries.items():
+            by_ark.setdefault(ark, []).append((off, utt))
+        out: dict[str, np.ndarray] = {}
+        for ark, offs in by_ark.items():
+            with open(ark, "rb") as f:
+                for off, utt in sorted(offs):
+                    f.seek(off)
+                    out[utt] = _read_binary_record(f)
+        for utt in self.entries:  # preserve scp order
+            yield utt, out[utt]
 
 
 def read_scp(path: str) -> dict[str, np.ndarray]:

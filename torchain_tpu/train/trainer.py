@@ -310,9 +310,13 @@ class Trainer:
             for epoch in range(self.start_epoch, cfg.num_epochs):
                 self.current_epoch = epoch
                 self.batch_in_epoch = 0
+                # fixed supervision padding for BOTH single- and multi-host
+                # runs: per-batch-derived static shapes (incl. steady_arcs)
+                # would force a fresh XLA compile whenever a batch lands in
+                # a different bucket — minutes each through the TPU relay
+                if self._sup_caps is None and hasattr(dataset, "estimate_sup_caps"):
+                    self._sup_caps = dataset.estimate_sup_caps()
                 if jax.process_count() > 1:
-                    if self._sup_caps is None:
-                        self._sup_caps = dataset.estimate_sup_caps()
                     batch_iter = dataset.batches(
                         cfg.batch_size,
                         epoch=epoch,
@@ -320,7 +324,11 @@ class Trainer:
                         process_count=jax.process_count(),
                         sup_caps=self._sup_caps,
                     )
-                else:
+                elif self._sup_caps is not None:
+                    batch_iter = dataset.batches(
+                        cfg.batch_size, epoch=epoch, sup_caps=self._sup_caps
+                    )
+                else:  # e.g. E2eChainDataset (no caps estimation/param)
                     batch_iter = dataset.batches(cfg.batch_size, epoch=epoch)
                 for bi, batch in enumerate(Prefetcher(batch_iter)):
                     if epoch == self.start_epoch and bi < self.skip_batches:
