@@ -229,7 +229,7 @@ class ChainDataset:
                 self._cache_store(i, sup)
         return len(todo)
 
-    def estimate_sup_caps(self) -> tuple[int, int, int]:
+    def estimate_sup_caps(self) -> tuple[int, int, int, int]:
         """(max_states, max_arcs, max_frame_vocab) over ALL chunks' compiled
         supervisions, rounded to the dataset's buckets — the fixed padding
         multi-host runs need so every process produces identically-shaped
