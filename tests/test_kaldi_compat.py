@@ -83,3 +83,36 @@ def test_append_ivectors():
     out = append_ivectors(feats, ivecs)
     assert out.shape == (2, 5, 7)
     np.testing.assert_allclose(np.asarray(out[1, 3, 3:]), [4, 5, 6, 7])
+
+
+class TestSymbolTables:
+    """OpenFst symbol tables (phones.txt / words.txt) + symbolic `text`."""
+
+    def test_roundtrip_and_text_mapping(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import (
+            read_symbol_table,
+            read_text_transcripts,
+            write_symbol_table,
+        )
+
+        tab = {"<eps>": 0, "hello": 1, "world": 2, "<unk>": 3}
+        p = str(tmp_path / "words.txt")
+        write_symbol_table(p, tab)
+        assert read_symbol_table(p) == tab
+        t = str(tmp_path / "text")
+        open(t, "w").write("u1 hello world\nu2 world hello hello\n")
+        got = read_text_transcripts(t, tab)
+        assert got == {"u1": [1, 2], "u2": [2, 1, 1]}
+
+    def test_unknown_token_strict_and_unk(self, tmp_path):
+        import pytest
+
+        from torchain_tpu.data.kaldi_compat import read_text_transcripts
+
+        t = str(tmp_path / "text")
+        open(t, "w").write("u1 hello mars\n")
+        tab = {"hello": 1, "<unk>": 9}
+        with pytest.raises(ValueError):
+            read_text_transcripts(t, tab)
+        got = read_text_transcripts(t, tab, strict=False)
+        assert got == {"u1": [1, 9]}

@@ -29,13 +29,52 @@ from torchain_tpu.io import read_ark
 
 
 def read_phone_table(path: str) -> dict[str, int]:
-    """phones.txt: `symbol id` per line."""
+    """phones.txt / words.txt: `symbol id` per line (OpenFst SymbolTable
+    text format, as every Kaldi data/lang dir ships)."""
     table: dict[str, int] = {}
     for line in open(path):
         parts = line.split()
         if len(parts) >= 2:
             table[parts[0]] = int(parts[1])
     return table
+
+
+#: words.txt has the identical format
+read_symbol_table = read_phone_table
+
+
+def write_symbol_table(path: str, table: dict[str, int]) -> None:
+    """Write an OpenFst-format symbol table (id-sorted)."""
+    with open(path, "w") as f:
+        for sym, idx in sorted(table.items(), key=lambda kv: kv[1]):
+            f.write(f"{sym} {idx}\n")
+
+
+def read_text_transcripts(
+    path: str, symtab: dict[str, int], strict: bool = True
+) -> dict[str, list[int]]:
+    """Kaldi `text` file with SYMBOLIC tokens (words or phones), mapped
+    through a symbol table.  Unknown tokens raise (strict) or map to
+    <unk>/<UNK> when the table defines one."""
+    unk = symtab.get("<unk>", symtab.get("<UNK>"))
+    out: dict[str, list[int]] = {}
+    for line in open(path):
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        ids = []
+        for tok in parts[1:]:
+            if tok in symtab:
+                ids.append(symtab[tok])
+            elif unk is not None and not strict:
+                ids.append(unk)
+            else:
+                raise ValueError(
+                    f"token {tok!r} (utt {parts[0]}) not in symbol table"
+                    + ("" if unk is None else "; pass strict=False for <unk>")
+                )
+        out[parts[0]] = ids
+    return out
 
 
 def parse_write_lengths_line(line: str) -> tuple[str, list[tuple[int, int]]]:
