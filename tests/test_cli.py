@@ -42,3 +42,21 @@ def test_cli_e2e_mode():
 def test_argparser_help():
     p = build_argparser()
     assert any("--leaky-hmm-coefficient" in str(a.option_strings) for a in p._actions)
+
+
+@pytest.mark.slow
+def test_cli_ivector_ngsgd():
+    """Online-ivector stage + natural-gradient SGD through the recipe:
+    iVector dims reach the model input, training and decode still work."""
+    out = run_cli(
+        [
+            "--synthetic", "--num-utts", "14", "--num-phones", "4",
+            "--feat-dim", "10", "--hidden-dim", "48", "--bottleneck-dim", "12",
+            "--num-layers", "2", "--epochs", "2", "--chunk-frames", "12",
+            "--batch-size", "4", "--decode", "--valid-utts", "2",
+            "--ivector-dim", "3", "--ivector-gauss", "8",
+            "--optimizer", "ngsgd", "--lr", "0.01",
+        ]
+    )
+    assert out["steps"] > 0
+    assert "per" in out and out["per"] <= 100.0

@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -52,7 +53,18 @@ def build_argparser() -> argparse.ArgumentParser:
         help="after training, average the params of the last N checkpoints "
         "(Kaldi 'combine' stage); requires --checkpoint-dir",
     )
-    p.add_argument("--optimizer", choices=("adam", "sgd"), default="adam")
+    p.add_argument(
+        "--optimizer", choices=("adam", "sgd", "ngsgd"), default="adam"
+    )
+    p.add_argument(
+        "--ivector-dim",
+        type=int,
+        default=0,
+        help="train an online iVector extractor on the training utterances "
+        "and append iVectors to the features (Kaldi online-ivector stages; "
+        "0 = off)",
+    )
+    p.add_argument("--ivector-gauss", type=int, default=32)
     p.add_argument(
         "--precompile-egs", type=int, default=0, metavar="WORKERS",
         help="compile all chunk supervisions up-front in N parallel worker "
@@ -211,6 +223,32 @@ def main(argv=None) -> dict:
         corpus.utts = corpus.utts[: -args.valid_utts]
         if word_corpus is not None:
             word_corpus.transcripts = word_corpus.transcripts[: -args.valid_utts]
+
+    if args.ivector_dim > 0:
+        # Kaldi online-ivector stages: UBM + extractor trained on the
+        # TRAINING utterances, the same extractor applied to held-out data
+        from torchain_tpu.data import append_corpus_ivectors, extract_ivectors_online
+
+        print(
+            f"[stage 0i] training iVector extractor "
+            f"(dim {args.ivector_dim}, {args.ivector_gauss} Gaussians)"
+        )
+        corpus.utts, ivec_ext = append_corpus_ivectors(
+            corpus.utts,
+            ivector_dim=args.ivector_dim,
+            num_gauss=args.ivector_gauss,
+            seed=args.seed,
+        )
+        for i, u in enumerate(valid_utts):
+            ivecs = extract_ivectors_online(ivec_ext, u.feats)
+            per_frame = np.repeat(ivecs, 10, axis=0)[: u.feats.shape[0]]
+            valid_utts[i] = dataclasses.replace(
+                u,
+                feats=np.concatenate(
+                    [u.feats, per_frame.astype(u.feats.dtype)], axis=1
+                ),
+            )
+        args.feat_dim += args.ivector_dim
 
     if args.tied_tree_pdfs > 0:
         from torchain_tpu.graphs import (

@@ -7,6 +7,15 @@ pure-JAX DSP and a host-side chunk loader emitting packed batches.
 """
 
 from torchain_tpu.data.features import (FbankOptions, apply_cmvn_stats, cmvn, compute_cmvn_stats, fbank, mfcc)
+from torchain_tpu.data.ivector import (
+    DiagUbm,
+    IvectorExtractor,
+    append_corpus_ivectors,
+    extract_ivector,
+    extract_ivectors_online,
+    train_diag_ubm,
+    train_ivector_extractor,
+)
 from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.words import (
     WordCorpus,
@@ -39,4 +48,11 @@ __all__ = [
     "random_lexicon",
     "synthetic_word_dataset",
     "train_word_lm",
+    "DiagUbm",
+    "IvectorExtractor",
+    "append_corpus_ivectors",
+    "extract_ivector",
+    "extract_ivectors_online",
+    "train_diag_ubm",
+    "train_ivector_extractor",
 ]

@@ -7,6 +7,7 @@ inserted by XLA), periodic semi-orthogonal constraint application (TDNN-F),
 structured metrics, and orbax checkpointing.
 """
 
+from torchain_tpu.train.ngsgd import NGOptions, natural_gradient
 from torchain_tpu.train.state import ChainTrainState, create_train_state
 from torchain_tpu.train.step import make_eval_step, make_train_step
 from torchain_tpu.train.trainer import Trainer, TrainerConfig
@@ -16,6 +17,8 @@ __all__ = [
     "create_train_state",
     "make_eval_step",
     "make_train_step",
+    "natural_gradient",
+    "NGOptions",
     "Trainer",
     "TrainerConfig",
 ]

@@ -46,7 +46,7 @@ class TrainerConfig:
     lr_final: float = 0.0
     lr_decay_steps: int = 0
     momentum: float = 0.9
-    optimizer: str = "adam"  # adam | sgd
+    optimizer: str = "adam"  # adam | sgd | ngsgd (Kaldi natural-gradient SGD)
     grad_clip: float = 5.0
     #: accumulate gradients over N micro-batches before each optimizer
     #: update (optax.MultiSteps); the effective batch is N * batch_size
@@ -77,6 +77,14 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         opt = optax.adam(lr)
     elif cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
+    elif cfg.optimizer == "ngsgd":
+        # Kaldi chain-recipe parity: natural-gradient preconditioning in
+        # front of plain (momentum) SGD — see train/ngsgd.py
+        from torchain_tpu.train.ngsgd import natural_gradient
+
+        opt = optax.chain(
+            natural_gradient(), optax.sgd(lr, momentum=cfg.momentum)
+        )
     else:
         raise ValueError(cfg.optimizer)
     if cfg.grad_clip > 0:
