@@ -46,8 +46,9 @@ def test_argparser_help():
 
 @pytest.mark.slow
 def test_cli_ivector_ngsgd():
-    """Online-ivector stage + natural-gradient SGD through the recipe:
-    iVector dims reach the model input, training and decode still work."""
+    """Online-ivector stage + natural-gradient SGD + dropout schedule +
+    frame-shift cycling through the recipe: iVector dims reach the model
+    input, training and decode still work."""
     out = run_cli(
         [
             "--synthetic", "--num-utts", "14", "--num-phones", "4",
@@ -56,6 +57,7 @@ def test_cli_ivector_ngsgd():
             "--batch-size", "4", "--decode", "--valid-utts", "2",
             "--ivector-dim", "3", "--ivector-gauss", "8",
             "--optimizer", "ngsgd", "--lr", "0.01",
+            "--dropout-schedule", "0,0.3@0.5,0", "--frame-shift-cycle",
         ]
     )
     assert out["steps"] > 0

@@ -66,6 +66,18 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ivector-gauss", type=int, default=32)
     p.add_argument(
+        "--dropout-schedule",
+        default="",
+        help="Kaldi --trainer.dropout-schedule, e.g. '0,0@0.20,0.5@0.50,0' "
+        "(continuous per-dim dropout; '' = off)",
+    )
+    p.add_argument(
+        "--frame-shift-cycle",
+        action="store_true",
+        help="cycle the input frame shift 0..fsf-1 across epochs (Kaldi "
+        "frame-shift egs augmentation)",
+    )
+    p.add_argument(
         "--precompile-egs", type=int, default=0, metavar="WORKERS",
         help="compile all chunk supervisions up-front in N parallel worker "
         "processes (nnet3-chain-get-egs offline-prep role); they are "
@@ -359,6 +371,8 @@ def main(argv=None) -> dict:
         lr_decay_steps=decay_steps if args.lr_final > 0 else 0,
         grad_accum_steps=args.grad_accum_steps,
         optimizer=args.optimizer,
+        dropout_schedule=args.dropout_schedule,
+        frame_shift_cycle=args.frame_shift_cycle,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         semi_ortho_every=args.semi_ortho_every if args.model == "tdnnf" else 0,

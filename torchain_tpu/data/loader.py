@@ -136,10 +136,16 @@ class ChainDataset:
                 t_out = sum(d for _, d in chunk_ali)
                 self.chunks.append((ui, c0, t_out, chunk_ali, left_ctx, right_ctx))
 
+    #: input-rate frame shift applied when slicing chunk features (Kaldi's
+    #: nnet3-chain-copy-egs --frame-shift augmentation: each epoch reads the
+    #: same chunks at a different sub-subsampling input phase, supervision
+    #: unchanged; Trainer.fit cycles this through 0..fsf-1 across epochs)
+    frame_shift: int = 0
+
     def _chunk_feats(self, utt: Utterance, c0_out: int, t_out: int) -> np.ndarray:
         """Input-rate features for chunk with context, edge-padded."""
-        t0 = c0_out * self.fsf - self.left_context
-        t1 = (c0_out + t_out) * self.fsf + self.right_context
+        t0 = c0_out * self.fsf - self.left_context + self.frame_shift
+        t1 = (c0_out + t_out) * self.fsf + self.right_context + self.frame_shift
         T = utt.feats.shape[0]
         idx = np.clip(np.arange(t0, t1), 0, T - 1)
         return utt.feats[idx]

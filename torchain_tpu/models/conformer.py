@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.models.tdnn import Prefinal
+from torchain_tpu.models.tdnn import Prefinal, continuous_dropout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,7 +189,7 @@ class Conformer(nn.Module):
     config: ConformerConfig
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, dropout_rate=None):
         cfg = self.config
         x = nn.Conv(
             cfg.dim,
@@ -203,8 +203,14 @@ class Conformer(nn.Module):
         bias = RelPositionBias(cfg.num_heads, cfg.rel_pos_buckets, name="rel_pos")(
             x.shape[1]
         )
+        if dropout_rate is None and cfg.dropout > 0:
+            dropout_rate = cfg.dropout
         for i in range(cfg.num_layers):
             x = ConformerBlock(cfg, name=f"block{i}")(x, bias, train)
+            # per-block continuous dropout (Kaldi dropout-schedule role;
+            # the standard conformer's per-sublayer Bernoulli dropout is
+            # replaced by the chain recipes' expectation-1 channel noise)
+            x = continuous_dropout(self, x, dropout_rate, train)
         chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
         xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent

@@ -20,7 +20,25 @@ import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def continuous_dropout(mod: nn.Module, x, rate, train: bool):
+    """Kaldi's dropout-per-dim-continuous (the chain-recipe dropout,
+    [K] nnet-simple-component.cc DropoutComponent continuous mode):
+    multiply each CHANNEL by a value uniform in [1-2p, 1+2p], shared
+    across time within an utterance.  Expectation is exactly 1, so there
+    is no train/eval rescale, p=0 is an exact identity, and a SCHEDULED
+    rate can be passed as a traced scalar without recompilation —
+    the TPU-friendly realization of Kaldi's --trainer.dropout-schedule."""
+    if not train or rate is None or not mod.has_rng("dropout"):
+        return x
+    rng = mod.make_rng("dropout")
+    u = jax.random.uniform(
+        rng, (x.shape[0], 1, x.shape[-1]), x.dtype, -1.0, 1.0
+    )
+    return x * (1.0 + 2.0 * jnp.asarray(rate, x.dtype) * u)
 
 
 class Prefinal(nn.Module):
@@ -82,7 +100,7 @@ class TDNN(nn.Module):
     config: TdnnConfig
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, dropout_rate=None):
         cfg = self.config
         x = feats.astype(cfg.dtype)
         for i, (k, d, s) in enumerate(cfg.layers):
@@ -97,6 +115,7 @@ class TDNN(nn.Module):
             )(x)
             x = nn.relu(x)
             x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(x)
+            x = continuous_dropout(self, x, dropout_rate, train)
         chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
         xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent
@@ -156,7 +175,7 @@ class TdnnfLayer(nn.Module):
     impl: str = "dot"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
         if self.impl == "dot":
             # first factor: kernel covers (t - d, t); named linear_pre so
             # the periodic semi-orthogonal projection finds it
@@ -196,6 +215,9 @@ class TdnnfLayer(nn.Module):
             )(h)
         h = nn.relu(h)
         h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(h)
+        # Kaldi tdnnf-layer order: dropout after batchnorm, before the
+        # scaled bypass joins
+        h = continuous_dropout(self, h, dropout_rate, train)
         # bypass: crop x to align with h (d left from factor 1, d right from
         # factor 2, then stride)
         d = self.dilation
@@ -252,7 +274,7 @@ class TDNNF(nn.Module):
     config: TdnnfConfig
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, dropout_rate=None):
         cfg = self.config
         x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), dtype=cfg.dtype, name="input_proj")(
             feats.astype(cfg.dtype)
@@ -268,7 +290,7 @@ class TDNNF(nn.Module):
                 dtype=cfg.dtype,
                 impl=cfg.impl,
                 name=f"tdnnf{i}",
-            )(x, train)
+            )(x, train, dropout_rate)
         chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
         xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent

@@ -25,7 +25,10 @@ from torchain_tpu.train.state import ChainTrainState
 
 
 def make_train_step(
-    loss_opts: ChainLossOptions, use_xent: bool = True, donate: bool = True
+    loss_opts: ChainLossOptions,
+    use_xent: bool = True,
+    donate: bool = True,
+    dropout: bool = False,
 ):
     """Returns jitted (state, feats, den, sup) -> (state, metrics).
 
@@ -33,7 +36,13 @@ def make_train_step(
     updated in place (training loops rebind `state = step(state, ...)`),
     halving the peak parameter-side HBM footprint.  Pass donate=False for
     callers that deliberately replay the same state object (timing
-    probes).  CPU backends ignore donation."""
+    probes).  CPU backends ignore donation.
+
+    With dropout=True the step takes two extra positional args
+    (dropout_rate: traced f32 scalar, dropout_rng: PRNG key) and threads
+    them into the model — the Kaldi --trainer.dropout-schedule path; the
+    scheduled rate changes per step WITHOUT recompiling because
+    continuous dropout is an identity at rate 0 (models/tdnn.py)."""
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
@@ -41,17 +50,30 @@ def make_train_step(
         feats: jnp.ndarray,  # [B, T_in, F]
         den,
         sup: DeviceSupervision,
+        dropout_rate=None,
+        dropout_rng=None,
     ):
         def loss_fn(params):
             variables = {"params": params}
+            apply_kw = {}
+            if dropout and dropout_rng is not None:
+                apply_kw = dict(
+                    dropout_rate=dropout_rate, rngs={"dropout": dropout_rng}
+                )
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 (chain_out, xent_out), updates = state.apply_fn(
-                    variables, feats, train=True, mutable=["batch_stats"]
+                    variables,
+                    feats,
+                    train=True,
+                    mutable=["batch_stats"],
+                    **apply_kw,
                 )
                 new_stats = updates["batch_stats"]
             else:
-                chain_out, xent_out = state.apply_fn(variables, feats, train=True)
+                chain_out, xent_out = state.apply_fn(
+                    variables, feats, train=True, **apply_kw
+                )
                 new_stats = state.batch_stats
             loss, aux = chain_loss(
                 chain_out, xent_out if use_xent else None, den, sup, loss_opts

@@ -57,6 +57,13 @@ class TrainerConfig:
     num_epochs: int = 2
     #: apply the semi-orthogonal constraint every N steps (0 = never)
     semi_ortho_every: int = 4
+    #: cycle the loader's input frame shift through 0..fsf-1 across epochs
+    #: (Kaldi's frame-shift egs augmentation; off reproduces round-1 runs)
+    frame_shift_cycle: bool = False
+    #: Kaldi --trainer.dropout-schedule, e.g. "0,0@0.20,0.5@0.50,0":
+    #: comma-separated value[@data_fraction] knots, piecewise-linear in the
+    #: fraction of training processed; "" disables dropout entirely
+    dropout_schedule: str = ""
     log_every: int = 20
     checkpoint_dir: str | None = None
     checkpoint_every: int = 500
@@ -92,6 +99,46 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     if cfg.grad_accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
+
+
+def parse_dropout_schedule(schedule: str):
+    """Kaldi dropout-schedule string -> callable(progress in [0,1]) -> rate.
+
+    Format ([K] steps/libs/nnet3/train/common.py, self-described in
+    TrainerConfig): comma-separated ``value`` or ``value@fraction`` knots;
+    an omitted fraction pins the first knot to 0.0 and the last to 1.0,
+    intermediate knots must carry fractions; linear interpolation between
+    knots."""
+    parts = [p.strip() for p in schedule.split(",") if p.strip()]
+    if not parts:
+        return lambda progress: 0.0
+    knots: list[tuple[float, float]] = []
+    for i, p in enumerate(parts):
+        if "@" in p:
+            v, f = p.split("@")
+            knots.append((float(f), float(v)))
+        elif i == 0:
+            knots.append((0.0, float(p)))
+        elif i == len(parts) - 1:
+            knots.append((1.0, float(p)))
+        else:
+            raise ValueError(
+                f"dropout-schedule knot {p!r} needs an @fraction "
+                f"(only first/last may omit it): {schedule!r}"
+            )
+    if knots[0][0] > 0.0:
+        knots.insert(0, (0.0, knots[0][1]))
+    if knots[-1][0] < 1.0:
+        knots.append((1.0, knots[-1][1]))
+    fr = np.asarray([k[0] for k in knots])
+    if (np.diff(fr) < 0).any():
+        raise ValueError(f"dropout-schedule fractions must be sorted: {schedule!r}")
+    val = np.asarray([k[1] for k in knots])
+
+    def rate(progress: float) -> float:
+        return float(np.interp(np.clip(progress, 0.0, 1.0), fr, val))
+
+    return rate
 
 
 def den_fingerprint(den_device) -> str:
@@ -145,7 +192,18 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh)
         self.tx = make_optimizer(cfg)
         self.state = create_train_state(model, jnp.asarray(example_feats), self.tx)
-        self.train_step = make_train_step(cfg.loss, use_xent=cfg.use_xent)
+        self._dropout_fn = (
+            parse_dropout_schedule(cfg.dropout_schedule)
+            if cfg.dropout_schedule
+            else None
+        )
+        self.train_step = make_train_step(
+            cfg.loss, use_xent=cfg.use_xent, dropout=self._dropout_fn is not None
+        )
+        # per-step dropout noise derived by fold_in(step): deterministic
+        # under resume, identical across hosts (same global step)
+        self._dropout_base_rng = jax.random.PRNGKey(0)
+        self._batches_per_epoch: int | None = None
         self.results = ChainResults()
         self.metrics_log: list[dict] = []
         self.start_epoch = 0
@@ -318,6 +376,13 @@ class Trainer:
             for epoch in range(self.start_epoch, cfg.num_epochs):
                 self.current_epoch = epoch
                 self.batch_in_epoch = 0
+                if cfg.frame_shift_cycle and hasattr(dataset, "frame_shift"):
+                    # Kaldi frame-shift augmentation (nnet3-chain-copy-egs
+                    # --frame-shift=epoch%fsf in steps/nnet3/chain/train.py):
+                    # each epoch samples a different input phase of the
+                    # subsampled output grid; deterministic in epoch, so
+                    # mid-epoch resume reproduces it
+                    dataset.frame_shift = epoch % dataset.fsf
                 # fixed supervision padding for BOTH single- and multi-host
                 # runs: per-batch-derived static shapes (incl. steady_arcs)
                 # would force a fresh XLA compile whenever a batch lands in
@@ -343,9 +408,28 @@ class Trainer:
                         continue
                     self.batch_in_epoch = bi + 1
                     feats, sup = self._put_batch(batch)
-                    self.state, metrics = self.train_step(
-                        self.state, feats, self.den, sup
-                    )
+                    if self._dropout_fn is not None:
+                        # progress = fraction of training data processed
+                        # (Kaldi schedules on the same quantity); within-
+                        # epoch fraction needs the epoch's batch count,
+                        # known after the first epoch
+                        frac = (
+                            bi / self._batches_per_epoch
+                            if self._batches_per_epoch
+                            else 0.0
+                        )
+                        progress = (epoch + frac) / max(cfg.num_epochs, 1)
+                        rate = jnp.asarray(
+                            self._dropout_fn(progress), jnp.float32
+                        )
+                        rng = jax.random.fold_in(self._dropout_base_rng, step)
+                        self.state, metrics = self.train_step(
+                            self.state, feats, self.den, sup, rate, rng
+                        )
+                    else:
+                        self.state, metrics = self.train_step(
+                            self.state, feats, self.den, sup
+                        )
                     step += 1
                     if cfg.semi_ortho_every and step % cfg.semi_ortho_every == 0:
                         self.state = self.state.replace(
@@ -368,6 +452,10 @@ class Trainer:
                         and step % cfg.checkpoint_every == 0
                     ):
                         self.save_checkpoint()
+                if self._batches_per_epoch is None and self.batch_in_epoch:
+                    self._batches_per_epoch = self.batch_in_epoch
+            if hasattr(dataset, "frame_shift"):
+                dataset.frame_shift = 0  # leave the loader eval-clean
             self._flush_metrics(pending)
             if self._ckpt_mgr is not None:
                 self.save_checkpoint()
