@@ -62,3 +62,22 @@ def test_cli_ivector_ngsgd():
     )
     assert out["steps"] > 0
     assert "per" in out and out["per"] <= 100.0
+
+
+@pytest.mark.slow
+def test_cli_egs_archive_roundtrip(tmp_path):
+    """--save-egs writes the archive; a second run --load-egs trains from
+    it (prep-once workflow of nnet3-chain-get-egs archives)."""
+    egs = str(tmp_path / "egs.npz")
+    common = [
+        "--synthetic", "--num-utts", "10", "--num-phones", "4",
+        "--feat-dim", "8", "--hidden-dim", "32", "--bottleneck-dim", "8",
+        "--num-layers", "2", "--epochs", "1", "--chunk-frames", "10",
+        "--batch-size", "4",
+    ]
+    out1 = run_cli(common + ["--save-egs", egs])
+    import os
+
+    assert os.path.exists(egs)
+    out2 = run_cli(common + ["--load-egs", egs])
+    assert out2["steps"] == out1["steps"] > 0

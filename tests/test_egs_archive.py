@@ -1,0 +1,108 @@
+"""On-disk egs archive tests (nnet3-chain-get-egs archive role:
+supervision compiled once, written to disk, reloaded bit-exactly by
+training runs; fingerprint-guarded against mismatched datasets)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from torchain_tpu.data import ChainDataset, synthetic_dataset
+from torchain_tpu.graphs import SupervisionOptions
+
+
+def _make_dataset(tol=1):
+    corpus = synthetic_dataset(
+        num_utts=6, num_phones=5, feat_dim=6, utt_frames_out=(20, 26), seed=0
+    )
+    ds = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=8,
+        left_context=3,
+        right_context=3,
+        sup_opts=SupervisionOptions(left_tolerance=tol, right_tolerance=tol),
+    )
+    return corpus, ds
+
+
+def test_save_load_roundtrip_bitexact(tmp_path):
+    corpus, ds = _make_dataset()
+    path = tmp_path / "egs.npz"
+    n = ds.save_egs(path)
+    assert n > 0
+    ref_batches = list(ds.batches(2, shuffle=False))
+
+    _, ds2 = _make_dataset()
+    assert ds2.load_egs(path) == n
+    # cache now holds every chunk: no recompilation happens on iteration
+    ds2._chunk_supervision = None  # would raise if called
+    new_batches = list(ds2.batches(2, shuffle=False))
+    assert len(new_batches) == len(ref_batches)
+    for a, b in zip(ref_batches, new_batches):
+        np.testing.assert_array_equal(a.feats, b.feats)
+        np.testing.assert_array_equal(a.sup.in_src, b.sup.in_src)
+        np.testing.assert_array_equal(a.sup.in_pdf, b.sup.in_pdf)
+        np.testing.assert_array_equal(a.sup.in_logw, b.sup.in_logw)
+        np.testing.assert_array_equal(a.sup.final_logw, b.sup.final_logw)
+        np.testing.assert_array_equal(a.sup.num_states, b.sup.num_states)
+        np.testing.assert_array_equal(
+            np.asarray(a.sup.weight), np.asarray(b.sup.weight)
+        )
+
+
+def test_load_refuses_mismatched_dataset(tmp_path):
+    _, ds = _make_dataset(tol=1)
+    path = tmp_path / "egs.npz"
+    ds.save_egs(path)
+    # different supervision options -> different fingerprint -> refuse
+    _, ds_other = _make_dataset(tol=2)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ds_other.load_egs(path)
+
+
+def test_fingerprint_sensitive_to_tree_and_norm_fst(tmp_path):
+    corpus, ds = _make_dataset()
+    fp = ds.egs_fingerprint()
+    # same dataset built twice -> identical fingerprint (determinism)
+    _, ds_again = _make_dataset()
+    assert ds_again.egs_fingerprint() == fp
+    # perturbing the normalization FST changes it
+    from torchain_tpu.fstkit import Fst
+
+    bent = Fst()
+    for s in range(corpus.norm_fst.num_states):
+        bent.add_state()
+    bent_arcs = 0
+    for s in range(corpus.norm_fst.num_states):
+        for a in corpus.norm_fst.arcs(s):
+            bent.add_arc(s, a.label, a.weight + 0.125, a.dst)
+            bent_arcs += 1
+        if corpus.norm_fst.is_final(s):
+            bent.set_final(s, corpus.norm_fst.final(s))
+    ds_bent = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        bent,
+        chunk_frames_out=8,
+        left_context=3,
+        right_context=3,
+        sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+    )
+    assert ds_bent.egs_fingerprint() != fp
+
+
+def test_dropped_chunks_survive_reload(tmp_path):
+    """A dataset whose archive recorded dropped chunks must not recompile
+    (and re-fail) them after load."""
+    corpus, ds = _make_dataset()
+    # force-drop chunk 0 by caching None (simulates a compile failure)
+    ds._sup_cache[0] = None
+    path = tmp_path / "egs.npz"
+    n = ds.save_egs(path)
+    _, ds2 = _make_dataset()
+    ds2.load_egs(path)
+    assert ds2._sup_cache[0] is None
+    assert len(ds2._sup_cache) == len(ds.chunks)
+    assert n == len(ds.chunks) - 1

@@ -78,6 +78,31 @@ def build_argparser() -> argparse.ArgumentParser:
         "frame-shift egs augmentation)",
     )
     p.add_argument(
+        "--max-param-change", type=float, default=0.0,
+        help="cap the global parameter update 2-norm per step (Kaldi "
+        "--trainer.max-param-change; recipe default 2.0; 0 = off)",
+    )
+    p.add_argument(
+        "--max-change-per-component", type=float, default=0.0,
+        help="cap each component's update 2-norm per step (Kaldi "
+        "max-change; recipe default 0.75; 0 = off)",
+    )
+    p.add_argument(
+        "--backstitch-scale", type=float, default=0.0,
+        help="Kaldi --trainer.backstitch-training-scale (e.g. 0.3; 0 = off)",
+    )
+    p.add_argument("--backstitch-interval", type=int, default=1)
+    p.add_argument(
+        "--save-egs", default="", metavar="PATH",
+        help="after (pre)compiling, write all chunk supervisions to a .npz "
+        "archive (nnet3-chain-get-egs archive role: prep once, train many)",
+    )
+    p.add_argument(
+        "--load-egs", default="", metavar="PATH",
+        help="load a --save-egs archive instead of compiling supervisions "
+        "(refuses archives whose corpus/tree/options fingerprint differs)",
+    )
+    p.add_argument(
         "--precompile-egs", type=int, default=0, metavar="WORKERS",
         help="compile all chunk supervisions up-front in N parallel worker "
         "processes (nnet3-chain-get-egs offline-prep role); they are "
@@ -169,7 +194,22 @@ def main(argv=None) -> dict:
         )
         sys.exit(2)
 
+    # A dead accelerator relay makes backend init hang UNINTERRUPTIBLY in
+    # C; probe it in a killable subprocess first and fall back to CPU so
+    # the recipe degrades loudly instead of freezing (same guard as
+    # bench.py / __graft_entry__.dryrun_multichip)
+    from torchain_tpu.utils.backend import backend_reachable
+
+    tpu_dead = not backend_reachable()
+
     import jax
+
+    if tpu_dead:
+        print(
+            "[warn] accelerator backend unreachable; falling back to CPU",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
         # multi-host pod: one process per host; GSPMD spans hosts via DCN
@@ -351,6 +391,16 @@ def main(argv=None) -> dict:
         t_pre = time.time()
         n_pre = dataset.precompile(num_workers=args.precompile_egs)
         print(f"[stage 1] precompiled {n_pre} egs in {time.time()-t_pre:.1f}s")
+    if args.load_egs and hasattr(dataset, "load_egs"):
+        n_egs = dataset.load_egs(args.load_egs)
+        print(f"[stage 1] loaded {n_egs} egs from {args.load_egs}")
+    if args.save_egs and hasattr(dataset, "save_egs"):
+        t_egs = time.time()
+        n_egs = dataset.save_egs(args.save_egs)
+        print(
+            f"[stage 1] wrote {n_egs} egs to {args.save_egs} "
+            f"in {time.time()-t_egs:.1f}s"
+        )
 
     den = auto_den_graph(
         corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree
@@ -373,6 +423,10 @@ def main(argv=None) -> dict:
         optimizer=args.optimizer,
         dropout_schedule=args.dropout_schedule,
         frame_shift_cycle=args.frame_shift_cycle,
+        max_param_change=args.max_param_change,
+        max_change_per_component=args.max_change_per_component,
+        backstitch_scale=args.backstitch_scale,
+        backstitch_interval=args.backstitch_interval,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         semi_ortho_every=args.semi_ortho_every if args.model == "tdnnf" else 0,

@@ -235,6 +235,106 @@ class ChainDataset:
                 self._cache_store(i, sup)
         return len(todo)
 
+    # -- on-disk egs archives (nnet3-chain-get-egs archive role) ----------
+
+    def egs_fingerprint(self) -> str:
+        """Content hash binding an egs archive to THIS dataset: the chunk
+        plan (utterance alignments, boundaries, contexts), supervision
+        options, pdf map, and normalization FST.  A loaded archive whose
+        fingerprint differs would silently supervise a different objective,
+        so load_egs refuses it (same safety contract as the trainer's
+        den-graph fingerprint check on resume)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(repr(self.sup_opts).encode())
+        h.update(repr(self.chunks).encode())
+        tree = self.tree
+        if hasattr(tree, "pdf_map"):
+            h.update(np.asarray(tree.pdf_map).tobytes())
+        else:
+            h.update(
+                f"{type(tree).__name__}:{tree.num_pdfs}:"
+                f"{getattr(tree, 'context_width', 0)}".encode()
+            )
+        f = self.norm_fst
+        h.update(f"{f.num_states}".encode())
+        for s in range(f.num_states):
+            for a in f.arcs(s):
+                h.update(
+                    f"{s},{a.label},{a.dst},{a.weight:.6g};".encode()
+                )
+        return h.hexdigest()[:16]
+
+    _EGS_FIELDS = ("in_src", "in_pdf", "in_logw", "final_logw", "num_states")
+
+    def save_egs(self, path) -> int:
+        """Write every compiled supervision to one .npz archive — the
+        on-disk form of Kaldi's cegs archives (nnet3-chain-get-egs writes
+        them once; training jobs only read).  Chunks not yet compiled are
+        compiled first (call precompile() beforehand to parallelize).
+        Returns the number of chunks stored (dropped chunks are recorded
+        as dropped so reloads don't recompile-and-refail them)."""
+        arrays: dict[str, np.ndarray] = {}
+        dropped = []
+        n = 0
+        for i in range(len(self.chunks)):
+            sup = self._sup_of(i)
+            if sup is None:
+                dropped.append(i)
+                continue
+            for f in self._EGS_FIELDS:
+                arrays[f"{i}_{f}"] = getattr(sup, f)
+            arrays[f"{i}_meta"] = np.asarray(
+                [sup.num_frames, sup.num_pdfs, sup.max_states, sup.max_arcs],
+                np.int64,
+            )
+            arrays[f"{i}_weight"] = np.asarray(sup.weight, np.float32)
+            n += 1
+        arrays["__fingerprint__"] = np.frombuffer(
+            self.egs_fingerprint().encode(), np.uint8
+        )
+        arrays["__dropped__"] = np.asarray(dropped, np.int64)
+        arrays["__num_chunks__"] = np.asarray([len(self.chunks)], np.int64)
+        np.savez_compressed(path, **arrays)
+        return n
+
+    def load_egs(self, path) -> int:
+        """Fill the supervision cache from a save_egs archive.  Refuses an
+        archive whose fingerprint does not match this dataset (different
+        corpus/tree/options).  Returns the number of chunks loaded."""
+        from torchain_tpu.graphs.supervision import Supervision
+
+        with np.load(path) as z:
+            fp = bytes(z["__fingerprint__"]).decode()
+            if fp != self.egs_fingerprint():
+                raise ValueError(
+                    f"egs archive fingerprint {fp} does not match this "
+                    f"dataset ({self.egs_fingerprint()}); the archive was "
+                    "built from a different corpus, tree, normalization "
+                    "FST, or supervision options"
+                )
+            if int(z["__num_chunks__"][0]) != len(self.chunks):
+                raise ValueError("egs archive chunk count mismatch")
+            for i in z["__dropped__"]:
+                self._sup_cache[int(i)] = None
+            n = 0
+            for i in range(len(self.chunks)):
+                if f"{i}_meta" not in z:
+                    continue
+                meta = z[f"{i}_meta"]
+                sup = Supervision(
+                    num_frames=int(meta[0]),
+                    num_pdfs=int(meta[1]),
+                    max_states=int(meta[2]),
+                    max_arcs=int(meta[3]),
+                    weight=float(z[f"{i}_weight"]),
+                    **{f: z[f"{i}_{f}"] for f in self._EGS_FIELDS},
+                )
+                self._cache_store(i, sup)
+                n += 1
+        return n
+
     def estimate_sup_caps(self) -> tuple[int, int, int, int]:
         """(max_states, max_arcs, max_frame_vocab) over ALL chunks' compiled
         supervisions, rounded to the dataset's buckets — the fixed padding

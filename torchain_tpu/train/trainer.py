@@ -64,6 +64,17 @@ class TrainerConfig:
     #: comma-separated value[@data_fraction] knots, piecewise-linear in the
     #: fraction of training processed; "" disables dropout entirely
     dropout_schedule: str = ""
+    #: Kaldi max-change: cap each component's parameter delta (post-LR) at
+    #: this 2-norm (recipe default 0.75; 0 = off)
+    max_change_per_component: float = 0.0
+    #: Kaldi --trainer.max-param-change: cap the global update 2-norm
+    #: (recipe default 2.0; 0 = off)
+    max_param_change: float = 0.0
+    #: Kaldi --trainer.backstitch-training-scale (0 = off): two-pass
+    #: updates, -scale then +(1+scale), on every `backstitch_interval`-th
+    #: step (see train/step.py make_backstitch_step)
+    backstitch_scale: float = 0.0
+    backstitch_interval: int = 1
     log_every: int = 20
     checkpoint_dir: str | None = None
     checkpoint_every: int = 500
@@ -96,9 +107,54 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         raise ValueError(cfg.optimizer)
     if cfg.grad_clip > 0:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    if cfg.max_change_per_component > 0 or cfg.max_param_change > 0:
+        # LAST in the chain: max-change bounds the post-LR parameter
+        # motion, not the gradient
+        opt = optax.chain(
+            opt,
+            max_change(cfg.max_change_per_component, cfg.max_param_change),
+        )
     if cfg.grad_accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
+
+
+def max_change(per_component: float = 0.75, global_change: float = 2.0):
+    """Kaldi max-change update clipping as a terminal optax transform.
+
+    Behavioral reference: every chain recipe trains with per-component
+    max-change=0.75 and --trainer.max-param-change=2.0 ([K]
+    nnet-utils.cc ScaleBatchnormStats/UpdatableComponent max_change_ +
+    steps/libs/nnet3/train): each component's parameter DELTA (post-LR)
+    is rescaled to 2-norm <= per_component, then the whole update is
+    rescaled so the global 2-norm <= global_change.  Unlike gradient
+    clipping this bounds the actual parameter motion per step, which is
+    what keeps early chain training from diverging at recipe LRs.
+    Place LAST in the optax chain (after the LR is applied)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        if per_component > 0:
+            def clip_leaf(u):
+                n = jnp.sqrt(jnp.sum(jnp.square(u.astype(jnp.float32))))
+                scale = jnp.minimum(1.0, per_component / jnp.maximum(n, 1e-30))
+                return (u.astype(jnp.float32) * scale).astype(u.dtype)
+
+            updates = jax.tree.map(clip_leaf, updates)
+        if global_change > 0:
+            g = optax.global_norm(updates)
+            scale = jnp.minimum(1.0, global_change / jnp.maximum(g, 1e-30))
+            updates = jax.tree.map(
+                lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype),
+                updates,
+            )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def parse_dropout_schedule(schedule: str):
@@ -200,6 +256,18 @@ class Trainer:
         self.train_step = make_train_step(
             cfg.loss, use_xent=cfg.use_xent, dropout=self._dropout_fn is not None
         )
+        self.backstitch_step = None
+        if cfg.backstitch_scale > 0:
+            if self._dropout_fn is not None:
+                raise ValueError(
+                    "backstitch_scale and dropout_schedule are mutually "
+                    "exclusive (the backstitch step carries no dropout rng)"
+                )
+            from torchain_tpu.train.step import make_backstitch_step
+
+            self.backstitch_step = make_backstitch_step(
+                cfg.loss, cfg.backstitch_scale, use_xent=cfg.use_xent
+            )
         # per-step dropout noise derived by fold_in(step): deterministic
         # under resume, identical across hosts (same global step)
         self._dropout_base_rng = jax.random.PRNGKey(0)
@@ -425,6 +493,12 @@ class Trainer:
                         rng = jax.random.fold_in(self._dropout_base_rng, step)
                         self.state, metrics = self.train_step(
                             self.state, feats, self.den, sup, rate, rng
+                        )
+                    elif self.backstitch_step is not None and (
+                        step % max(cfg.backstitch_interval, 1) == 0
+                    ):
+                        self.state, metrics = self.backstitch_step(
+                            self.state, feats, self.den, sup
                         )
                     else:
                         self.state, metrics = self.train_step(
