@@ -78,7 +78,6 @@ def main():
     arrays = dict(
         y=y_local.astype(np.float32),
         in_src=sup_dev.in_src,
-        in_pdf=sup_dev.in_pdf,
         in_logw=sup_dev.in_logw,
         final_logw=sup_dev.final_logw,
         weight=sup_dev.weight,
@@ -91,7 +90,6 @@ def main():
     sup_global = dc.replace(
         sup_dev,
         in_src=g["in_src"],
-        in_pdf=g["in_pdf"],
         in_logw=g["in_logw"],
         final_logw=g["final_logw"],
         weight=g["weight"],

@@ -17,6 +17,7 @@ tests, benchmarks and the e2e recipe when no external corpus is mounted.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -187,7 +188,15 @@ class ChainDataset:
             return 0
         return sum(
             a.nbytes
-            for a in (sup.in_src, sup.in_pdf, sup.in_logw, sup.final_logw)
+            for a in (
+                sup.in_src,
+                sup.in_pdf,
+                sup.in_logw,
+                sup.final_logw,
+                sup.frame_vocab,
+                sup.pdf_local,
+            )
+            if a is not None
         )
 
     def _cache_store(self, chunk_idx: int, sup) -> None:
@@ -267,6 +276,9 @@ class ChainDataset:
         return h.hexdigest()[:16]
 
     _EGS_FIELDS = ("in_src", "in_pdf", "in_logw", "final_logw", "num_states")
+    #: numerator lookup tables, persisted since round 2 (older archives
+    #: lack them; load_egs recomputes — cheap per chunk)
+    _EGS_TABLE_FIELDS = ("frame_vocab", "pdf_local")
 
     def save_egs(self, path) -> int:
         """Write every compiled supervision to one .npz archive — the
@@ -285,8 +297,17 @@ class ChainDataset:
                 continue
             for f in self._EGS_FIELDS:
                 arrays[f"{i}_{f}"] = getattr(sup, f)
+            for f in self._EGS_TABLE_FIELDS:
+                if getattr(sup, f) is not None:
+                    arrays[f"{i}_{f}"] = getattr(sup, f)
             arrays[f"{i}_meta"] = np.asarray(
-                [sup.num_frames, sup.num_pdfs, sup.max_states, sup.max_arcs],
+                [
+                    sup.num_frames,
+                    sup.num_pdfs,
+                    sup.max_states,
+                    sup.max_arcs,
+                    sup.steady_need if sup.steady_need is not None else -1,
+                ],
                 np.int64,
             )
             arrays[f"{i}_weight"] = np.asarray(sup.weight, np.float32)
@@ -330,7 +351,26 @@ class ChainDataset:
                     max_arcs=int(meta[3]),
                     weight=float(z[f"{i}_weight"]),
                     **{f: z[f"{i}_{f}"] for f in self._EGS_FIELDS},
+                    **{
+                        f: z[f"{i}_{f}"]
+                        for f in self._EGS_TABLE_FIELDS
+                        if f"{i}_{f}" in z
+                    },
                 )
+                if len(meta) > 4 and int(meta[4]) >= 0:
+                    sup.steady_need = int(meta[4])
+                if sup.frame_vocab is None or sup.steady_need is None:
+                    # legacy archive (pre-table format): derive once here
+                    from torchain_tpu.graphs.supervision import (
+                        numerator_tables,
+                    )
+
+                    fv, pl, need = numerator_tables(sup.in_src, sup.in_pdf)
+                    sup.frame_vocab, sup.pdf_local, sup.steady_need = (
+                        fv,
+                        pl,
+                        need,
+                    )
                 self._cache_store(i, sup)
                 n += 1
         return n
@@ -372,8 +412,15 @@ class ChainDataset:
         process_index: int | None = None,
         process_count: int | None = None,
         sup_caps: tuple[int, int] | None = None,
+        num_threads: int = 0,
     ):
         """Yield ChainBatch objects; chunks grouped by T_out.
+
+        `num_threads > 1` builds batches on a thread pool (in order): the
+        per-batch numpy pad/stack work releases the GIL, so the host-side
+        egs assembly scales past one core while the device runs.  Use after
+        precompile()/load_egs — concurrent cache misses would compile the
+        same supervision twice (correct, just wasted work).
 
         Passing `epoch` makes shuffling a pure function of (seed, epoch) so
         a resumed run replays the identical batch order — the dataloader
@@ -417,6 +464,7 @@ class ChainDataset:
         if shuffle:
             for k in order:
                 rng.shuffle(by_len[k])
+        parts: list[list[int]] = []
         for t_out in order:
             group = by_len[t_out]
             for i in range(0, len(group), batch_size):
@@ -425,52 +473,82 @@ class ChainDataset:
                     continue
                 if multi:
                     part = part[pi * local_bs : (pi + 1) * local_bs]
-                feats, sups, holes = [], [], []
-                for ci in part:
-                    ui, c0, t, chunk_ali, left_ctx, right_ctx = self.chunks[ci]
-                    sup = self._sup_of(ci)
-                    if sup is None:
-                        if multi:
-                            # placeholder keeps local shapes fixed; filled
-                            # with a weight-0 sibling copy below
-                            holes.append(len(sups))
-                            feats.append(None)
-                            sups.append(None)
-                        continue
-                    feats.append(self._chunk_feats(self.utts[ui], c0, t))
-                    sups.append(sup)
-                if multi and holes:
-                    donor = next((k for k, s in enumerate(sups) if s is not None), None)
-                    if donor is None:
-                        # every local row failed: fall back to a trivial
-                        # 0-weight supervision is impossible without a
-                        # template, so skip — all hosts see the same global
-                        # plan but different rows; this pathological case
-                        # (an entire host shard failing) would desync and
-                        # must abort rather than hang collectives
-                        raise ValueError(
-                            "all rows of a host shard failed supervision "
-                            "compilation; regenerate data or lower batch size"
-                        )
-                    for h in holes:
-                        s = dataclasses.replace(sups[donor])
-                        s.weight = 0.0
-                        sups[h] = s
-                        feats[h] = feats[donor]
-                if not sups or (drop_last and len(sups) < (local_bs if multi else batch_size)):
+                parts.append(part)
+
+        def build(part: list[int]):
+            feats, sups, holes = [], [], []
+            for ci in part:
+                ui, c0, t, chunk_ali, left_ctx, right_ctx = self.chunks[ci]
+                sup = self._sup_of(ci)
+                if sup is None:
+                    if multi:
+                        # placeholder keeps local shapes fixed; filled
+                        # with a weight-0 sibling copy below
+                        holes.append(len(sups))
+                        feats.append(None)
+                        sups.append(None)
                     continue
-                yield ChainBatch(
-                    feats=np.stack(feats).astype(np.float32),
-                    sup=pad_and_stack_supervisions(
-                        sups,
-                        round_states_to=self.sup_round_states,
-                        round_arcs_to=self.sup_round_arcs,
-                        pad_states_to=pad_s,
-                        pad_arcs_to=pad_k,
-                        pad_vocab_to=pad_v,
-                        pad_steady_to=pad_st,
-                    ),
-                )
+                feats.append(self._chunk_feats(self.utts[ui], c0, t))
+                sups.append(sup)
+            if multi and holes:
+                donor = next((k for k, s in enumerate(sups) if s is not None), None)
+                if donor is None:
+                    # every local row failed: a 0-weight supervision is
+                    # impossible without a template, so abort — all hosts
+                    # see the same global plan but different rows; this
+                    # pathological case (an entire host shard failing)
+                    # would desync and must abort rather than hang
+                    # collectives
+                    raise ValueError(
+                        "all rows of a host shard failed supervision "
+                        "compilation; regenerate data or lower batch size"
+                    )
+                for h in holes:
+                    s = dataclasses.replace(sups[donor])
+                    s.weight = 0.0
+                    sups[h] = s
+                    feats[h] = feats[donor]
+            if not sups or (
+                drop_last and len(sups) < (local_bs if multi else batch_size)
+            ):
+                return None
+            return ChainBatch(
+                feats=np.stack(feats).astype(np.float32),
+                sup=pad_and_stack_supervisions(
+                    sups,
+                    round_states_to=self.sup_round_states,
+                    round_arcs_to=self.sup_round_arcs,
+                    pad_states_to=pad_s,
+                    pad_arcs_to=pad_k,
+                    pad_vocab_to=pad_v,
+                    pad_steady_to=pad_st,
+                ),
+            )
+
+        # more threads than cores actively hurts (measured 10x worse at
+        # 2x oversubscription: the pad/stack work is memory-bandwidth bound)
+        num_threads = min(num_threads, os.cpu_count() or 1)
+        if num_threads and num_threads > 1:
+            import collections
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(num_threads) as ex:
+                pending: collections.deque = collections.deque()
+                for part in parts:
+                    pending.append(ex.submit(build, part))
+                    while len(pending) > num_threads + 1:
+                        b = pending.popleft().result()
+                        if b is not None:
+                            yield b
+                while pending:
+                    b = pending.popleft().result()
+                    if b is not None:
+                        yield b
+        else:
+            for part in parts:
+                b = build(part)
+                if b is not None:
+                    yield b
 
 
 class E2eChainDataset:
@@ -524,6 +602,9 @@ class E2eChainDataset:
         shuffle: bool = True,
         drop_last: bool = True,
         epoch: int | None = None,
+        num_threads: int = 0,  # accepted for ChainDataset API parity;
+        # e2e compiles per utterance inside the loop (no cache), so the
+        # threaded builder doesn't apply here
     ):
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng

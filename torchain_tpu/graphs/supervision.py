@@ -254,6 +254,20 @@ class Supervision:
     vocab_cap: "int | None" = None
     #: forced steady-frame (frames >= 1) arc-slot width, same agreement role
     steady_cap: "int | None" = None
+    #: precomputed numerator tables (the gather-free numerator's per-frame
+    #: pdf vocabulary — see ops.device_graphs._frame_vocab_tables).  Built
+    #: once per chunk here at compile time and merely padded/stacked per
+    #: batch, so the warm-epoch loader does no per-batch sorting: at
+    #: production scale the per-batch derivation cost ~140 ms vs an ~12 ms
+    #: device step.  [T, W] / [T, S, K] per chunk; [B, T, W] / [B, T, S, K]
+    #: after pad_and_stack.  None on legacy egs archives (from_host then
+    #: derives them per batch as before).
+    frame_vocab: "np.ndarray | None" = None
+    pdf_local: "np.ndarray | None" = None
+    #: max in-degree over frames >= 1 (exact, unrounded); batch max after
+    #: pad_and_stack.  Frame 0 concentrates the normalization FST's initial
+    #: fan-in, so the scans run frames >= 1 at this narrower width.
+    steady_need: "int | None" = None
 
 
 def compile_supervision(
@@ -329,6 +343,7 @@ def compile_supervision(
                 raise ValueError("final state not at last frame")
             final_logw[slot[s]] = fst.final(s)
 
+    frame_vocab, pdf_local, steady_need = numerator_tables(in_src, in_pdf)
     return Supervision(
         num_frames=T,
         num_pdfs=num_pdfs,
@@ -340,11 +355,55 @@ def compile_supervision(
         in_logw=in_logw,
         final_logw=final_logw,
         num_states=np.array(counts + [0] * (T + 1 - len(counts)), dtype=np.int32),
+        frame_vocab=frame_vocab,
+        pdf_local=pdf_local,
+        steady_need=steady_need,
     )
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def numerator_tables(
+    in_src: np.ndarray, in_pdf: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-chunk numerator lookup tables for the gather-free scan.
+
+    For each frame row t, the supervision references only a handful of
+    distinct pdfs; returns
+
+      frame_vocab [T, W] int32 — sorted distinct pdfs of each row
+        (0-padded; W = max row cardinality, unrounded, >= 1),
+      pdf_local   [T, S, K] int32 — each arc's index into its row's
+        vocabulary (0 for pad arcs),
+      steady_need int — max in-degree over frames >= 1 (>= 1).
+
+    Same layout contract as ops.device_graphs._frame_vocab_tables, which
+    computes the batched form; this per-chunk version runs once at
+    compile_supervision time so batches only stack."""
+    T, S, K = in_pdf.shape
+    flat = in_pdf.reshape(T, S * K).astype(np.int64)
+    valid = in_src.reshape(T, S * K) >= 0
+    BIG = np.int64(1) << 40
+    a = np.where(valid, flat, BIG)
+    order = np.argsort(a, axis=1, kind="stable")
+    s = np.take_along_axis(a, order, axis=1)
+    new = np.ones_like(s, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    new &= s < BIG
+    W = int(max(1, new.sum(axis=1).max()))
+    vocab = np.zeros((T, W), dtype=np.int32)
+    rank_sorted = np.cumsum(new, axis=1) - 1
+    rows = np.broadcast_to(np.arange(T)[:, None], s.shape)
+    vocab[rows[new], rank_sorted[new]] = s[new].astype(np.int32)
+    local_sorted = np.where(s < BIG, np.maximum(rank_sorted, 0), 0)
+    local = np.zeros_like(flat, dtype=np.int32)
+    np.put_along_axis(local, order, local_sorted.astype(np.int32), axis=1)
+    steady = 1
+    if T > 1:
+        steady = int(max(1, (in_src[1:] >= 0).sum(-1).max()))
+    return vocab, local.reshape(T, S, K), steady
 
 
 def pad_and_stack_supervisions(
@@ -391,6 +450,30 @@ def pad_and_stack_supervisions(
         in_logw[b, :, : s.max_states, : s.max_arcs] = s.in_logw
         final_logw[b, : s.max_states] = s.final_logw
         num_states[b] = s.num_states
+    # stack the precomputed numerator tables (pad slots stay 0 — the
+    # "strictly increasing valid prefix, 0-padded" vocab invariant and the
+    # pdf_local=0-for-pad-arcs convention both survive padding unchanged)
+    tables = [
+        s.frame_vocab is not None and s.pdf_local is not None for s in sups
+    ]
+    frame_vocab = pdf_local = None
+    steady_need: int | None = None
+    if all(tables):
+        w_needed = max(s.frame_vocab.shape[1] for s in sups)
+        W = _round_up(w_needed, 8)
+        if pad_vocab_to is not None:
+            if w_needed > pad_vocab_to:
+                raise ValueError(
+                    f"frame pdf vocabulary needs {w_needed} slots > "
+                    f"vocab cap {pad_vocab_to}"
+                )
+            W = pad_vocab_to
+        frame_vocab = np.zeros((B, T, W), dtype=np.int32)
+        pdf_local = np.zeros((B, T, S, K), dtype=np.int32)
+        for b, s in enumerate(sups):
+            frame_vocab[b, :, : s.frame_vocab.shape[1]] = s.frame_vocab
+            pdf_local[b, :, : s.max_states, : s.max_arcs] = s.pdf_local
+        steady_need = max(int(s.steady_need or 1) for s in sups)
     return Supervision(
         num_frames=T,
         num_pdfs=P,
@@ -404,4 +487,7 @@ def pad_and_stack_supervisions(
         num_states=num_states,
         vocab_cap=pad_vocab_to,
         steady_cap=pad_steady_to,
+        frame_vocab=frame_vocab,
+        pdf_local=pdf_local,
+        steady_need=steady_need,
     )

@@ -266,15 +266,18 @@ class DeviceSupervision:
     `frame_vocab`/`pdf_local` are the per-frame pdf vocabulary derived in
     from_host for the gather-free numerator (ops/num_scan.py)."""
 
-    in_src: jnp.ndarray  # int32 [B, T, S, K]
-    in_pdf: jnp.ndarray  # int32 [B, T, S, K]
+    in_src: jnp.ndarray  # int16/int32 [B, T, S, K] (int16 when S fits)
+    #: None on the hot path since round 2 — the gather-free scans consume
+    #: `pdf_local`/`frame_vocab` only, so the raw pdf ids never need to
+    #: reach the device (13 MB/batch of H2D traffic at production scale)
+    in_pdf: "jnp.ndarray | None"
     in_logw: jnp.ndarray  # float32 [B, T, S, K]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
     #: per-frame pdf vocabulary for the gather-free numerator (round 2):
     #: the [B, T, P] emission gather/scatter collapses to W-sized lookups
     frame_vocab: jnp.ndarray  # int32 [B, T, W]
-    pdf_local: jnp.ndarray  # int32 [B, T, S, K] (indices into frame_vocab)
+    pdf_local: jnp.ndarray  # int16/int32 [B, T, S, K] (index into frame_vocab)
     num_frames: int = dataclasses.field(metadata=dict(static=True))
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
@@ -296,16 +299,38 @@ class DeviceSupervision:
         in_logw = s.in_logw if s.in_logw.ndim == 4 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
-        frame_vocab, pdf_local = _frame_vocab_tables(
-            np.asarray(in_src), np.asarray(in_pdf),
-            pad_to=getattr(s, "vocab_cap", None),
-        )
-        K = in_src.shape[-1]
-        need = 1
-        if in_src.shape[1] > 1:
-            need = int(
-                max(1, (np.asarray(in_src[:, 1:]) >= 0).sum(-1).max())
+        pre_fv = getattr(s, "frame_vocab", None)
+        pre_pl = getattr(s, "pdf_local", None)
+        pre_need = getattr(s, "steady_need", None)
+        cap_v = getattr(s, "vocab_cap", None)
+        if (
+            pre_fv is not None
+            and pre_pl is not None
+            and pre_need is not None
+            and (cap_v is None or pre_fv.shape[-1] == cap_v)
+        ):
+            # tables precomputed at supervision-compile time (per chunk,
+            # stacked by pad_and_stack_supervisions) — no per-batch sorting
+            frame_vocab = pre_fv if pre_fv.ndim == 3 else pre_fv[None]
+            pdf_local = pre_pl if pre_pl.ndim == 4 else pre_pl[None]
+            if cap_v is None and frame_vocab.shape[-1] % 8:
+                # single-chunk tables carry the unrounded W; round to 8 so
+                # shapes match the batched/fallback derivation
+                W8 = -(-frame_vocab.shape[-1] // 8) * 8
+                pad = W8 - frame_vocab.shape[-1]
+                frame_vocab = np.pad(frame_vocab, ((0, 0), (0, 0), (0, pad)))
+            need = int(pre_need)
+        else:
+            frame_vocab, pdf_local = _frame_vocab_tables(
+                np.asarray(in_src), np.asarray(in_pdf),
+                pad_to=getattr(s, "vocab_cap", None),
             )
+            need = 1
+            if in_src.shape[1] > 1:
+                need = int(
+                    max(1, (np.asarray(in_src[:, 1:]) >= 0).sum(-1).max())
+                )
+        K = in_src.shape[-1]
         steady = min(K, -(-need // 4) * 4)  # round to 4, capped at K
         cap = getattr(s, "steady_cap", None)
         if cap is not None:  # multi-host: forced cross-process agreement
@@ -314,9 +339,17 @@ class DeviceSupervision:
                     f"steady frames need {need} arc slots > steady cap {cap}"
                 )
             steady = min(K, int(cap))
+        # narrow index dtypes where ranges allow: in_src holds state slots
+        # in [-1, S), pdf_local indexes the W-wide row vocab — int16 halves
+        # the dominant H2D transfer terms; the scans compare against iota of
+        # the array's own dtype, so no device-side conversion is needed
+        if in_src.shape[2] <= np.iinfo(np.int16).max:
+            in_src = np.asarray(in_src, dtype=np.int16)
+        if frame_vocab.shape[-1] <= np.iinfo(np.int16).max:
+            pdf_local = np.asarray(pdf_local, dtype=np.int16)
         return DeviceSupervision(
             in_src=jnp.asarray(in_src),
-            in_pdf=jnp.asarray(in_pdf),
+            in_pdf=None,
             in_logw=jnp.asarray(in_logw),
             final_logw=jnp.asarray(final),
             frame_vocab=jnp.asarray(frame_vocab),

@@ -76,6 +76,10 @@ class TrainerConfig:
     backstitch_scale: float = 0.0
     backstitch_interval: int = 1
     log_every: int = 20
+    #: thread-pool width for host-side batch assembly
+    #: (ChainDataset.batches num_threads; numpy pad/stack releases the GIL,
+    #: so the egs role scales past one core while the device runs)
+    loader_threads: int = 4
     checkpoint_dir: str | None = None
     checkpoint_every: int = 500
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -464,18 +468,37 @@ class Trainer:
                         process_index=jax.process_index(),
                         process_count=jax.process_count(),
                         sup_caps=self._sup_caps,
+                        num_threads=cfg.loader_threads,
                     )
                 elif self._sup_caps is not None:
                     batch_iter = dataset.batches(
-                        cfg.batch_size, epoch=epoch, sup_caps=self._sup_caps
+                        cfg.batch_size,
+                        epoch=epoch,
+                        sup_caps=self._sup_caps,
+                        num_threads=cfg.loader_threads,
                     )
                 else:  # e.g. E2eChainDataset (no caps estimation/param)
-                    batch_iter = dataset.batches(cfg.batch_size, epoch=epoch)
-                for bi, batch in enumerate(Prefetcher(batch_iter)):
-                    if epoch == self.start_epoch and bi < self.skip_batches:
+                    batch_iter = dataset.batches(
+                        cfg.batch_size, epoch=epoch, num_threads=cfg.loader_threads
+                    )
+                def _put_iter(it, skip_until: int):
+                    # device placement (DeviceSupervision.from_host + H2D
+                    # copies) runs on the prefetch thread too, overlapping
+                    # with the device step — jnp.asarray/device_put are
+                    # thread-safe and async
+                    for i, b in enumerate(it):
+                        yield b, (None if i < skip_until else self._put_batch(b))
+
+                skip_until = (
+                    self.skip_batches if epoch == self.start_epoch else 0
+                )
+                for bi, (batch, placed) in enumerate(
+                    Prefetcher(_put_iter(batch_iter, skip_until))
+                ):
+                    if placed is None:
                         continue
                     self.batch_in_epoch = bi + 1
-                    feats, sup = self._put_batch(batch)
+                    feats, sup = placed
                     if self._dropout_fn is not None:
                         # progress = fraction of training data processed
                         # (Kaldi schedules on the same quantity); within-
