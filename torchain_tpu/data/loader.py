@@ -525,8 +525,11 @@ class ChainDataset:
                 ),
             )
 
-        # more threads than cores actively hurts (measured 10x worse at
-        # 2x oversubscription: the pad/stack work is memory-bandwidth bound)
+        # pad/stack is memory-bandwidth bound: oversubscription measured
+        # 10x worse at 2x, and on a 4-core host even 4 threads lost to
+        # serial (12.6 -> 26 ms/batch) by fighting the prefetch/dispatch
+        # threads — hence num_threads defaults to 0 everywhere; opt in on
+        # many-core hosts only
         num_threads = min(num_threads, os.cpu_count() or 1)
         if num_threads and num_threads > 1:
             import collections

@@ -77,9 +77,12 @@ class TrainerConfig:
     backstitch_interval: int = 1
     log_every: int = 20
     #: thread-pool width for host-side batch assembly
-    #: (ChainDataset.batches num_threads; numpy pad/stack releases the GIL,
-    #: so the egs role scales past one core while the device runs)
-    loader_threads: int = 4
+    #: (ChainDataset.batches num_threads).  Default 0 = serial: on this
+    #: 4-core host the pool measured strictly slower (12.6 -> 26 ms/batch
+    #: at 4 threads, production scale) — pad/stack is memory-bandwidth
+    #: bound and the pool fights the prefetch + device-dispatch threads.
+    #: Raise only on many-core hosts after measuring.
+    loader_threads: int = 0
     checkpoint_dir: str | None = None
     checkpoint_every: int = 500
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
