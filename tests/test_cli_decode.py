@@ -127,3 +127,38 @@ def test_phone_mode_with_nbest(tmp_path):
         ]
     )
     assert res["wer"] == 0.0
+
+
+def test_word_mode_lmwt_sweep(word_files):
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--lmwt-min", "1",
+            "--lmwt-max", "4",
+        ]
+    )
+    # peaked posteriors decode perfectly at every weight; the sweep must
+    # still run, report a winner, and keep WER at 0
+    assert res["wer"] == 0.0
+    assert 1 <= res["best_lmwt"] <= 4
+
+
+def test_sweep_requires_ref(word_files):
+    with pytest.raises(SystemExit):
+        decode_main(
+            [
+                "--posteriors", word_files["ark"],
+                "--mode", "word",
+                "--lexicon", word_files["lexicon"],
+                "--word-lm", "/nonexistent",
+                "--num-phones", "5",
+                "--context-width", "2",
+                "--lmwt-min", "1",
+                "--lmwt-max", "4",
+            ]
+        )

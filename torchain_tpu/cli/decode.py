@@ -55,6 +55,11 @@ def build_argparser():
     p.add_argument("--phone-insertion-bonus", type=float, default=0.0)
     p.add_argument("--backend", choices=("auto", "native", "numpy"), default="auto")
     p.add_argument("--nbest", type=int, default=0, help="also emit N-best lists")
+    # score.sh sweep (needs --ref): best-path at each LMWT in
+    # [--lmwt-min, --lmwt-max], report the corpus-best weight
+    p.add_argument("--lmwt-min", type=int, default=0)
+    p.add_argument("--lmwt-max", type=int, default=0, help="0 disables the sweep")
+    p.add_argument("--word-ins-penalty", type=float, default=0.0)
     # outputs / scoring
     p.add_argument("--hyp-out", help="write hypotheses here ('utt_id id...' lines)")
     p.add_argument("--ref", help="reference transcripts for WER/PER scoring")
@@ -97,6 +102,9 @@ def load_tree(args):
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
+    sweep = args.lmwt_max > args.lmwt_min > 0
+    if sweep and not args.ref:
+        raise SystemExit("--lmwt-min/--lmwt-max sweep needs --ref to score")
 
     import numpy as np
 
@@ -146,9 +154,13 @@ def main(argv=None) -> dict:
 
     hyps: dict[str, list[int]] = {}
     nbests: dict[str, list] = {}
+    lats: dict[str, object] = {}
     for utt, ll in posts.items():
         ll = np.asarray(ll, np.float32) * args.acoustic_scale
-        if args.nbest > 0:
+        if sweep:
+            lats[utt] = lattice_decode(graph, ll, beam=args.beam)
+            hyps[utt] = []  # filled from the sweep's best LMWT below
+        elif args.nbest > 0:
             lat = lattice_decode(graph, ll, beam=args.beam)
             nb = lattice_nbest(lat, args.nbest)
             nbests[utt] = [(seq, float(s)) for seq, s in nb]
@@ -164,6 +176,33 @@ def main(argv=None) -> dict:
             )
             hyps[utt] = hyp
 
+    result = {"num_utts": len(hyps)}
+    score = None
+    if args.ref:
+        refs = read_transcripts(args.ref)
+        common = [u for u in hyps if u in refs]
+        missing = [u for u in hyps if u not in refs]
+        if missing:
+            print(f"# {len(missing)} utts missing from --ref, unscored", file=sys.stderr)
+        label = "WER" if args.mode == "word" else "PER"
+        if sweep:
+            from torchain_tpu.eval.lattice import score_sweep
+
+            best_lmwt, score, best_hyps, by_lmwt = score_sweep(
+                [lats[u] for u in common],
+                [refs[u] for u in common],
+                lmwt_range=range(args.lmwt_min, args.lmwt_max + 1),
+                word_insertion_penalty=args.word_ins_penalty,
+            )
+            for u, h in zip(common, best_hyps):
+                hyps[u] = h
+            for w in sorted(by_lmwt):
+                print(f"# {label}_lmwt{w} {by_lmwt[w]:.2f}%", file=sys.stderr)
+            result["best_lmwt"] = best_lmwt
+        else:
+            score = wer([refs[u] for u in common], [hyps[u] for u in common])
+        result.update(score)
+
     if args.hyp_out:
         with open(args.hyp_out, "w") as f:
             for utt, hyp in hyps.items():
@@ -174,18 +213,9 @@ def main(argv=None) -> dict:
         for utt, nb in nbests.items():
             for i, (seq, s) in enumerate(nb):
                 print(f"# nbest {utt} [{i}] {s:.3f} {' '.join(map(str, seq))}")
-
-    result = {"num_utts": len(hyps)}
-    if args.ref:
-        refs = read_transcripts(args.ref)
-        common = [u for u in hyps if u in refs]
-        missing = [u for u in hyps if u not in refs]
-        if missing:
-            print(f"# {len(missing)} utts missing from --ref, unscored", file=sys.stderr)
-        score = wer([refs[u] for u in common], [hyps[u] for u in common])
+    if score is not None:
         label = "WER" if args.mode == "word" else "PER"
         print(f"# {label} {score['wer']:.2f}% {score}", file=sys.stderr)
-        result.update(score)
     print(json.dumps(result), file=sys.stderr)
     return result
 

@@ -21,6 +21,7 @@ from torchain_tpu.eval.lattice import (
     lattice_decode,
     lattice_nbest,
     rescore_lattice,
+    score_sweep,
 )
 from torchain_tpu.eval.wer import edit_distance, wer
 
@@ -37,6 +38,7 @@ __all__ = [
     "lattice_decode",
     "lattice_nbest",
     "rescore_lattice",
+    "score_sweep",
     "edit_distance",
     "wer",
 ]

@@ -84,8 +84,13 @@ def lattice_decode(
             s, d = int(graph.src[a]), int(graph.dst[a])
             if cur[s] == NEG_INF:
                 continue
-            w = float(graph.weight[a] + loglikes[t, graph.pdf[a]])
-            fst.add_arc(sid(t, s), int(graph.olabel[a]), w, sid(t + 1, d))
+            # Kaldi LatticeWeight split [K lat/kaldi-lattice.h]: weight is
+            # the combined score the pruning/best-path ranking uses,
+            # weight2 the acoustic part alone — so scoring can re-weigh
+            # graph vs acoustic (LMWT sweep) without re-decoding
+            am = float(loglikes[t, graph.pdf[a]])
+            w = float(graph.weight[a]) + am
+            fst.add_arc(sid(t, s), int(graph.olabel[a]), w, sid(t + 1, d), am)
     final_scores = alive[T] + (graph.final_logw if use_final else 0.0)
     if not np.isfinite(final_scores.max()):
         final_scores = alive[T]
@@ -136,39 +141,55 @@ def determinize_lattice(lat: Fst, max_states: int = 200_000) -> Fst:
     Subset construction with residual weights: a det state is a set of
     (lattice state, residual) pairs reached by some label sequence, with
     residuals normalized so the best is 0 and the normalizer pushed onto
-    the incoming det arc.  Terminates on acyclic lattices; `max_states`
+    the incoming det arc.  Residuals are (total, acoustic) PAIRS — the
+    LatticeWeight semiring [K lat/kaldi-lattice.h], where plus picks the
+    best total and times adds componentwise — so the determinized lattice
+    preserves each sequence's graph/acoustic split exactly (needed by the
+    LMWT scoring sweep).  Terminates on acyclic lattices; `max_states`
     guards pathological blowup."""
     if lat.num_states == 0:
         return Fst()
 
-    def eps_closure(pairs: dict[int, float]) -> dict[int, float]:
-        # tropical closure over epsilon arcs (acyclic: plain relaxation)
+    def eps_closure(
+        pairs: dict[int, tuple[float, float]]
+    ) -> dict[int, tuple[float, float]]:
+        # tropical (best-total) closure over epsilon arcs (acyclic: plain
+        # relaxation); the acoustic part rides along with the winner
         out = dict(pairs)
         stack = list(pairs)
         while stack:
             s = stack.pop()
-            w = out[s]
+            w, w2 = out[s]
             for a in lat.arcs(s):
                 if a.label == 0:
                     nw = w + a.weight
-                    if nw > out.get(a.dst, NEG_INF) + 1e-12:
-                        out[a.dst] = nw
+                    if nw > out.get(a.dst, (NEG_INF, 0.0))[0] + 1e-12:
+                        out[a.dst] = (nw, w2 + a.weight2)
                         stack.append(a.dst)
         return out
 
-    def normalize(pairs: dict[int, float]) -> tuple[float, tuple]:
-        m = max(pairs.values())
+    def normalize(pairs: dict[int, tuple[float, float]]) -> tuple[
+        float, float, tuple
+    ]:
+        # push the best pair's components onto the incoming arc ("divide"
+        # by the max-total element, Kaldi's subset normalization)
+        m, m2 = max(pairs.values(), key=lambda p: p[0])
         key = tuple(
-            sorted((s, round(w - m, 9)) for s, w in pairs.items())
+            sorted(
+                (s, round(w - m, 9), round(w2 - m2, 9))
+                for s, (w, w2) in pairs.items()
+            )
         )
-        return m, key
+        return m, m2, key
 
     out = Fst()
     # the start subset keeps its raw closure weights (no normalization), so
     # no residual needs folding into start-out arcs even if some later
     # label sequence happens to reach an identical subset
-    start = eps_closure({0: 0.0})
-    key0 = tuple(sorted((s, round(w, 9)) for s, w in start.items()))
+    start = eps_closure({0: (0.0, 0.0)})
+    key0 = tuple(
+        sorted((s, round(w, 9), round(w2, 9)) for s, (w, w2) in start.items())
+    )
     det_of: dict[tuple, int] = {key0: out.add_state()}
     subset_of = {key0: dict(start)}
     stack = [key0]
@@ -181,40 +202,44 @@ def determinize_lattice(lat: Fst, max_states: int = 200_000) -> Fst:
         src = det_of[key]
         subset = subset_of[key]
         # final weight: best stop score in the subset
-        fin = max(
-            (w + lat.final(s) for s, w in subset.items() if lat.is_final(s)),
-            default=NEG_INF,
-        )
-        if fin > NEG_INF:
-            out.set_final(src, fin)
+        fins = [
+            (w + lat.final(s), w2 + lat.final2(s))
+            for s, (w, w2) in subset.items()
+            if lat.is_final(s)
+        ]
+        if fins:
+            fw, fw2 = max(fins, key=lambda p: p[0])
+            out.set_final(src, fw, fw2)
         # group successors by label
-        by_label: dict[int, dict[int, float]] = {}
-        for s, w in subset.items():
+        by_label: dict[int, dict[int, tuple[float, float]]] = {}
+        for s, (w, w2) in subset.items():
             for a in lat.arcs(s):
                 if a.label == 0:
                     continue
                 d = by_label.setdefault(a.label, {})
                 nw = w + a.weight
-                if nw > d.get(a.dst, NEG_INF):
-                    d[a.dst] = nw
+                if nw > d.get(a.dst, (NEG_INF, 0.0))[0]:
+                    d[a.dst] = (nw, w2 + a.weight2)
         for label, pairs in sorted(by_label.items()):
             closed = eps_closure(pairs)
-            m, nkey = normalize(closed)
+            m, m2, nkey = normalize(closed)
             if nkey not in det_of:
                 if len(det_of) >= max_states:
                     raise ValueError(
                         "lattice determinization exceeded max_states"
                     )
                 det_of[nkey] = out.add_state()
-                subset_of[nkey] = {s: w - m for s, w in closed.items()}
+                subset_of[nkey] = {
+                    s: (w - m, w2 - m2) for s, (w, w2) in closed.items()
+                }
                 stack.append(nkey)
-            out.add_arc(src, label, m, det_of[nkey])
+            out.add_arc(src, label, m, det_of[nkey], m2)
     return out
 
 
 def lattice_nbest(
-    lat: Fst, n: int, determinize: bool = False
-) -> list[tuple[list[int], float]]:
+    lat: Fst, n: int, determinize: bool = False, return_components: bool = False
+):
     """N-best paths by k-best Viterbi over the acyclic lattice: every state
     keeps its top-n (score, predecessor) partial hypotheses in topological
     order (the lattice-to-nbest role of Kaldi's scoring pipeline).
@@ -224,7 +249,10 @@ def lattice_nbest(
     `determinize=True` the lattice is first determinized so paths and
     label sequences coincide and the sequence-level top-n is EXACT (the
     default per-state 2n truncation is exact in practice but can in
-    principle drop a sequence whose prefixes rank below 2n everywhere)."""
+    principle drop a sequence whose prefixes rank below 2n everywhere).
+    With `return_components=True`, entries are (phones, score, acoustic)
+    — the acoustic part of the winning path (Kaldi nbest-to-linear's
+    am/lm split, for downstream LM rescoring)."""
     if determinize:
         lat = determinize_lattice(lat)
     from torchain_tpu.fstkit.algorithms import _topo_order_subgraph
@@ -234,23 +262,25 @@ def lattice_nbest(
     order = _topo_order_subgraph(lat, eps_only=False)
     if order is None:
         raise ValueError("lattice must be acyclic")
-    # hyp: (score, phone_tuple) per state; entries are deduped by phone
-    # sequence (best score kept) and truncated to 2n, which makes the
+    # hyp: (score, acoustic, phone_tuple) per state; entries are deduped by
+    # phone sequence (best score kept) and truncated to 2n, which makes the
     # sequence-level top-n exact in practice (distinct sequences compete,
     # not raw paths)
     keep = 2 * n
-    hyps: list[list[tuple[float, tuple[int, ...]]]] = [
+    hyps: list[list[tuple[float, float, tuple[int, ...]]]] = [
         [] for _ in range(lat.num_states)
     ]
-    hyps[0] = [(0.0, ())]
-    finals: list[tuple[float, tuple[int, ...]]] = []
+    hyps[0] = [(0.0, 0.0, ())]
+    finals: list[tuple[float, float, tuple[int, ...]]] = []
 
-    def _prune(cand: list[tuple[float, tuple[int, ...]]]):
-        best: dict[tuple[int, ...], float] = {}
-        for sc, ph in cand:
-            if ph not in best or sc > best[ph]:
-                best[ph] = sc
-        out = sorted(((sc, ph) for ph, sc in best.items()), key=lambda x: -x[0])
+    def _prune(cand: list[tuple[float, float, tuple[int, ...]]]):
+        best: dict[tuple[int, ...], tuple[float, float]] = {}
+        for sc, am, ph in cand:
+            if ph not in best or sc > best[ph][0]:
+                best[ph] = (sc, am)
+        out = sorted(
+            ((sc, am, ph) for ph, (sc, am) in best.items()), key=lambda x: -x[0]
+        )
         return out[:keep]
 
     for s in order:
@@ -258,23 +288,96 @@ def lattice_nbest(
             continue
         hyps[s] = _prune(hyps[s])
         if lat.is_final(s):
-            for sc, ph in hyps[s]:
-                finals.append((sc + lat.final(s), ph))
+            for sc, am, ph in hyps[s]:
+                finals.append((sc + lat.final(s), am + lat.final2(s), ph))
         for a in lat.arcs(s):
             ext = (a.label,) if a.label > 0 else ()
             cand = hyps[a.dst]
-            for sc, ph in hyps[s]:
-                cand.append((sc + a.weight, ph + ext))
-    best: dict[tuple[int, ...], float] = {}
-    for sc, ph in finals:
-        if ph not in best or sc > best[ph]:
-            best[ph] = sc
-    ranked = sorted(best.items(), key=lambda kv: -kv[1])[:n]
-    return [(list(ph), sc) for ph, sc in ranked]
+            for sc, am, ph in hyps[s]:
+                cand.append((sc + a.weight, am + a.weight2, ph + ext))
+    best: dict[tuple[int, ...], tuple[float, float]] = {}
+    for sc, am, ph in finals:
+        if ph not in best or sc > best[ph][0]:
+            best[ph] = (sc, am)
+    ranked = sorted(best.items(), key=lambda kv: -kv[1][0])[:n]
+    if return_components:
+        return [(list(ph), sc, am) for ph, (sc, am) in ranked]
+    return [(list(ph), sc) for ph, (sc, am) in ranked]
 
 
-def rescore_lattice(lat: Fst, acoustic_scale: float = 1.0) -> Fst:
-    """Scale lattice weights (the lattice-scale step of Kaldi scoring
-    pipelines).  With separate graph/acoustic tracking out of scope in the
-    combined-weight lattice, this scales everything uniformly."""
-    return lat.scale_weights(acoustic_scale)
+def rescore_lattice(
+    lat: Fst, acoustic_scale: float = 1.0, lm_scale: float = 1.0
+) -> Fst:
+    """Re-weigh the lattice's graph vs acoustic components (the
+    lattice-scale step of Kaldi scoring pipelines: `lattice-scale
+    --inv-acoustic-scale=LMWT`, [K latbin/lattice-scale.cc]).
+
+    Arcs carry `weight = graph + acoustic` and `weight2 = acoustic`
+    (see lattice_decode); the rescored arc total is
+    `lm_scale*graph + acoustic_scale*acoustic`, with the acoustic
+    component re-tracked so rescoring composes."""
+    out = Fst()
+    out.add_states(lat.num_states)
+    for s, a in lat.all_arcs():
+        g = a.weight - a.weight2
+        am = acoustic_scale * a.weight2
+        out.add_arc(s, a.label, lm_scale * g + am, a.dst, am)
+    for s in range(lat.num_states):
+        if lat.is_final(s):
+            g = lat.final(s) - lat.final2(s)
+            am = acoustic_scale * lat.final2(s)
+            out.set_final(s, lm_scale * g + am, am)
+    return out
+
+
+def _add_label_penalty(lat: Fst, penalty: float) -> Fst:
+    """Per-output-label cost (graph-side), Kaldi's --word-ins-penalty."""
+    out = Fst()
+    out.add_states(lat.num_states)
+    for s, a in lat.all_arcs():
+        w = a.weight - (penalty if a.label > 0 else 0.0)
+        out.add_arc(s, a.label, w, a.dst, a.weight2)
+    for s in range(lat.num_states):
+        if lat.is_final(s):
+            out.set_final(s, lat.final(s), lat.final2(s))
+    return out
+
+
+def score_sweep(
+    lats: list[Fst],
+    refs: list[list[int]],
+    lmwt_range=range(5, 18),
+    word_insertion_penalty: float = 0.0,
+) -> tuple[int, dict, list[list[int]], dict[int, float]]:
+    """Kaldi `score.sh` role: best-path every lattice at every LM weight in
+    `lmwt_range` (graph component scaled by LMWT, equivalently acoustic by
+    1/LMWT; chain decoding runs at acoustic-scale 1.0 so LMWT is relative),
+    score the corpus against `refs` at each weight, and pick the best —
+    one shared LMWT for the whole test set, as score.sh's wer_LMWT files do.
+
+    `word_insertion_penalty` adds a per-output-label graph cost before
+    best-pathing (the --word-ins-penalty sweep axis; negative = bonus).
+
+    Returns (best_lmwt, best_wer_dict, best_hyps, wer_by_lmwt)."""
+    from torchain_tpu.eval.wer import wer
+
+    if len(lats) != len(refs):
+        raise ValueError("lats/refs length mismatch")
+    best = None
+    wer_by_lmwt: dict[int, float] = {}
+    for lmwt in lmwt_range:
+        hyps = []
+        for lat in lats:
+            scaled = rescore_lattice(
+                lat, acoustic_scale=1.0, lm_scale=float(lmwt)
+            )
+            if word_insertion_penalty != 0.0:
+                scaled = _add_label_penalty(scaled, word_insertion_penalty)
+            hyp, _ = lattice_best_path(scaled)
+            hyps.append(hyp)
+        res = wer([list(r) for r in refs], hyps)
+        wer_by_lmwt[int(lmwt)] = res["wer"]
+        if best is None or res["wer"] < best[1]["wer"]:
+            best = (int(lmwt), res, hyps)
+    assert best is not None, "empty lmwt_range"
+    return best[0], best[1], best[2], wer_by_lmwt

@@ -55,9 +55,9 @@ def connect(fst: Fst, return_map: bool = False):
     for s in keep:
         for a in fst.arcs(s):
             if a.dst in new_id:
-                out.add_arc(new_id[s], a.label, a.weight, new_id[a.dst])
+                out.add_arc(new_id[s], a.label, a.weight, new_id[a.dst], a.weight2)
         if fst.is_final(s):
-            out.set_final(new_id[s], fst.final(s))
+            out.set_final(new_id[s], fst.final(s), fst.final2(s))
     return (out, keep) if return_map else out
 
 

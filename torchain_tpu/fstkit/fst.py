@@ -21,11 +21,21 @@ class Arc:
     """A single transition: consumes `label` (0 = epsilon), moves to `dst`.
 
     `weight` is a log-probability contribution of taking this arc.
+
+    `weight2` is an optional second component tracked THROUGH `weight`
+    (always `weight2 <= contribution already inside weight`; algorithms
+    rank by `weight` alone).  Lattices use it for Kaldi's LatticeWeight
+    (graph_cost, acoustic_cost) split [K lat/kaldi-lattice.h]: there
+    `weight = graph + acoustic` and `weight2 = acoustic`, so scoring can
+    re-weigh the two parts (lattice-scale / LMWT sweep) without
+    re-decoding.  Defaults to 0.0 (single-component behavior) everywhere
+    else.
     """
 
     label: int
     weight: float
     dst: int
+    weight2: float = 0.0
 
 
 class Fst:
@@ -38,25 +48,32 @@ class Fst:
     def __init__(self) -> None:
         self._arcs: list[list[Arc]] = []
         self._final: list[float] = []
+        self._final2: list[float] = []
 
     # -- construction -----------------------------------------------------
 
     def add_state(self) -> int:
         self._arcs.append([])
         self._final.append(NEG_INF)
+        self._final2.append(0.0)
         return len(self._arcs) - 1
 
     def add_states(self, n: int) -> None:
         for _ in range(n):
             self.add_state()
 
-    def add_arc(self, src: int, label: int, weight: float, dst: int) -> None:
+    def add_arc(
+        self, src: int, label: int, weight: float, dst: int, weight2: float = 0.0
+    ) -> None:
         if dst >= len(self._arcs) or src >= len(self._arcs):
             raise ValueError(f"arc {src}->{dst} references missing state")
-        self._arcs[src].append(Arc(label, float(weight), dst))
+        self._arcs[src].append(Arc(label, float(weight), dst, float(weight2)))
 
-    def set_final(self, state: int, weight: float = 0.0) -> None:
+    def set_final(
+        self, state: int, weight: float = 0.0, weight2: float = 0.0
+    ) -> None:
         self._final[state] = float(weight)
+        self._final2[state] = float(weight2)
 
     # -- accessors --------------------------------------------------------
 
@@ -79,6 +96,10 @@ class Fst:
     def final(self, state: int) -> float:
         return self._final[state]
 
+    def final2(self, state: int) -> float:
+        """Second (acoustic) component of the final weight — see Arc.weight2."""
+        return self._final2[state]
+
     def is_final(self, state: int) -> bool:
         return self._final[state] > NEG_INF
 
@@ -97,16 +118,17 @@ class Fst:
         out = Fst()
         out._arcs = [list(arcs) for arcs in self._arcs]
         out._final = list(self._final)
+        out._final2 = list(self._final2)
         return out
 
     def scale_weights(self, scale: float) -> "Fst":
         out = Fst()
         out.add_states(self.num_states)
         for s, a in self.all_arcs():
-            out.add_arc(s, a.label, a.weight * scale, a.dst)
+            out.add_arc(s, a.label, a.weight * scale, a.dst, a.weight2 * scale)
         for s in range(self.num_states):
             if self.is_final(s):
-                out.set_final(s, self.final(s) * scale)
+                out.set_final(s, self.final(s) * scale, self.final2(s) * scale)
         return out
 
     def remove_weights(self) -> "Fst":
@@ -135,10 +157,10 @@ class Fst:
         out = Fst()
         out.add_states(self.num_states)
         for s, a in self.all_arcs():
-            out.add_arc(new_id[s], a.label, a.weight, new_id[a.dst])
+            out.add_arc(new_id[s], a.label, a.weight, new_id[a.dst], a.weight2)
         for s in range(self.num_states):
             if self.is_final(s):
-                out.set_final(new_id[s], self.final(s))
+                out.set_final(new_id[s], self.final(s), self.final2(s))
         return out
 
     # -- text I/O (diagnostics) -------------------------------------------
