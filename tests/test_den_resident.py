@@ -187,3 +187,36 @@ def test_clone_splitting_matches_scan_on_backoff_heavy_graph():
     gamma = den_resident.den_backward(gr, res, 0.1)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=3e-4)
     np.testing.assert_allclose(np.asarray(gamma), np.asarray(gamma_ref), atol=3e-4)
+
+
+def test_batch_chunking_matches_single_pass(setup, monkeypatch):
+    """A batch too big for one kernel pass runs batch-chunked
+    (grid (B/chunk, T)) and must be bitwise-equal to the unchunked run —
+    sequences are independent in the recursion."""
+    graph, _, y = setup
+    gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
+    z1, res1 = den_resident.den_forward(y, gr, 0.1)
+    gamma1 = den_resident.den_backward(gr, res1, 0.1)
+    assert den_resident.batch_chunk(gr, y.shape[0]) == y.shape[0]
+
+    # shrink the budget until only a sub-batch fits -> forces NB > 1
+    budget = den_resident.VMEM_BUDGET
+    while den_resident.batch_chunk(gr, y.shape[0]) >= y.shape[0] and budget > 0:
+        budget //= 2
+        monkeypatch.setattr(den_resident, "VMEM_BUDGET", budget)
+    chunk = den_resident.batch_chunk(gr, y.shape[0])
+    assert 0 < chunk < y.shape[0], "budget shrink failed to force chunking"
+
+    z2, res2 = den_resident.den_forward(y, gr, 0.1)
+    gamma2 = den_resident.den_backward(gr, res2, 0.1)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(gamma1), np.asarray(gamma2))
+
+
+def test_auto_den_graph_keeps_resident_when_only_chunk_fits():
+    from torchain_tpu.ops import den_resident as dr
+
+    graph, _ = _graph()
+    gr = DeviceResidentDenGraph.from_host(graph)
+    assert dr.batch_chunk(gr, 4) == 4
+    assert dr.batch_chunk(gr, 6) == 6  # non-power-of-2 batches divide too

@@ -170,6 +170,21 @@ def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
     return resident + stream + scratch <= VMEM_BUDGET
 
 
+def batch_chunk(g: DeviceResidentDenGraph, batch: int) -> int:
+    """Largest divisor of `batch` whose per-chunk working set fits VMEM.
+
+    Sequences are independent in the denominator recursion, so a batch too
+    large for one kernel pass runs as a leading batch-grid dimension
+    (grid = (B/chunk, T)) with V still resident across the whole grid —
+    only the pe/ah/gamma stream blocks shrink.  Returns 0 if even a
+    1-sequence chunk exceeds the budget (the graph itself is too big;
+    callers fall back to the sparse scan)."""
+    for c in range(batch, 0, -1):
+        if batch % c == 0 and fits_vmem(g, c):
+            return c
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -192,9 +207,11 @@ def _fwd_kernel(
     alpha0_ref,  # [B, S] f32 initial sigma_hat
     logc_ref,  # [1, B, LANE] out (broadcast lanes)
     ah_ref,  # [1, B, KS] out: normalized per-slot alpha of frame t
-    carry_ref,  # scratch [B, S] f32
+    carry_ref,  # scratch [Bc, S] f32
 ):
-    t = pl.program_id(0)
+    # grid = (B/Bc, T): t innermost so the carry is valid within a batch
+    # block and re-initialized at each block's frame 0
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
@@ -235,10 +252,11 @@ def _bwd_kernel(
     init_ref,  # [1, S]
     logz_ref,  # [B, LANE]
     gamma_ref,  # [1, B, P] out: per-frame pdf occupancies (reversed t)
-    bh_ref,  # scratch [B, KS] f32
-    g_ref,  # scratch [B, LANE] f32
+    bh_ref,  # scratch [Bc, KS] f32
+    g_ref,  # scratch [Bc, LANE] f32
 ):
-    i = pl.program_id(0)
+    # grid = (B/Bc, T): reversed-t innermost, scratch reset per batch block
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -330,25 +348,27 @@ def den_forward(
     pe, ymax, _p = _pe_of(y, g)
     alpha0 = jnp.broadcast_to(g.init, (B, S))
 
+    Bc = batch_chunk(g, B) or B  # 0 -> best effort single pass
+    NB = B // Bc
     kern = functools.partial(_fwd_kernel, leaky, K, S)
     logc_t, ah = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(NB, T),
         in_specs=[
-            pl.BlockSpec((1, B, KS), lambda t: (t, 0, 0)),
-            pl.BlockSpec((S, KS), lambda t: (0, 0)),
-            pl.BlockSpec((1, S), lambda t: (0, 0)),
-            pl.BlockSpec((B, S), lambda t: (0, 0)),
+            pl.BlockSpec((1, Bc, KS), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((S, KS), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, S), lambda b, t: (0, 0)),
+            pl.BlockSpec((Bc, S), lambda b, t: (b, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, LANE), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B, KS), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bc, LANE), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bc, KS), lambda b, t: (t, b, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, LANE), jnp.float32),
             jax.ShapeDtypeStruct((T, B, KS), g.V.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bc, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
         ),
@@ -380,27 +400,29 @@ def den_backward(
     tile = lambda x: jnp.broadcast_to(x[..., None], x.shape + (LANE,))
 
     nt = T
-    rev3 = lambda t: (nt - 1 - t, 0, 0)
+    rev3 = lambda b, t: (nt - 1 - t, b, 0)
     P = g.num_pdfs
+    Bc = batch_chunk(g, B) or B
+    NB = B // Bc
     kern = functools.partial(_bwd_kernel, leaky, K, S)
     gamma = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(NB, T),
         in_specs=[
-            pl.BlockSpec((1, B, KS), rev3),
-            pl.BlockSpec((1, B, KS), rev3),
-            pl.BlockSpec((1, B, LANE), rev3),
-            pl.BlockSpec((1, B, LANE), rev3),
-            pl.BlockSpec((S, KS), lambda t: (0, 0)),
-            pl.BlockSpec((KS, P), lambda t: (0, 0)),
-            pl.BlockSpec((1, S), lambda t: (0, 0)),
-            pl.BlockSpec((B, LANE), lambda t: (0, 0)),
+            pl.BlockSpec((1, Bc, KS), rev3),
+            pl.BlockSpec((1, Bc, KS), rev3),
+            pl.BlockSpec((1, Bc, LANE), rev3),
+            pl.BlockSpec((1, Bc, LANE), rev3),
+            pl.BlockSpec((S, KS), lambda b, t: (0, 0)),
+            pl.BlockSpec((KS, P), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, S), lambda b, t: (0, 0)),
+            pl.BlockSpec((Bc, LANE), lambda b, t: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B, P), rev3),
+        out_specs=pl.BlockSpec((1, Bc, P), rev3),
         out_shape=jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, KS), jnp.float32),
-            pltpu.VMEM((B, LANE), jnp.float32),
+            pltpu.VMEM((Bc, KS), jnp.float32),
+            pltpu.VMEM((Bc, LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,

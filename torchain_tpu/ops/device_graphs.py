@@ -159,7 +159,10 @@ def auto_den_graph(
             gr = den_resident.DeviceResidentDenGraph.from_host(
                 host_graph, pad_to=pad_to
             )
-            if den_resident.fits_vmem(gr, batch_hint):
+            # a batch too big for one pass runs batch-chunked (grid
+            # (B/chunk, T), V still resident) — only a graph whose
+            # 1-sequence working set exceeds VMEM falls through
+            if den_resident.batch_chunk(gr, batch_hint) > 0:
                 return gr
         except ValueError:
             pass  # fall through to the XLA paths
