@@ -162,3 +162,27 @@ def test_sweep_requires_ref(word_files):
                 "--lmwt-max", "4",
             ]
         )
+
+
+def test_lattice_out_archive_round_trips(word_files):
+    from torchain_tpu.eval import read_lattice_ark, lattice_best_path
+
+    lat_path = str(word_files["dir"] / "lat.ark.txt")
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--lattice-out", lat_path,
+        ]
+    )
+    assert res["wer"] == 0.0
+    lats = read_lattice_ark(lat_path)
+    assert len(lats) == 6
+    # best path of the archived lattice reproduces the (perfect) decode
+    for i, tr in enumerate(word_files["wc"].transcripts):
+        hyp, _ = lattice_best_path(lats[f"utt{i}"])
+        assert hyp == tr

@@ -193,3 +193,64 @@ class TestScoreSweep:
         )
         assert hyps[0] == [1]
         assert res["wer"] == 0.0
+
+
+class TestLatticeTextInterchange:
+    def test_round_trip_preserves_components(self, tmp_path):
+        from torchain_tpu.eval import read_lattice_ark, write_lattice_ark
+
+        graph, y = _decode_fixture(seed=7, T=6)
+        lats = {
+            "utt0": lattice_decode(graph, y, beam=8.0),
+            "utt1": lattice_decode(graph, y * 0.7, beam=8.0),
+        }
+        path = str(tmp_path / "lat.ark.txt")
+        write_lattice_ark(path, lats)
+        back = read_lattice_ark(path)
+        assert set(back) == {"utt0", "utt1"}
+        for utt, lat in lats.items():
+            got = back[utt]
+            assert got.num_states == lat.num_states
+            assert got.num_arcs == lat.num_arcs
+            for (s0, a0), (s1, a1) in zip(lat.all_arcs(), got.all_arcs()):
+                assert (s0, a0.label, a0.dst) == (s1, a1.label, a1.dst)
+                assert a1.weight == pytest.approx(a0.weight, abs=1e-5)
+                assert a1.weight2 == pytest.approx(a0.weight2, abs=1e-5)
+            for s in range(lat.num_states):
+                assert got.is_final(s) == lat.is_final(s)
+                if lat.is_final(s):
+                    assert got.final(s) == pytest.approx(lat.final(s), abs=1e-5)
+            # behavioral check: rescored best path survives the round trip
+            p0, s0 = lattice_best_path(rescore_lattice(lat, lm_scale=5.0))
+            p1, s1 = lattice_best_path(rescore_lattice(got, lm_scale=5.0))
+            assert p0 == p1 and s0 == pytest.approx(s1, abs=1e-4)
+
+    def test_reads_kaldi_style_golden_record(self):
+        from torchain_tpu.eval import read_lattice_ark
+
+        # hand-written Kaldi `lattice-copy ark,t:` style record: costs are
+        # negated log-probs, transducer arcs (ilabel olabel), final with
+        # and without explicit weight, blank-line separated
+        text = (
+            "utt_a\n"
+            "0 1 3 3 0.5,2.25\n"
+            "0 1 4 4 1.0,1.0\n"
+            "1 2 0 0 0.25,0\n"
+            "2 0.75,0.5\n"
+            "\n"
+            "utt_b\n"
+            "0 1 7 7 1,1\n"
+            "1\n"
+            "\n"
+        )
+        lats = read_lattice_ark(text)
+        a = lats["utt_a"]
+        assert a.num_states == 3 and a.num_arcs == 3
+        arc0 = a.arcs(0)[0]
+        assert arc0.label == 3
+        assert arc0.weight == pytest.approx(-(0.5 + 2.25))
+        assert arc0.weight2 == pytest.approx(-2.25)
+        assert a.final(2) == pytest.approx(-(0.75 + 0.5))
+        assert a.final2(2) == pytest.approx(-0.5)
+        b = lats["utt_b"]
+        assert b.is_final(1) and b.final(1) == 0.0

@@ -62,6 +62,11 @@ def build_argparser():
     p.add_argument("--word-ins-penalty", type=float, default=0.0)
     # outputs / scoring
     p.add_argument("--hyp-out", help="write hypotheses here ('utt_id id...' lines)")
+    p.add_argument(
+        "--lattice-out",
+        help="write beam-pruned lattices as a Kaldi-style text archive "
+        "(lattice-copy ark,t: format, graph/acoustic cost pairs)",
+    )
     p.add_argument("--ref", help="reference transcripts for WER/PER scoring")
     return p
 
@@ -155,16 +160,23 @@ def main(argv=None) -> dict:
     hyps: dict[str, list[int]] = {}
     nbests: dict[str, list] = {}
     lats: dict[str, object] = {}
+    need_lat = sweep or args.nbest > 0 or bool(args.lattice_out)
     for utt, ll in posts.items():
         ll = np.asarray(ll, np.float32) * args.acoustic_scale
-        if sweep:
-            lats[utt] = lattice_decode(graph, ll, beam=args.beam)
-            hyps[utt] = []  # filled from the sweep's best LMWT below
-        elif args.nbest > 0:
+        if need_lat:
             lat = lattice_decode(graph, ll, beam=args.beam)
-            nb = lattice_nbest(lat, args.nbest)
-            nbests[utt] = [(seq, float(s)) for seq, s in nb]
-            hyps[utt] = nb[0][0] if nb else []
+            lats[utt] = lat
+            if args.nbest > 0:
+                nb = lattice_nbest(lat, args.nbest)
+                nbests[utt] = [(seq, float(s)) for seq, s in nb]
+            if sweep:
+                hyps[utt] = []  # filled from the sweep's best LMWT below
+            elif args.nbest > 0:
+                hyps[utt] = nbests[utt][0][0] if nbests[utt] else []
+            else:
+                from torchain_tpu.eval.lattice import lattice_best_path
+
+                hyps[utt] = lattice_best_path(lat)[0]
         else:
             hyp, _ = viterbi_decode(
                 graph,
@@ -175,6 +187,11 @@ def main(argv=None) -> dict:
                 max_active=args.max_active,
             )
             hyps[utt] = hyp
+
+    if args.lattice_out:
+        from torchain_tpu.eval.lattice import write_lattice_ark
+
+        write_lattice_ark(args.lattice_out, lats)
 
     result = {"num_utts": len(hyps)}
     score = None

@@ -20,8 +20,11 @@ from torchain_tpu.eval.lattice import (
     lattice_best_path,
     lattice_decode,
     lattice_nbest,
+    lattice_to_text,
+    read_lattice_ark,
     rescore_lattice,
     score_sweep,
+    write_lattice_ark,
 )
 from torchain_tpu.eval.wer import edit_distance, wer
 
@@ -37,8 +40,11 @@ __all__ = [
     "lattice_best_path",
     "lattice_decode",
     "lattice_nbest",
+    "lattice_to_text",
+    "read_lattice_ark",
     "rescore_lattice",
     "score_sweep",
+    "write_lattice_ark",
     "edit_distance",
     "wer",
 ]

@@ -381,3 +381,115 @@ def score_sweep(
             best = (int(lmwt), res, hyps)
     assert best is not None, "empty lmwt_range"
     return best[0], best[1], best[2], wer_by_lmwt
+
+
+# ---------------------------------------------------------------------------
+# Kaldi lattice text interchange (lattice-copy ark,t: role)
+# ---------------------------------------------------------------------------
+
+
+def lattice_to_text(lat: Fst, utt_id: str) -> str:
+    """Kaldi text-form Lattice record ([K latbin/lattice-copy.cc] with
+    `ark,t:`): an utterance-id line, one line per arc
+    `src dst ilabel olabel graph_cost,acoustic_cost`, final lines
+    `state graph_cost,acoustic_cost`, then a blank separator line.
+
+    Kaldi LatticeWeight stores COSTS (negated log-probs); this repo's
+    lattices carry log-probs with `weight = graph + acoustic` and
+    `weight2 = acoustic`, so the written pair is
+    `(-(weight - weight2), -weight2)`.  Acceptor lattices write
+    ilabel == olabel (phone/word ids; 0 = epsilon)."""
+    lines = [utt_id]
+    for s in range(lat.num_states):
+        for a in lat.arcs(s):
+            g = -(a.weight - a.weight2)
+            am = -a.weight2
+            lines.append(f"{s} {a.dst} {a.label} {a.label} {g:.7g},{am:.7g}")
+        if lat.is_final(s):
+            g = -(lat.final(s) - lat.final2(s))
+            am = -lat.final2(s)
+            lines.append(f"{s} {g:.7g},{am:.7g}")
+    return "\n".join(lines) + "\n\n"
+
+
+def write_lattice_ark(path: str, lats: dict[str, Fst]) -> None:
+    """Write a text archive of lattices (`ark,t:` of Kaldi Lattice)."""
+    with open(path, "w") as f:
+        for utt, lat in lats.items():
+            f.write(lattice_to_text(lat, utt))
+
+
+def _parse_weight_pair(tok: str) -> tuple[float, float]:
+    if "," in tok:
+        parts = tok.split(",")
+        g, am = float(parts[0]), float(parts[1])
+        # CompactLattice text carries a third field (transition-id string,
+        # comma-joined); ignore anything past the two costs
+    else:
+        g, am = float(tok), 0.0
+    return g, am
+
+
+def read_lattice_ark(path_or_text: str) -> dict[str, Fst]:
+    """Read a Kaldi text lattice archive back into component-weighted Fsts
+    (inverse of write_lattice_ark; also accepts raw archive text).
+
+    Costs are negated back into log-probs: arc weight = -(g + am),
+    weight2 = -am.  Accepts both transducer lines (5 tokens) and acceptor
+    lines (4 tokens), and CompactLattice weight triples."""
+    import os
+
+    text = path_or_text
+    if "\n" not in path_or_text and os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    out: dict[str, Fst] = {}
+    cur: Fst | None = None
+
+    def ensure(fst: Fst, state: int) -> None:
+        while fst.num_states <= state:
+            fst.add_state()
+
+    pending_arcs: list[tuple] = []
+
+    def flush():
+        nonlocal pending_arcs
+        if cur is not None:
+            for src, dst, label, w, w2 in pending_arcs:
+                cur.add_arc(src, label, w, dst, w2)
+        pending_arcs = []
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            flush()
+            cur = None
+            continue
+        parts = line.split()
+        if cur is None:
+            if len(parts) != 1:
+                raise ValueError(f"expected utterance id line, got {line!r}")
+            cur = Fst()
+            out[parts[0]] = cur
+            continue
+        if len(parts) == 1:  # final state with zero weight
+            ensure(cur, int(parts[0]))
+            cur.set_final(int(parts[0]), 0.0, 0.0)
+        elif len(parts) == 2:  # final: state g,am
+            g, am = _parse_weight_pair(parts[1])
+            ensure(cur, int(parts[0]))
+            cur.set_final(int(parts[0]), -(g + am), -am)
+        elif len(parts) in (4, 5):
+            src, dst = int(parts[0]), int(parts[1])
+            label = int(parts[2])  # ilabel; olabel (parts[3] if 5) ignored
+            g, am = _parse_weight_pair(parts[-1])
+            ensure(cur, max(src, dst))
+            pending_arcs.append((src, dst, label, -(g + am), -am))
+        elif len(parts) == 3:  # arc with no weight (Kaldi allows omission)
+            src, dst, label = int(parts[0]), int(parts[1]), int(parts[2])
+            ensure(cur, max(src, dst))
+            pending_arcs.append((src, dst, label, 0.0, 0.0))
+        else:
+            raise ValueError(f"unparseable lattice line {line!r}")
+    flush()
+    return out
