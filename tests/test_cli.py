@@ -81,3 +81,18 @@ def test_cli_egs_archive_roundtrip(tmp_path):
     assert os.path.exists(egs)
     out2 = run_cli(common + ["--load-egs", egs])
     assert out2["steps"] == out1["steps"] > 0
+
+
+@pytest.mark.slow
+def test_cli_word_decode_lmwt_sweep():
+    out = run_cli(
+        [
+            "--synthetic", "--synthetic-words", "--num-utts", "8",
+            "--num-phones", "5", "--feat-dim", "10", "--hidden-dim", "48",
+            "--bottleneck-dim", "12", "--num-layers", "2", "--epochs", "2",
+            "--chunk-frames", "12", "--batch-size", "4", "--decode",
+            "--lmwt-min", "1", "--lmwt-max", "3",
+        ]
+    )
+    assert "wer" in out
+    assert 1 <= out["best_lmwt"] <= 3

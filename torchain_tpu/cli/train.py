@@ -139,6 +139,9 @@ def build_argparser() -> argparse.ArgumentParser:
         "(nnet3-chain-compute-prob parity)",
     )
     p.add_argument("--decode-beam", type=float, default=16.0)
+    # score.sh LMWT sweep for the word decode stage (0 = plain best path)
+    p.add_argument("--lmwt-min", type=int, default=0)
+    p.add_argument("--lmwt-max", type=int, default=0)
     p.add_argument(
         "--phone-insertion-bonus",
         type=float,
@@ -592,16 +595,35 @@ def main(argv=None) -> dict:
         variables = {"params": trainer.state.params}
         if trainer.state.batch_stats:
             variables["batch_stats"] = trainer.state.batch_stats
+        sweep = args.lmwt_max > args.lmwt_min > 0
         whyps = []
+        wlats = []
         for u in corpus.utts:
             T_in_utt = u.feats.shape[0]
             t_out = T_in_utt // fsf
             idx = np.clip(np.arange(-left, t_out * fsf + right), 0, T_in_utt - 1)
             feats = jnp.asarray(u.feats[idx][None])
             y = np.asarray(forward(variables, feats))[0]
-            hyp, _ = viterbi_decode(wgraph, y, beam=args.decode_beam)
-            whyps.append(hyp)
-        wscore = wer(word_corpus.transcripts, whyps)
+            if sweep:
+                from torchain_tpu.eval import lattice_decode
+
+                wlats.append(lattice_decode(wgraph, y, beam=args.decode_beam))
+            else:
+                hyp, _ = viterbi_decode(wgraph, y, beam=args.decode_beam)
+                whyps.append(hyp)
+        if sweep:
+            # score.sh role: one corpus-level LMWT picked by best WER
+            from torchain_tpu.eval import score_sweep
+
+            best_lmwt, wscore, whyps, by_lmwt = score_sweep(
+                wlats,
+                word_corpus.transcripts,
+                lmwt_range=range(args.lmwt_min, args.lmwt_max + 1),
+            )
+            print(f"[stage 5] lmwt sweep: {by_lmwt} -> best {best_lmwt}")
+            out["best_lmwt"] = best_lmwt
+        else:
+            wscore = wer(word_corpus.transcripts, whyps)
         print(f"[stage 5] WER {wscore['wer']:.2f}% ({wscore})")
         out["wer"] = wscore["wer"]
     print(json.dumps(out))
