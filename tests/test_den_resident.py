@@ -193,19 +193,22 @@ def test_batch_chunking_matches_single_pass(setup, monkeypatch):
     """A batch too big for one kernel pass runs batch-chunked
     (grid (B/chunk, T)) and must be bitwise-equal to the unchunked run —
     sequences are independent in the recursion."""
-    graph, _, y = setup
+    graph, _, y4 = setup
+    # B=16 so an 8-divisible partial chunk exists (Mosaic sublane rule)
+    y = jnp.concatenate([y4, y4 * 0.5, y4 + 0.1, y4 * 1.5], axis=0)
+    B = y.shape[0]
     gr = DeviceResidentDenGraph.from_host(graph, pad_to=8)
     z1, res1 = den_resident.den_forward(y, gr, 0.1)
     gamma1 = den_resident.den_backward(gr, res1, 0.1)
-    assert den_resident.batch_chunk(gr, y.shape[0]) == y.shape[0]
+    assert den_resident.batch_chunk(gr, B) == B
 
     # shrink the budget until only a sub-batch fits -> forces NB > 1
     budget = den_resident.VMEM_BUDGET
-    while den_resident.batch_chunk(gr, y.shape[0]) >= y.shape[0] and budget > 0:
+    while den_resident.batch_chunk(gr, B) >= B and budget > 0:
         budget //= 2
         monkeypatch.setattr(den_resident, "VMEM_BUDGET", budget)
-    chunk = den_resident.batch_chunk(gr, y.shape[0])
-    assert 0 < chunk < y.shape[0], "budget shrink failed to force chunking"
+    chunk = den_resident.batch_chunk(gr, B)
+    assert chunk == 8, "budget shrink failed to force an 8-wide chunk"
 
     z2, res2 = den_resident.den_forward(y, gr, 0.1)
     gamma2 = den_resident.den_backward(gr, res2, 0.1)
@@ -213,10 +216,34 @@ def test_batch_chunking_matches_single_pass(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(gamma1), np.asarray(gamma2))
 
 
-def test_auto_den_graph_keeps_resident_when_only_chunk_fits():
+def test_auto_den_graph_keeps_resident_when_only_chunk_fits(monkeypatch):
     from torchain_tpu.ops import den_resident as dr
 
     graph, _ = _graph()
     gr = DeviceResidentDenGraph.from_host(graph)
     assert dr.batch_chunk(gr, 4) == 4
-    assert dr.batch_chunk(gr, 6) == 6  # non-power-of-2 batches divide too
+    assert dr.batch_chunk(gr, 6) == 6  # full batch is always layout-legal
+    # pick a budget that fits exactly 8 sequences but not 16: B=16 chunks
+    # to 8, while B=6 (no 8-divisible partial chunk) falls back to 0
+    orig_budget = dr.VMEM_BUDGET
+
+    def needed(b):
+        lo, hi = 1, orig_budget
+        while lo < hi:
+            mid = (lo + hi) // 2
+            monkeypatch.setattr(dr, "VMEM_BUDGET", mid)
+            if dr.fits_vmem(gr, b):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    n4, n6, n8, n16 = needed(4), needed(6), needed(8), needed(16)
+    assert n4 < n6 < n8 < n16
+    monkeypatch.setattr(dr, "VMEM_BUDGET", n8)
+    assert dr.batch_chunk(gr, 16) == 8  # partial chunk, 8-divisible
+    assert dr.batch_chunk(gr, 6) == 6  # full batch still fits at this budget
+    monkeypatch.setattr(dr, "VMEM_BUDGET", n4)
+    # B=6: full batch no longer fits and no 8-divisible divisor exists
+    assert dr.batch_chunk(gr, 6) == 0
+    assert dr.batch_chunk(gr, 16) == 0

@@ -133,3 +133,33 @@ class TestE2eChainLoss:
             losses.append(float(loss))
         assert losses[-1] < losses[0] - 0.3  # objf improves without alignments
         assert np.isfinite(losses[-1])
+
+def test_e2e_supervision_cached_across_epochs(monkeypatch):
+    from torchain_tpu.data.loader import E2eChainDataset
+    from torchain_tpu.data import synthetic_dataset
+
+    corpus = synthetic_dataset(num_utts=8, num_phones=4, feat_dim=8, seed=0,
+                               utt_frames_out=(20, 30))
+    ds = E2eChainDataset(corpus.utts, corpus.tree, corpus.norm_fst,
+                         chunk_frames_out=12, left_context=2, right_context=2)
+    calls = {"n": 0}
+    real = ds._compile
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ds, "_compile", counting)
+    b0 = list(ds.batches(2, epoch=0))
+    n_first = calls["n"]
+    assert n_first > 0
+    b1 = list(ds.batches(2, epoch=1))
+    assert calls["n"] == n_first  # warm epoch: zero recompiles
+    assert len(b0) == len(b1)
+    # determinism: same epoch replays identical batches
+    b0b = list(ds.batches(2, epoch=0))
+    for x, y in zip(b0, b0b):
+        import numpy as np
+
+        np.testing.assert_array_equal(x.feats, y.feats)
+        np.testing.assert_array_equal(x.sup.in_src, y.sup.in_src)

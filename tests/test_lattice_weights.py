@@ -254,3 +254,31 @@ class TestLatticeTextInterchange:
         assert a.final2(2) == pytest.approx(-0.5)
         b = lats["utt_b"]
         assert b.is_final(1) and b.final(1) == 0.0
+
+    def test_reads_weightless_transducer_arcs_and_keeps_olabel(self):
+        from torchain_tpu.eval import read_lattice_ark
+
+        # Kaldi omits Weight::One -> `src dst il ol` (4 int tokens), and
+        # Lattice arcs are (transition-id : word): the WORD (olabel) is
+        # what scoring consumes
+        text = (
+            "utt\n"
+            "0 1 101 7 0.5,0.25\n"  # transid 101, word 7, weighted
+            "1 2 102 8\n"           # transid 102, word 8, weightless
+            "2 3 9 1.5,0\n"         # weighted acceptor (non-int last token)
+            "3\n"
+            "\n"
+        )
+        lat = read_lattice_ark(text)["utt"]
+        labels = [a.label for _, a in lat.all_arcs()]
+        assert labels == [7, 8, 9]
+        ws = {a.label: (a.weight, a.weight2) for _, a in lat.all_arcs()}
+        assert ws[7][0] == pytest.approx(-0.75) and ws[7][1] == pytest.approx(-0.25)
+        assert ws[8] == (0.0, 0.0)
+        assert ws[9][0] == pytest.approx(-1.5)
+
+    def test_missing_file_raises(self):
+        from torchain_tpu.eval import read_lattice_ark
+
+        with pytest.raises(FileNotFoundError):
+            read_lattice_ark("/nonexistent/lat.ark.txt")

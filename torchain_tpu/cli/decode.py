@@ -107,7 +107,7 @@ def load_tree(args):
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
-    sweep = args.lmwt_max > args.lmwt_min > 0
+    sweep = args.lmwt_max >= args.lmwt_min > 0
     if sweep and not args.ref:
         raise SystemExit("--lmwt-min/--lmwt-max sweep needs --ref to score")
 
@@ -164,7 +164,14 @@ def main(argv=None) -> dict:
     for utt, ll in posts.items():
         ll = np.asarray(ll, np.float32) * args.acoustic_scale
         if need_lat:
-            lat = lattice_decode(graph, ll, beam=args.beam)
+            # lattice paths run the (numpy) lattice decoder — --backend /
+            # --max-active apply only to the best-path-only viterbi core
+            lat = lattice_decode(
+                graph,
+                ll,
+                beam=args.beam,
+                phone_bonus=args.phone_insertion_bonus,
+            )
             lats[utt] = lat
             if args.nbest > 0:
                 nb = lattice_nbest(lat, args.nbest)
@@ -213,6 +220,17 @@ def main(argv=None) -> dict:
             )
             for u, h in zip(common, best_hyps):
                 hyps[u] = h
+            # unscored utts (absent from --ref) still get a decode: their
+            # lattice best path at the sweep's winning weight
+            from torchain_tpu.eval.lattice import (
+                lattice_best_path,
+                rescore_lattice,
+            )
+
+            for u in missing:
+                hyps[u] = lattice_best_path(
+                    rescore_lattice(lats[u], lm_scale=float(best_lmwt))
+                )[0]
             for w in sorted(by_lmwt):
                 print(f"# {label}_lmwt{w} {by_lmwt[w]:.2f}%", file=sys.stderr)
             result["best_lmwt"] = best_lmwt

@@ -595,7 +595,7 @@ def main(argv=None) -> dict:
         variables = {"params": trainer.state.params}
         if trainer.state.batch_stats:
             variables["batch_stats"] = trainer.state.batch_stats
-        sweep = args.lmwt_max > args.lmwt_min > 0
+        sweep = args.lmwt_max >= args.lmwt_min > 0
         whyps = []
         wlats = []
         for u in corpus.utts:

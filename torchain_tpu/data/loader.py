@@ -113,6 +113,11 @@ class ChainDataset:
         #: cache could eat 10s of GB of host RAM on a real corpus).
         self._sup_cache: dict[int, object] = {}
         self._sup_cache_bytes = 0
+        import threading
+
+        #: guards num_dropped and the cache byte accounting against the
+        #: optional threaded batch builder (batches(num_threads > 1))
+        self._stats_lock = threading.Lock()
         self.sup_cache_size = 100_000
         self.sup_cache_max_bytes = 4 * 1024**3
         self.left_context = left_context
@@ -170,8 +175,22 @@ class ChainDataset:
                 self.tree.num_pdfs,
             )
         except ValueError:
-            self.num_dropped += 1  # Kaldi drops failed egs the same way
+            with self._stats_lock:  # batches(num_threads>1) builds concurrently
+                self.num_dropped += 1  # Kaldi drops failed egs the same way
             return None
+
+    def __getstate__(self):
+        # precompile() ships self to fork workers via pickled initargs;
+        # locks don't pickle — workers get a fresh one
+        d = self.__dict__.copy()
+        d["_stats_lock"] = None
+        return d
+
+    def __setstate__(self, d):
+        import threading
+
+        self.__dict__.update(d)
+        self._stats_lock = threading.Lock()
 
     def _sup_of(self, chunk_idx: int):
         """Compiled supervision of chunk #chunk_idx, cached across epochs
@@ -201,12 +220,15 @@ class ChainDataset:
 
     def _cache_store(self, chunk_idx: int, sup) -> None:
         n = self._sup_nbytes(sup)
-        if (
-            len(self._sup_cache) < self.sup_cache_size
-            and self._sup_cache_bytes + n <= self.sup_cache_max_bytes
-        ):
-            self._sup_cache[chunk_idx] = sup
-            self._sup_cache_bytes += n
+        with self._stats_lock:  # threaded batch builders store concurrently
+            if chunk_idx in self._sup_cache:
+                return  # duplicate concurrent compile: count bytes once
+            if (
+                len(self._sup_cache) < self.sup_cache_size
+                and self._sup_cache_bytes + n <= self.sup_cache_max_bytes
+            ):
+                self._sup_cache[chunk_idx] = sup
+                self._sup_cache_bytes += n
 
     def precompile(self, num_workers: int | None = None) -> int:
         """Compile every chunk's supervision in parallel worker processes
@@ -381,8 +403,6 @@ class ChainDataset:
         multi-host runs need so every process produces identically-shaped
         batches without communicating.  Deterministic, so every host may
         call it and agree; O(dataset) supervision compiles (one-time)."""
-        from torchain_tpu.ops.device_graphs import frame_vocab_width
-
         ms = ma = mv = mst = 1
         for ci in range(len(self.chunks)):
             sup = self._sup_of(ci)
@@ -390,10 +410,20 @@ class ChainDataset:
                 continue
             ms = max(ms, sup.max_states)
             ma = max(ma, sup.max_arcs)
-            mv = max(
-                mv, frame_vocab_width(sup.in_src[None], sup.in_pdf[None])
-            )
-            if sup.in_src.shape[0] > 1:  # steady (frames >= 1) arc width
+            # both quantities are precomputed per chunk by numerator_tables
+            # at compile time (supervision.py); legacy egs archives fill
+            # them on load, so re-deriving here would just repeat the sort
+            if sup.frame_vocab is not None:
+                mv = max(mv, sup.frame_vocab.shape[1])
+            else:
+                from torchain_tpu.ops.device_graphs import frame_vocab_width
+
+                mv = max(
+                    mv, frame_vocab_width(sup.in_src[None], sup.in_pdf[None])
+                )
+            if sup.steady_need is not None:
+                mst = max(mst, int(sup.steady_need))
+            elif sup.in_src.shape[0] > 1:  # steady (frames >= 1) arc width
                 mst = max(mst, int((sup.in_src[1:] >= 0).sum(-1).max()))
         r = lambda x, m: ((x + m - 1) // m) * m
         return (
@@ -598,6 +628,38 @@ class E2eChainDataset:
         self.rng = np.random.default_rng(seed)
         self.utts = utts
         self.num_dropped = 0
+        #: compiled e2e supervision per utterance index, reused across
+        #: epochs (inputs are deterministic functions of the utterance and
+        #: chunk_frames_out) — same role as ChainDataset's cross-epoch
+        #: cache; entry-capped to bound host RAM on huge corpora
+        self._sup_cache: dict[int, object] = {}
+        self.sup_cache_size = 100_000
+
+    def _sup_of(self, ui: int):
+        """Compiled e2e supervision of utterance #ui, or None if it must be
+        dropped; cached across epochs (first epoch pays compilation)."""
+        if ui in self._sup_cache:
+            return self._sup_cache[ui]
+        utt = self.utts[ui]
+        t_out = self.chunk_frames_out
+        sup = None
+        if utt.feats.shape[0] // self.fsf >= t_out:
+            phones = [p for p, _ in utt.alignment]
+            # trim: keep phones whose (approximate) start lies in the window
+            durs_in = [d for _, d in utt.alignment]
+            starts = np.cumsum([0] + durs_in)[:-1] // self.fsf
+            keep = [p for p, s in zip(phones, starts) if s < t_out]
+            if keep and len(keep) <= t_out:
+                try:
+                    fst = self._make_fst(
+                        keep, self.tree, self._norm_ready, norm_ready=True
+                    )
+                    sup = self._compile(fst, t_out, self.tree.num_pdfs)
+                except ValueError:
+                    sup = None
+        if len(self._sup_cache) < self.sup_cache_size:
+            self._sup_cache[ui] = sup
+        return sup
 
     def batches(
         self,
@@ -606,8 +668,8 @@ class E2eChainDataset:
         drop_last: bool = True,
         epoch: int | None = None,
         num_threads: int = 0,  # accepted for ChainDataset API parity;
-        # e2e compiles per utterance inside the loop (no cache), so the
-        # threaded builder doesn't apply here
+        # e2e batches stack cached per-utterance supervisions, so the
+        # threaded builder has nothing to parallelize here
     ):
         rng = (
             np.random.default_rng((self.seed, epoch)) if epoch is not None else self.rng
@@ -619,25 +681,11 @@ class E2eChainDataset:
         feats_buf, sups_buf = [], []
         for ui in order:
             utt = self.utts[ui]
-            total_out = utt.feats.shape[0] // self.fsf
-            if total_out < t_out:
-                self.num_dropped += 1
-                continue
-            phones = [p for p, _ in utt.alignment]
-            # trim: keep phones whose (approximate) start lies in the window
-            durs_in = [d for _, d in utt.alignment]
-            starts = np.cumsum([0] + durs_in)[:-1] // self.fsf
-            keep = [p for p, s in zip(phones, starts) if s < t_out]
-            if not keep or len(keep) > t_out:
-                self.num_dropped += 1
-                continue
-            try:
-                fst = self._make_fst(
-                    keep, self.tree, self._norm_ready, norm_ready=True
-                )
-                sup = self._compile(fst, t_out, self.tree.num_pdfs)
-            except ValueError:
-                self.num_dropped += 1
+            first_visit = ui not in self._sup_cache
+            sup = self._sup_of(ui)
+            if sup is None:
+                if first_visit:  # count each dropped utterance once
+                    self.num_dropped += 1
                 continue
             t0 = -self.left_context
             t1 = t_out * self.fsf + self.right_context

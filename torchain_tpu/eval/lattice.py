@@ -430,17 +430,35 @@ def _parse_weight_pair(tok: str) -> tuple[float, float]:
     return g, am
 
 
+def _is_int_token(tok: str) -> bool:
+    try:
+        int(tok)
+    except ValueError:
+        return False
+    return True
+
+
 def read_lattice_ark(path_or_text: str) -> dict[str, Fst]:
     """Read a Kaldi text lattice archive back into component-weighted Fsts
-    (inverse of write_lattice_ark; also accepts raw archive text).
+    (inverse of write_lattice_ark; also accepts raw archive text — anything
+    containing a newline; a newline-free argument must be an existing file).
 
     Costs are negated back into log-probs: arc weight = -(g + am),
-    weight2 = -am.  Accepts both transducer lines (5 tokens) and acceptor
-    lines (4 tokens), and CompactLattice weight triples."""
+    weight2 = -am.  Kaldi Lattice arcs are transducers (transition-id :
+    word); the OUTPUT label is kept, since scoring wants words.  Handled
+    line forms, matching Kaldi's Weight::One omission rules:
+      `src dst il ol g,am`  — weighted transducer (5 tokens)
+      `src dst il ol`       — weightless transducer (4 tokens, last is int)
+      `src dst lbl g,am`    — weighted acceptor (4 tokens, last has , or .)
+      `src dst lbl`         — weightless acceptor (3 tokens)
+      `state g,am` / `state` — finals; CompactLattice weight triples accept
+      (trailing transition-id string ignored)."""
     import os
 
     text = path_or_text
-    if "\n" not in path_or_text and os.path.exists(path_or_text):
+    if "\n" not in path_or_text:
+        if not os.path.exists(path_or_text):
+            raise FileNotFoundError(path_or_text)
         with open(path_or_text) as f:
             text = f.read()
     out: dict[str, Fst] = {}
@@ -479,13 +497,23 @@ def read_lattice_ark(path_or_text: str) -> dict[str, Fst]:
             g, am = _parse_weight_pair(parts[1])
             ensure(cur, int(parts[0]))
             cur.set_final(int(parts[0]), -(g + am), -am)
-        elif len(parts) in (4, 5):
+        elif len(parts) == 5:  # src dst ilabel olabel weight
             src, dst = int(parts[0]), int(parts[1])
-            label = int(parts[2])  # ilabel; olabel (parts[3] if 5) ignored
-            g, am = _parse_weight_pair(parts[-1])
+            label = int(parts[3])  # olabel: words, what scoring consumes
+            g, am = _parse_weight_pair(parts[4])
             ensure(cur, max(src, dst))
             pending_arcs.append((src, dst, label, -(g + am), -am))
-        elif len(parts) == 3:  # arc with no weight (Kaldi allows omission)
+        elif len(parts) == 4:
+            src, dst = int(parts[0]), int(parts[1])
+            if _is_int_token(parts[3]):
+                # weightless transducer (Kaldi omits Weight::One)
+                label, g, am = int(parts[3]), 0.0, 0.0
+            else:
+                label = int(parts[2])
+                g, am = _parse_weight_pair(parts[3])
+            ensure(cur, max(src, dst))
+            pending_arcs.append((src, dst, label, -(g + am), -am))
+        elif len(parts) == 3:  # weightless acceptor arc
             src, dst, label = int(parts[0]), int(parts[1]), int(parts[2])
             ensure(cur, max(src, dst))
             pending_arcs.append((src, dst, label, 0.0, 0.0))

@@ -379,31 +379,17 @@ def numerator_tables(
         vocabulary (0 for pad arcs),
       steady_need int — max in-degree over frames >= 1 (>= 1).
 
-    Same layout contract as ops.device_graphs._frame_vocab_tables, which
-    computes the batched form; this per-chunk version runs once at
-    compile_supervision time so batches only stack."""
-    T, S, K = in_pdf.shape
-    flat = in_pdf.reshape(T, S * K).astype(np.int64)
-    valid = in_src.reshape(T, S * K) >= 0
-    BIG = np.int64(1) << 40
-    a = np.where(valid, flat, BIG)
-    order = np.argsort(a, axis=1, kind="stable")
-    s = np.take_along_axis(a, order, axis=1)
-    new = np.ones_like(s, dtype=bool)
-    new[:, 1:] = s[:, 1:] != s[:, :-1]
-    new &= s < BIG
-    W = int(max(1, new.sum(axis=1).max()))
-    vocab = np.zeros((T, W), dtype=np.int32)
-    rank_sorted = np.cumsum(new, axis=1) - 1
-    rows = np.broadcast_to(np.arange(T)[:, None], s.shape)
-    vocab[rows[new], rank_sorted[new]] = s[new].astype(np.int32)
-    local_sorted = np.where(s < BIG, np.maximum(rank_sorted, 0), 0)
-    local = np.zeros_like(flat, dtype=np.int32)
-    np.put_along_axis(local, order, local_sorted.astype(np.int32), axis=1)
+    Delegates to ops.device_graphs._frame_vocab_tables (the batched
+    derivation, with a singleton batch axis and round_to=1 for the exact
+    per-chunk width) so the two can never drift apart — from_host mixes
+    precomputed and fallback-derived tables in the same jit cache."""
+    from torchain_tpu.ops.device_graphs import _frame_vocab_tables
+
+    vocab, local = _frame_vocab_tables(in_src[None], in_pdf[None], round_to=1)
     steady = 1
-    if T > 1:
+    if in_src.shape[0] > 1:
         steady = int(max(1, (in_src[1:] >= 0).sum(-1).max()))
-    return vocab, local.reshape(T, S, K), steady
+    return vocab[0], local[0], steady
 
 
 def pad_and_stack_supervisions(

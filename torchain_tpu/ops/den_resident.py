@@ -176,11 +176,16 @@ def batch_chunk(g: DeviceResidentDenGraph, batch: int) -> int:
     Sequences are independent in the denominator recursion, so a batch too
     large for one kernel pass runs as a leading batch-grid dimension
     (grid = (B/chunk, T)) with V still resident across the whole grid —
-    only the pe/ah/gamma stream blocks shrink.  Returns 0 if even a
-    1-sequence chunk exceeds the budget (the graph itself is too big;
-    callers fall back to the sparse scan)."""
-    for c in range(batch, 0, -1):
-        if batch % c == 0 and fits_vmem(g, c):
+    only the pe/ah/gamma stream blocks shrink.  A PARTIAL chunk (c < batch)
+    puts c on the sublane axis of every stream block, so it must be
+    8-divisible (Mosaic block rule — see the LANE comment); the full batch
+    is always layout-legal since the blocks then cover the whole axis.
+    Returns 0 if no legal chunk fits the budget (the graph itself is too
+    big; callers fall back to the sparse scan)."""
+    if fits_vmem(g, batch):
+        return batch
+    for c in range(batch - 1, 0, -1):
+        if batch % c == 0 and c % 8 == 0 and fits_vmem(g, c):
             return c
     return 0
 
