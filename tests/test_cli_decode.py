@@ -186,3 +186,99 @@ def test_lattice_out_archive_round_trips(word_files):
     for i, tr in enumerate(word_files["wc"].transcripts):
         hyp, _ = lattice_best_path(lats[f"utt{i}"])
         assert hyp == tr
+
+
+def test_mbr_decode_with_confidences(word_files):
+    conf_path = str(word_files["dir"] / "conf.txt")
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--mbr",
+            "--confidence-out", conf_path,
+        ]
+    )
+    # peaked posteriors: the MBR hypothesis matches the reference too
+    assert res["wer"] == 0.0
+    with open(conf_path) as f:
+        lines = [l.split() for l in f if l.strip()]
+    assert len(lines) == 6
+    for i, parts in enumerate(lines):
+        utt, cs = parts[0], [float(c) for c in parts[1:]]
+        n = int(utt[3:])
+        assert len(cs) == len(word_files["wc"].transcripts[n])
+        assert all(0.0 <= c <= 1.0 + 1e-6 for c in cs)
+        # peaked evidence -> near-certain words
+        assert min(cs) > 0.5
+
+
+def test_mbr_with_lmwt_sweep(word_files):
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--mbr",
+            "--lmwt-min", "1",
+            "--lmwt-max", "3",
+        ]
+    )
+    assert res["mbr"] is True
+    assert res["wer"] == 0.0
+    assert 1 <= res["best_lmwt"] <= 3
+
+
+def test_lm_rescore_swaps_grammars(word_files):
+    # old G: the trained bigram; new G: a permissive unigram with a strong
+    # preference ordering — after the swap the rescored best paths must
+    # still be the references (peaked acoustics dominate), proving the
+    # composition path end-to-end
+    g_old = train_word_lm(word_files["wc"].transcripts)
+    old_path = str(word_files["dir"] / "g_old.fst.txt")
+    with open(old_path, "w") as f:
+        f.write(g_old.to_text())
+    vocab = sorted({w for tr in word_files["wc"].transcripts for w in tr})
+    g_new = Fst()
+    g_new.add_state()
+    for w in vocab:
+        g_new.add_arc(0, w, -0.5, 0)
+    g_new.set_final(0, 0.0)
+    new_path = str(word_files["dir"] / "g_new.fst.txt")
+    with open(new_path, "w") as f:
+        f.write(g_new.to_text())
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--word-lm", old_path,
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--lm-rescore", new_path,
+            "--lm-rescore-old", old_path,
+        ]
+    )
+    assert res["wer"] == 0.0
+
+
+def test_confidence_out_requires_mbr(word_files):
+    with pytest.raises(SystemExit):
+        decode_main(
+            [
+                "--posteriors", word_files["ark"],
+                "--mode", "word",
+                "--lexicon", word_files["lexicon"],
+                "--ref", word_files["ref"],
+                "--num-phones", "5",
+                "--context-width", "2",
+                "--confidence-out", "/dev/null",
+            ]
+        )

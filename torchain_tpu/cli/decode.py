@@ -55,6 +55,23 @@ def build_argparser():
     p.add_argument("--phone-insertion-bonus", type=float, default=0.0)
     p.add_argument("--backend", choices=("auto", "native", "numpy"), default="auto")
     p.add_argument("--nbest", type=int, default=0, help="also emit N-best lists")
+    p.add_argument(
+        "--mbr", action="store_true",
+        help="minimum-Bayes-risk decoding over the pruned lattice instead "
+        "of the best path (lattice-mbr-decode / score_mbr.sh role); with "
+        "an LMWT sweep, the sweep picks the weight by best path and the "
+        "final hypotheses+score are MBR at that weight",
+    )
+    p.add_argument(
+        "--confidence-out",
+        help="with --mbr: write per-word sausage confidences "
+        "('utt_id c1 c2 ...' lines)",
+    )
+    # LM rescoring (steps/lmrescore.sh role): subtract the old grammar's
+    # scores, add the new one's, both via lattice composition
+    p.add_argument("--lm-rescore", help="fstkit text acceptor: NEW grammar to rescore with")
+    p.add_argument("--lm-rescore-old", help="fstkit text acceptor: OLD grammar to subtract first")
+    p.add_argument("--lm-rescore-scale", type=float, default=1.0)
     # score.sh sweep (needs --ref): best-path at each LMWT in
     # [--lmwt-min, --lmwt-max], report the corpus-best weight
     p.add_argument("--lmwt-min", type=int, default=0)
@@ -157,10 +174,29 @@ def main(argv=None) -> dict:
             plm = Fst.from_text(f.read())
         graph = make_decoding_graph(plm, tree, lm_scale=args.lm_scale)
 
+    rescore_g = rescore_g_old = None
+    if args.lm_rescore:
+        with open(args.lm_rescore) as f:
+            rescore_g = Fst.from_text(f.read())
+        if args.lm_rescore_old:
+            with open(args.lm_rescore_old) as f:
+                rescore_g_old = Fst.from_text(f.read())
+    elif args.lm_rescore_old:
+        raise SystemExit("--lm-rescore-old needs --lm-rescore")
+    if args.confidence_out and not args.mbr:
+        raise SystemExit("--confidence-out needs --mbr")
+
     hyps: dict[str, list[int]] = {}
     nbests: dict[str, list] = {}
     lats: dict[str, object] = {}
-    need_lat = sweep or args.nbest > 0 or bool(args.lattice_out)
+    confidences: dict[str, list[float]] = {}
+    need_lat = (
+        sweep
+        or args.nbest > 0
+        or bool(args.lattice_out)
+        or args.mbr
+        or rescore_g is not None
+    )
     for utt, ll in posts.items():
         ll = np.asarray(ll, np.float32) * args.acoustic_scale
         if need_lat:
@@ -172,12 +208,30 @@ def main(argv=None) -> dict:
                 beam=args.beam,
                 phone_bonus=args.phone_insertion_bonus,
             )
+            if rescore_g is not None:
+                from torchain_tpu.eval.lattice import lmrescore_lattice
+
+                if rescore_g_old is not None:
+                    lat = lmrescore_lattice(
+                        lat, rescore_g_old, -args.lm_rescore_scale
+                    )
+                lat = lmrescore_lattice(lat, rescore_g, args.lm_rescore_scale)
+                if lat.num_states == 0:
+                    raise SystemExit(
+                        f"--lm-rescore grammar rejects every path of {utt}"
+                    )
             lats[utt] = lat
             if args.nbest > 0:
                 nb = lattice_nbest(lat, args.nbest)
                 nbests[utt] = [(seq, float(s)) for seq, s in nb]
             if sweep:
                 hyps[utt] = []  # filled from the sweep's best LMWT below
+            elif args.mbr:
+                from torchain_tpu.eval.lattice import mbr_decode
+
+                res = mbr_decode(lat)
+                hyps[utt] = res.words
+                confidences[utt] = res.confidences
             elif args.nbest > 0:
                 hyps[utt] = nbests[utt][0][0] if nbests[utt] else []
             else:
@@ -220,6 +274,18 @@ def main(argv=None) -> dict:
             )
             for u, h in zip(common, best_hyps):
                 hyps[u] = h
+            if args.mbr:
+                # final decode is MBR at the sweep's winning weight
+                from torchain_tpu.eval.lattice import mbr_decode, rescore_lattice
+
+                for u in common + missing:
+                    res = mbr_decode(
+                        rescore_lattice(lats[u], lm_scale=float(best_lmwt))
+                    )
+                    hyps[u] = res.words
+                    confidences[u] = res.confidences
+                score = wer([refs[u] for u in common], [hyps[u] for u in common])
+                result["mbr"] = True
             # unscored utts (absent from --ref) still get a decode: their
             # lattice best path at the sweep's winning weight
             from torchain_tpu.eval.lattice import (
@@ -228,6 +294,8 @@ def main(argv=None) -> dict:
             )
 
             for u in missing:
+                if args.mbr:
+                    continue  # already MBR-decoded above
                 hyps[u] = lattice_best_path(
                     rescore_lattice(lats[u], lm_scale=float(best_lmwt))
                 )[0]
@@ -238,6 +306,10 @@ def main(argv=None) -> dict:
             score = wer([refs[u] for u in common], [hyps[u] for u in common])
         result.update(score)
 
+    if args.confidence_out:
+        with open(args.confidence_out, "w") as f:
+            for utt, cs in confidences.items():
+                f.write(utt + " " + " ".join(f"{c:.4f}" for c in cs) + "\n")
     if args.hyp_out:
         with open(args.hyp_out, "w") as f:
             for utt, hyp in hyps.items():

@@ -16,11 +16,15 @@ from torchain_tpu.eval.decoder import (
     viterbi_decode,
 )
 from torchain_tpu.eval.lattice import (
+    MbrResult,
     determinize_lattice,
+    lattice_arc_posteriors,
     lattice_best_path,
     lattice_decode,
     lattice_nbest,
     lattice_to_text,
+    lmrescore_lattice,
+    mbr_decode,
     read_lattice_ark,
     rescore_lattice,
     score_sweep,
@@ -36,11 +40,15 @@ __all__ = [
     "make_word_decoding_graph",
     "pack_decoding_graph",
     "viterbi_decode",
+    "MbrResult",
     "determinize_lattice",
+    "lattice_arc_posteriors",
     "lattice_best_path",
     "lattice_decode",
     "lattice_nbest",
     "lattice_to_text",
+    "lmrescore_lattice",
+    "mbr_decode",
     "read_lattice_ark",
     "rescore_lattice",
     "score_sweep",

@@ -19,6 +19,9 @@ Guarantees (tested):
 
 from __future__ import annotations
 
+import dataclasses as _dc_module
+from typing import Any
+
 import numpy as np
 
 from torchain_tpu.fstkit import Fst, shortest_distance
@@ -381,6 +384,294 @@ def score_sweep(
             best = (int(lmwt), res, hyps)
     assert best is not None, "empty lmwt_range"
     return best[0], best[1], best[2], wer_by_lmwt
+
+
+# ---------------------------------------------------------------------------
+# Lattice posteriors, LM rescoring, MBR / confusion networks
+# ---------------------------------------------------------------------------
+
+
+def lattice_arc_posteriors(lat: Fst) -> tuple[list[tuple[int, Any, float]], float]:
+    """Per-arc posteriors by log-semiring forward-backward — the
+    lattice-to-post role ([K latbin/lattice-to-post.cc]): the posterior of
+    arc a:(s -> d) is exp(alpha[s] + w(a) + beta[d] - total), the fraction
+    of accepting-path probability routed through a.  Weights are used as
+    they sit on the lattice (apply rescore_lattice first to choose
+    acoustic/LM scales, as Kaldi pipes lattice-scale before -to-post).
+
+    Returns (posts, total_logprob) where posts lists (src, arc, posterior)
+    in `lat.all_arcs()` order.  Any frame-synchronized cut of the lattice's
+    arcs has posteriors summing to 1 (tested)."""
+    if lat.num_states == 0:
+        return [], float(NEG_INF)
+    fwd = shortest_distance(lat, reverse_dir=False, semiring="log")
+    bwd = shortest_distance(lat, reverse_dir=True, semiring="log")
+    total = bwd[0]
+    posts = [
+        (s, a, float(np.exp(fwd[s] + a.weight + bwd[a.dst] - total)))
+        for s, a in lat.all_arcs()
+    ]
+    return posts, float(total)
+
+
+def lmrescore_lattice(lat: Fst, g: Fst, lm_scale: float = 1.0) -> Fst:
+    """Compose the (word/phone-label) lattice with acceptor grammar `g`,
+    adding `lm_scale * g_weight` to the GRAPH component of matching arcs —
+    the lattice-lmrescore role ([K latbin/lattice-lmrescore.cc]).  The
+    Kaldi two-step LM swap is `lmrescore_lattice(lat, g_old, -1.0)` to
+    subtract the decoding LM, then `lmrescore_lattice(., g_new, +1.0)`.
+
+    Product construction over (lattice state, grammar state): epsilon
+    lattice arcs advance the lattice side alone; labeled arcs must match a
+    `g` arc with the same label (log-prob weights).  Paths whose label
+    sequence `g` does not accept are dropped, as in Kaldi composition.
+    Acoustic components (weight2) ride through unchanged."""
+    from torchain_tpu.fstkit import connect
+
+    if lat.num_states == 0 or g.num_states == 0:
+        return Fst()
+    g_arcs: list[dict[int, list[tuple[float, int]]]] = [
+        {} for _ in range(g.num_states)
+    ]
+    for gs, ga in g.all_arcs():
+        g_arcs[gs].setdefault(ga.label, []).append((ga.weight, ga.dst))
+    out = Fst()
+    ids: dict[tuple[int, int], int] = {(0, 0): out.add_state()}
+    stack = [(0, 0)]
+    while stack:
+        ls, gs = stack.pop()
+        src = ids[(ls, gs)]
+        if lat.is_final(ls) and g.is_final(gs):
+            out.set_final(
+                src,
+                lat.final(ls) + lm_scale * g.final(gs),
+                lat.final2(ls),
+            )
+        for a in lat.arcs(ls):
+            if a.label == 0:
+                succ = [(0.0, gs)]
+            else:
+                succ = g_arcs[gs].get(a.label, [])
+            for gw, gd in succ:
+                key = (a.dst, gd)
+                if key not in ids:
+                    ids[key] = out.add_state()
+                    stack.append(key)
+                out.add_arc(
+                    src, a.label, a.weight + lm_scale * gw, ids[key], a.weight2
+                )
+    return connect(out)
+
+
+@_dc_module.dataclass
+class MbrResult:
+    """Output of mbr_decode (the lattice-mbr-decode / sausage role)."""
+
+    #: MBR word sequence (epsilon slots stripped)
+    words: list[int]
+    #: expected edit distance of `words` under the lattice posterior
+    risk: float
+    #: expected edit distance of the MAP (best-path) hypothesis, for
+    #: comparison — risk <= map_risk by construction of the iteration
+    map_risk: float
+    #: confusion network: one dict per alignment slot mapping word id
+    #: (0 = epsilon) -> posterior; each slot sums to 1
+    bins: list[dict[int, float]]
+    #: per-word posterior of the winning word in its slot (confidence),
+    #: aligned with `words`
+    confidences: list[float]
+    #: the epsilon-interleaved alignment hypothesis, aligned with `bins`
+    #: (`words` is `slots` with the 0 entries stripped)
+    slots: list[int] = _dc_module.field(default_factory=list)
+
+
+def _mbr_acc_stats(
+    order: list[int],
+    in_arcs: list[list[tuple[int, int, float]]],
+    alpha: np.ndarray,
+    finals: list[tuple[int, float]],
+    total: float,
+    R: list[int],
+) -> tuple[float, list[dict[int, float]]]:
+    """One forward-backward pass of the expected-edit-distance recursion
+    (Xu/Povey/Mangu/Zhu 2011, the algorithm behind Kaldi's
+    [K lat/sausages.cc] MinimumBayesRisk::AccStats).
+
+    Forward: alpha_dash[n][q] = posterior-weighted expected minimum edit
+    distance between R[:q] and the word sequences of paths start -> n.
+    Per arc (s -> n, word w) the slot recursion is
+        arc[q] = min( alpha_dash[s][q-1] + l(R[q], w),   # sub / correct
+                      alpha_dash[s][q]   + l(eps,  w),   # w inserted
+                      arc[q-1]           + l(R[q], eps)) # R[q] deleted
+    with l(a, b) = 0 if a == b else 1 (epsilon matches epsilon free), and
+    alpha_dash[n] the arc-posterior-weighted mean over incoming arcs.
+
+    Backward: unit mass enters at the final slot Q and flows back through
+    each arc's argmin choices; substitution/correct mass lands in
+    gamma[q][w], deletion mass in gamma[q][eps].  Insertion mass carries
+    no slot of R and is deliberately unassigned — R is epsilon-interleaved
+    by mbr_decode precisely so that, on the next iteration, an inserted
+    word can claim an epsilon slot as a substitution.  Each path consumes
+    every slot exactly once, so every gamma[q] sums to 1.
+
+    Returns (expected edit distance of R, gamma)."""
+    Q = len(R)
+    Rv = np.array(R, dtype=np.int64)
+    S = len(in_arcs)
+    NEG = np.float64(NEG_INF)
+    alpha_dash = np.zeros((S, Q + 1), dtype=np.float64)
+    # start: R[:q] against the empty sequence — delete every non-eps slot
+    del_cost = np.concatenate(([0.0], np.cumsum(Rv != 0).astype(np.float64)))
+    alpha_dash[0] = del_cost
+    reached = np.zeros(S, dtype=bool)
+    reached[0] = True
+
+    def arc_recursion(s: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized over q except the running-min deletion scan
+        base = alpha_dash[s]
+        sub = base[:-1] + (Rv != w)  # choice 1 at slots 1..Q
+        ins = base + (0.0 if w == 0 else 1.0)  # choice 2 at slots 0..Q
+        arc = np.empty(Q + 1, dtype=np.float64)
+        choice = np.zeros(Q + 1, dtype=np.int8)
+        arc[0] = ins[0]
+        choice[0] = 2
+        dcost = (Rv != 0).astype(np.float64)  # choice 3 cost per slot
+        for q in range(1, Q + 1):
+            c1, c2, c3 = sub[q - 1], ins[q], arc[q - 1] + dcost[q - 1]
+            if c1 <= c2 and c1 <= c3:
+                arc[q], choice[q] = c1, 1
+            elif c3 <= c2:
+                arc[q], choice[q] = c3, 3
+            else:
+                arc[q], choice[q] = c2, 2
+        return arc, choice
+
+    for n in order:
+        if n == 0 or not in_arcs[n]:
+            continue
+        acc = np.zeros(Q + 1, dtype=np.float64)
+        got = False
+        for s, w, wt in in_arcs[n]:
+            if not reached[s] or alpha[s] <= NEG:
+                continue
+            frac = np.exp(alpha[s] + wt - alpha[n])
+            arc, _ = arc_recursion(s, w)
+            acc += frac * arc
+            got = True
+        if got:
+            alpha_dash[n] = acc
+            reached[n] = True
+
+    # expected edit distance of R: posterior-weighted over final states
+    risk = 0.0
+    beta_dash = np.zeros((S, Q + 1), dtype=np.float64)
+    for s, fw in finals:
+        if not reached[s]:
+            continue
+        p = np.exp(alpha[s] + fw - total)
+        risk += p * alpha_dash[s][Q]
+        beta_dash[s][Q] += p
+
+    gamma: list[dict[int, float]] = [{} for _ in range(Q)]
+    for n in reversed(order):
+        if n == 0 or not np.any(beta_dash[n]):
+            continue
+        for s, w, wt in in_arcs[n]:
+            if not reached[s] or alpha[s] <= NEG:
+                continue
+            frac = np.exp(alpha[s] + wt - alpha[n])
+            _, choice = arc_recursion(s, w)
+            mass = beta_dash[n] * frac
+            for q in range(Q, -1, -1):
+                m = mass[q]
+                if m <= 0.0:
+                    continue
+                c = choice[q]
+                if c == 1:  # sub/correct: w fills slot q
+                    g = gamma[q - 1]
+                    g[w] = g.get(w, 0.0) + m
+                    beta_dash[s][q - 1] += m
+                elif c == 3:  # deletion: slot q goes to epsilon
+                    g = gamma[q - 1]
+                    g[0] = g.get(0, 0.0) + m
+                    mass[q - 1] += m
+                else:  # insertion: w floats (no slot of R consumed)
+                    beta_dash[s][q] += m
+    # initial deletions: mass reaching the start state with q slots still
+    # pending was aligned against the empty path prefix (alpha_dash[0] is
+    # the cumulative deletion cost) — those slots all resolved to epsilon
+    for q in range(1, Q + 1):
+        m = beta_dash[0][q]
+        if m > 0.0:
+            for qq in range(q):
+                gamma[qq][0] = gamma[qq].get(0, 0.0) + m
+    return float(risk), gamma
+
+
+def mbr_decode(lat: Fst, max_iters: int = 20) -> MbrResult:
+    """Minimum-Bayes-risk decoding with confusion-network (sausage) output
+    — the lattice-mbr-decode role ([K latbin/lattice-mbr-decode.cc],
+    [K lat/sausages.cc]; Xu et al. 2011).  Minimizes EXPECTED edit
+    distance under the lattice posterior instead of picking the MAP path:
+    starting from the best path (epsilon-interleaved so insertions can
+    claim slots), each iteration aligns the whole lattice against the
+    current hypothesis R, accumulates per-slot word posteriors gamma, and
+    re-picks R[q] = argmax_w gamma[q][w] until fixed point.  The risk is
+    non-increasing across iterations.
+
+    Weights are taken as they sit on the lattice; apply rescore_lattice
+    first for LMWT scaling, as Kaldi pipes lattice-scale before
+    lattice-mbr-decode.  Slot times are not tracked (determinized lattices
+    here carry no frame identity)."""
+    if lat.num_states == 0:
+        return MbrResult([], 0.0, 0.0, [], [], [])
+    from torchain_tpu.fstkit.algorithms import _topo_order_subgraph
+
+    order = _topo_order_subgraph(lat, eps_only=False)
+    if order is None:
+        raise ValueError("mbr_decode requires an acyclic lattice")
+    S = lat.num_states
+    in_arcs: list[list[tuple[int, int, float]]] = [[] for _ in range(S)]
+    for s, a in lat.all_arcs():
+        in_arcs[a.dst].append((s, a.label, a.weight))
+    alpha = np.array(
+        shortest_distance(lat, reverse_dir=False, semiring="log"),
+        dtype=np.float64,
+    )
+    bwd = shortest_distance(lat, reverse_dir=True, semiring="log")
+    total = float(bwd[0])
+    finals = [
+        (s, lat.final(s)) for s in range(S) if lat.is_final(s)
+    ]
+
+    best, _ = lattice_best_path(lat)
+
+    def interleave(words: list[int]) -> list[int]:
+        R = [0]
+        for w in words:
+            R.extend((w, 0))
+        return R
+
+    R = interleave(best)
+    risk, gamma = _mbr_acc_stats(order, in_arcs, alpha, finals, total, R)
+    map_risk = risk
+    for _ in range(max_iters):
+        newR = [max(g.items(), key=lambda kv: kv[1])[0] if g else 0 for g in gamma]
+        # re-interleave so adjacent words keep an insertion slot between them
+        newR = interleave([w for w in newR if w != 0])
+        if newR == R:
+            break
+        new_risk, new_gamma = _mbr_acc_stats(
+            order, in_arcs, alpha, finals, total, newR
+        )
+        if new_risk > risk + 1e-9:  # safety: never accept a worse hypothesis
+            break
+        R, risk, gamma = newR, new_risk, new_gamma
+    words = [w for w in R if w != 0]
+    confidences = [
+        gamma[q][R[q]] for q in range(len(R)) if R[q] != 0
+    ]
+    return MbrResult(words, risk, map_risk, gamma, confidences, R)
 
 
 # ---------------------------------------------------------------------------
