@@ -282,3 +282,20 @@ def test_confidence_out_requires_mbr(word_files):
                 "--confidence-out", "/dev/null",
             ]
         )
+
+
+def test_oracle_error_rate(word_files):
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--oracle",
+        ]
+    )
+    # the reference path survives the beam on peaked posteriors
+    assert res["oracle_wer"] == 0.0
+    assert res["wer"] == 0.0

@@ -278,3 +278,38 @@ class TestMbrDecode:
         res = mbr_decode(lat)
         assert len(res.words) == 1
         assert res.risk == pytest.approx(0.75, abs=1e-9)
+
+
+class TestLatticeOracle:
+    def test_matches_brute_force_minimum(self):
+        from torchain_tpu.eval import lattice_oracle
+
+        for seed in range(5):
+            graph, y = _decode_fixture(seed=40 + seed, T=7)
+            lat = determinize_lattice(lattice_decode(graph, y, beam=6.0))
+            path_posts, _ = _path_posteriors(lat)
+            rng = np.random.default_rng(seed)
+            ref = list(map(int, rng.integers(1, 5, size=4)))
+            hyp, dist = lattice_oracle(lat, ref)
+            bf = min(edit_distance(list(ref), list(s))[-1] for s, _ in path_posts)
+            assert dist == bf
+            # the oracle hypothesis achieves its reported distance and is
+            # a label sequence of the lattice
+            assert edit_distance(ref, hyp)[-1] == dist
+            assert tuple(hyp) in {s for s, _ in path_posts}
+
+    def test_perfect_when_ref_in_lattice(self):
+        from torchain_tpu.eval import lattice_oracle
+
+        lat = _sausage_lattice([([1, 2, 3], 0.0), ([2, 2], -1.0)])
+        hyp, dist = lattice_oracle(lat, [2, 2])
+        assert dist == 0 and hyp == [2, 2]
+        hyp, dist = lattice_oracle(lat, [1, 3])
+        assert dist == 1 and hyp == [1, 2, 3]
+
+    def test_empty_ref(self):
+        from torchain_tpu.eval import lattice_oracle
+
+        lat = _sausage_lattice([([1, 2], 0.0), ([3], -0.5)])
+        hyp, dist = lattice_oracle(lat, [])
+        assert dist == 1 and hyp == [3]  # all-insertions: shortest path

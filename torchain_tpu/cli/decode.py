@@ -85,6 +85,11 @@ def build_argparser():
         "(lattice-copy ark,t: format, graph/acoustic cost pairs)",
     )
     p.add_argument("--ref", help="reference transcripts for WER/PER scoring")
+    p.add_argument(
+        "--oracle", action="store_true",
+        help="with --ref: also report the lattice ORACLE error rate "
+        "(lattice-oracle role — best achievable over all lattice paths)",
+    )
     return p
 
 
@@ -185,6 +190,8 @@ def main(argv=None) -> dict:
         raise SystemExit("--lm-rescore-old needs --lm-rescore")
     if args.confidence_out and not args.mbr:
         raise SystemExit("--confidence-out needs --mbr")
+    if args.oracle and not args.ref:
+        raise SystemExit("--oracle needs --ref")
 
     hyps: dict[str, list[int]] = {}
     nbests: dict[str, list] = {}
@@ -195,6 +202,7 @@ def main(argv=None) -> dict:
         or args.nbest > 0
         or bool(args.lattice_out)
         or args.mbr
+        or args.oracle
         or rescore_g is not None
     )
     for utt, ll in posts.items():
@@ -304,6 +312,13 @@ def main(argv=None) -> dict:
             result["best_lmwt"] = best_lmwt
         else:
             score = wer([refs[u] for u in common], [hyps[u] for u in common])
+        if args.oracle:
+            from torchain_tpu.eval import lattice_oracle
+
+            edits = sum(lattice_oracle(lats[u], refs[u])[1] for u in common)
+            ref_words = sum(len(refs[u]) for u in common)
+            result["oracle_wer"] = round(100.0 * edits / max(ref_words, 1), 4)
+            print(f"# oracle {label} {result['oracle_wer']:.2f}%", file=sys.stderr)
         result.update(score)
 
     if args.confidence_out:

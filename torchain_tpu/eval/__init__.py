@@ -22,6 +22,7 @@ from torchain_tpu.eval.lattice import (
     lattice_best_path,
     lattice_decode,
     lattice_nbest,
+    lattice_oracle,
     lattice_to_text,
     lmrescore_lattice,
     mbr_decode,
@@ -46,6 +47,7 @@ __all__ = [
     "lattice_best_path",
     "lattice_decode",
     "lattice_nbest",
+    "lattice_oracle",
     "lattice_to_text",
     "lmrescore_lattice",
     "mbr_decode",

@@ -674,6 +674,71 @@ def mbr_decode(lat: Fst, max_iters: int = 20) -> MbrResult:
     return MbrResult(words, risk, map_risk, gamma, confidences, R)
 
 
+def lattice_oracle(lat: Fst, ref: list[int]) -> tuple[list[int], int]:
+    """Oracle (minimum-achievable) edit distance of the lattice against a
+    reference — the lattice-oracle role ([K latbin/lattice-oracle.cc],
+    steps' oracle WER diagnostic): how good the best path IN the lattice
+    is, regardless of scores.  Dynamic program over (lattice state, ref
+    position) in the edit-distance tropical semiring; label arcs may match
+    (0), substitute (1), or be insertions (1); ref symbols may be deleted
+    (1); epsilon arcs are free.
+
+    Returns (oracle_hypothesis, oracle_edit_distance)."""
+    if lat.num_states == 0:
+        return [], len(ref)
+    from torchain_tpu.fstkit.algorithms import _topo_order_subgraph
+
+    order = _topo_order_subgraph(lat, eps_only=False)
+    if order is None:
+        raise ValueError("lattice_oracle requires an acyclic lattice")
+    Q = len(ref)
+    INF = 1 << 30
+    S = lat.num_states
+    # cost[s][q] = min edits aligning ref[:q] with some path start -> s;
+    # back[(s, q)] = (prev_state, prev_q, emitted_label_or_None)
+    cost = np.full((S, Q + 1), INF, dtype=np.int64)
+    back: dict[tuple[int, int], tuple[int, int, int | None]] = {}
+    cost[0][0] = 0
+    for s in order:
+        # settle the deletion chain at s BEFORE expanding its out-arcs
+        # (topological order guarantees all in-arc contributions arrived)
+        for q in range(1, Q + 1):
+            if cost[s][q - 1] + 1 < cost[s][q]:
+                cost[s][q] = cost[s][q - 1] + 1
+                back[(s, q)] = (s, q - 1, None)
+        for a in lat.arcs(s):
+            for q in range(Q + 1):
+                c = int(cost[s][q])
+                if c >= INF:
+                    continue
+                if a.label == 0:
+                    if c < cost[a.dst][q]:  # free epsilon traversal
+                        cost[a.dst][q] = c
+                        back[(a.dst, q)] = (s, q, None)
+                else:
+                    if c + 1 < cost[a.dst][q]:  # insertion
+                        cost[a.dst][q] = c + 1
+                        back[(a.dst, q)] = (s, q, a.label)
+                    if q < Q:  # match / substitution
+                        step = 0 if a.label == ref[q] else 1
+                        if c + step < cost[a.dst][q + 1]:
+                            cost[a.dst][q + 1] = c + step
+                            back[(a.dst, q + 1)] = (s, q, a.label)
+    finals = [(int(cost[s][Q]), s) for s in range(S) if lat.is_final(s)]
+    best_cost, best_s = min(finals)
+    if best_cost >= INF:
+        raise ValueError("no accepting path aligns with the reference")
+    # traceback of the oracle path's emitted labels
+    hyp_rev: list[int] = []
+    s, q = best_s, Q
+    while (s, q) != (0, 0):
+        ps, pq, lab = back[(s, q)]
+        if lab is not None:
+            hyp_rev.append(lab)
+        s, q = ps, pq
+    return hyp_rev[::-1], int(best_cost)
+
+
 # ---------------------------------------------------------------------------
 # Kaldi lattice text interchange (lattice-copy ark,t: role)
 # ---------------------------------------------------------------------------

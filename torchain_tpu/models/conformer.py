@@ -136,15 +136,26 @@ class ConformerBlock(nn.Module):
         # attention einsum's own transpose
         qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h)
         dh = D // H
-        q = qkv[..., 0 * D : 1 * D].reshape(B, T, H, dh)
-        k = qkv[..., 1 * D : 2 * D].reshape(B, T, H, dh)
-        v = qkv[..., 2 * D : 3 * D].reshape(B, T, H, dh)
-        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / np.sqrt(D // H)
+        # one explicit transpose to head-major [B,H,T,dh] per tensor, so
+        # both attention contractions are clean batch-leading dot_generals
+        # (einsum over [B,T,H,dh] made XLA materialize a layout copy per
+        # operand per layer: ~1.4 ms/step of 'copy' ops in the r2 trace);
+        # the 1/sqrt(dh) scale folds into q (the smallest tensor), and the
+        # logits accumulate f32 IN the matmul (preferred_element_type)
+        # instead of a separate convert pass over [B,H,T,T]
+        q = qkv[..., 0 * D : 1 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        k = qkv[..., 1 * D : 2 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        v = qkv[..., 2 * D : 3 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+        q = q * float(1.0 / np.sqrt(dh))  # python scalar: stays in q.dtype
+        logits = jnp.einsum(
+            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+        )
         logits = logits + bias[None]
         att = jnp.einsum(
-            "bhts,bshd->bthd", nn.softmax(logits, axis=-1).astype(v.dtype), v
+            "bhts,bhsd->bhtd", nn.softmax(logits, axis=-1).astype(v.dtype), v
         )
-        h = nn.Dense(D, dtype=cfg.dtype, name="attn_out")(att.reshape(B, T, D))
+        att = att.transpose(0, 2, 1, 3).reshape(B, T, D)
+        h = nn.Dense(D, dtype=cfg.dtype, name="attn_out")(att)
         x = x + h
 
         # convolution module
