@@ -116,3 +116,86 @@ class TestSymbolTables:
             read_text_transcripts(t, tab)
         got = read_text_transcripts(t, tab, strict=False)
         assert got == {"u1": [1, 9]}
+
+
+class TestWavIO:
+    """wav.scp front of the pipeline: PCM read/write + feature compute."""
+
+    def test_wav_roundtrip_16bit(self, tmp_path):
+        import numpy as np
+
+        from torchain_tpu.data.kaldi_compat import read_wav, write_wav
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(-32768, 32767, size=1600).astype(np.float32)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, x, 16000)
+        y, rate = read_wav(p)
+        assert rate == 16000
+        np.testing.assert_array_equal(x, y)
+
+    def test_wav_channels_and_widths(self, tmp_path):
+        import wave
+
+        import numpy as np
+
+        from torchain_tpu.data.kaldi_compat import read_wav
+
+        # stereo 16-bit: channel selection
+        left = np.arange(100, dtype="<i2")
+        right = -np.arange(100, dtype="<i2")
+        inter = np.empty(200, dtype="<i2")
+        inter[0::2], inter[1::2] = left, right
+        p = str(tmp_path / "st.wav")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(inter.tobytes())
+        y0, _ = read_wav(p, channel=0)
+        y1, _ = read_wav(p, channel=1)
+        np.testing.assert_array_equal(y0, left.astype(np.float32))
+        np.testing.assert_array_equal(y1, right.astype(np.float32))
+        # 8-bit unsigned: DC (128) maps to 0
+        p8 = str(tmp_path / "u8.wav")
+        with wave.open(p8, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes([128, 255, 0]))
+        y8, _ = read_wav(p8)
+        assert y8[0] == 0.0 and y8[1] > 0 and y8[2] < 0
+
+    def test_wav_scp_feats(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from torchain_tpu.data.features import FbankOptions, fbank
+        from torchain_tpu.data.kaldi_compat import (
+            compute_feats_from_wav_scp,
+            read_wav_scp,
+            write_wav,
+        )
+
+        rng = np.random.default_rng(1)
+        opts = FbankOptions(sample_rate=8000, num_mel_bins=10)
+        paths = {}
+        waves = {}
+        for utt in ("u1", "u2"):
+            x = np.round(rng.standard_normal(4000) * 1000).astype(np.float32)
+            p = str(tmp_path / f"{utt}.wav")
+            write_wav(p, x, 8000)
+            paths[utt] = p
+            waves[utt] = x
+        scp = str(tmp_path / "wav.scp")
+        open(scp, "w").write("".join(f"{u} {p}\n" for u, p in paths.items()))
+        assert read_wav_scp(scp) == paths
+        feats = compute_feats_from_wav_scp(scp, opts)
+        assert set(feats) == {"u1", "u2"}
+        ref = np.asarray(fbank(waves["u1"], opts))
+        np.testing.assert_allclose(feats["u1"], ref, rtol=1e-5)
+        assert feats["u1"].shape[1] == 10
+        # pipe entries are rejected loudly
+        open(scp, "a").write("u3 sox x.flac -t wav - |\n")
+        with pytest.raises(ValueError, match="command pipe"):
+            read_wav_scp(scp)

@@ -177,6 +177,120 @@ def load_kaldi_dir(
     return utts
 
 
+# ---------------------------------------------------------------------------
+# raw audio: wav files and wav.scp (the front of a Kaldi data dir)
+# ---------------------------------------------------------------------------
+#
+# A real Kaldi data dir starts from `wav.scp`; features are DERIVED
+# (compute-fbank-feats / compute-mfcc-feats, [K] src/featbin/).  With a
+# PCM reader + the in-repo fbank/mfcc (data/features.py) the whole
+# audio -> features -> egs -> training chain runs without Kaldi binaries.
+
+
+def read_wav(path: str, channel: int = 0) -> tuple[np.ndarray, int]:
+    """Read a PCM wav file with the stdlib `wave` module.
+
+    Returns (samples float32 at int16 scale — Kaldi's convention: values
+    in [-32768, 32767] regardless of source bit depth — , sample_rate).
+    Supports 8/16/24/32-bit PCM; multi-channel files yield the requested
+    channel (compute-*-feats --channel semantics, default 0)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        nch, width, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if width == 1:  # unsigned 8-bit -> centre, scale to int16 range
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) * 256.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    elif width == 3:  # packed 24-bit little-endian
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / 256.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 65536.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} in {path}")
+    if nch > 1:
+        if not 0 <= channel < nch:
+            raise ValueError(f"channel {channel} out of range for {nch}-channel {path}")
+        x = x[channel::nch]
+    return np.ascontiguousarray(x), rate
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Write mono 16-bit PCM (samples at int16 scale, clipped)."""
+    import wave
+
+    x = np.clip(np.asarray(samples, np.float32), -32768.0, 32767.0)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(x.astype("<i2").tobytes())
+
+
+def read_wav_scp(path: str) -> dict[str, str]:
+    """Parse `wav.scp` lines `utt_id /path/to/file.wav`.
+
+    Command-pipe entries (`utt sox ... |`) need a shell and external
+    tools; they are rejected with a clear error rather than silently
+    mis-read — pre-extract such sources to plain wav files first."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise ValueError(f"malformed wav.scp line: {line!r}")
+            utt, target = parts
+            if target.endswith("|"):
+                raise ValueError(
+                    f"wav.scp entry for {utt!r} is a command pipe ({target!r});"
+                    " pre-extract it to a plain wav file"
+                )
+            out[utt] = target
+    return out
+
+
+def compute_feats_from_wav_scp(
+    scp_path: str,
+    opts=None,
+    feat_type: str = "fbank",
+    channel: int = 0,
+) -> dict[str, np.ndarray]:
+    """compute-fbank-feats / compute-mfcc-feats role: wav.scp -> per-utt
+    feature matrices using the in-repo feature frontend (data/features.py,
+    Povey window + mel bank + optional DCT).  Sample rates must match
+    `opts.sample_rate` (Kaldi errors here too rather than resampling)."""
+    from torchain_tpu.data.features import FbankOptions, fbank, mfcc
+
+    if opts is None:
+        opts = FbankOptions()
+    fn = {"fbank": fbank, "mfcc": mfcc}[feat_type]
+    feats: dict[str, np.ndarray] = {}
+    for utt, path in read_wav_scp(scp_path).items():
+        samples, rate = read_wav(path, channel=channel)
+        if rate != opts.sample_rate:
+            raise ValueError(
+                f"{utt}: wav sample rate {rate} != FbankOptions.sample_rate"
+                f" {opts.sample_rate}"
+            )
+        feats[utt] = np.asarray(fn(samples, opts), dtype=np.float32)
+    return feats
+
+
 # Kaldi `tree` files (ContextDependency text format) parse into TiedTree —
 # the pdf-map import route for matching an existing Kaldi system's pdf
 # inventory (kaldi/src/tree/; see graphs/tied_tree.py for the format).
