@@ -16,6 +16,13 @@ from torchain_tpu.data.ivector import (
     train_diag_ubm,
     train_ivector_extractor,
 )
+from torchain_tpu.data.kaldi_compat import (
+    compute_feats_from_wav_scp,
+    load_kaldi_dir,
+    read_wav,
+    read_wav_scp,
+    write_wav,
+)
 from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.words import (
     WordCorpus,
@@ -55,4 +62,9 @@ __all__ = [
     "extract_ivectors_online",
     "train_diag_ubm",
     "train_ivector_extractor",
+    "load_kaldi_dir",
+    "read_wav",
+    "write_wav",
+    "read_wav_scp",
+    "compute_feats_from_wav_scp",
 ]
