@@ -20,7 +20,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from torchain_tpu.data.loader import ChainDataset, E2eChainDataset  # noqa: F401
+# ChainDataset / E2eChainDataset are re-exported lazily (module __getattr__
+# below) rather than imported here: data.kaldi_compat imports read_ark from
+# this module, so an eager import of data.loader would create a circular
+# import whenever `torchain_tpu.io` is the first module imported.
+_DATA_REEXPORTS = ("ChainDataset", "E2eChainDataset")
+
+
+def __getattr__(name: str):
+    if name in _DATA_REEXPORTS:
+        from torchain_tpu.data import loader
+
+        return getattr(loader, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def select_device(platform: str | None = None):
