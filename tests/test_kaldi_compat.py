@@ -199,3 +199,35 @@ class TestWavIO:
         open(scp, "a").write("u3 sox x.flac -t wav - |\n")
         with pytest.raises(ValueError, match="command pipe"):
             read_wav_scp(scp)
+
+    def test_wav_scp_skip_pipes(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import read_wav_scp, write_wav
+
+        p = str(tmp_path / "u1.wav")
+        write_wav(p, np.zeros(100, np.float32), 8000)
+        scp = str(tmp_path / "wav.scp")
+        open(scp, "w").write(f"u1 {p}\nu2 sph2pipe -f wav x.sph |\n")
+        with pytest.raises(ValueError, match="command pipe"):
+            read_wav_scp(scp)
+        assert read_wav_scp(scp, skip_pipes=True) == {"u1": p}
+
+    def test_write_wav_rounds_not_truncates(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import read_wav, write_wav
+
+        p = str(tmp_path / "r.wav")
+        write_wav(p, np.array([0.6, -0.6, 99.5, -99.5], np.float32), 8000)
+        x, _ = read_wav(p)
+        np.testing.assert_array_equal(x, [1.0, -1.0, 100.0, -100.0])
+
+    def test_unknown_feat_type_raises(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import (
+            compute_feats_from_wav_scp,
+            write_wav,
+        )
+
+        p = str(tmp_path / "u1.wav")
+        write_wav(p, np.zeros(4000, np.float32), 16000)
+        scp = str(tmp_path / "wav.scp")
+        open(scp, "w").write(f"u1 {p}\n")
+        with pytest.raises(ValueError, match="feat_type"):
+            compute_feats_from_wav_scp(scp, feat_type="plp")

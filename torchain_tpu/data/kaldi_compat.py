@@ -190,10 +190,13 @@ def load_kaldi_dir(
 def read_wav(path: str, channel: int = 0) -> tuple[np.ndarray, int]:
     """Read a PCM wav file with the stdlib `wave` module.
 
-    Returns (samples float32 at int16 scale — Kaldi's convention: values
-    in [-32768, 32767] regardless of source bit depth — , sample_rate).
-    Supports 8/16/24/32-bit PCM; multi-channel files yield the requested
-    channel (compute-*-feats --channel semantics, default 0)."""
+    Returns (samples float32 at int16 scale: values in [-32768, 32767]
+    regardless of source bit depth — this repo's normalization choice
+    (Kaldi's wave reader keeps raw integer magnitudes for non-16-bit PCM,
+    so exact-value feature parity with Kaldi holds for 16-bit sources;
+    other depths differ by a constant log offset that CMVN removes) —
+    and sample_rate.  Supports 8/16/24/32-bit PCM; multi-channel files
+    yield the requested channel (compute-*-feats --channel semantics)."""
     import wave
 
     with wave.open(path, "rb") as w:
@@ -237,15 +240,18 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))
-        w.writeframes(x.astype("<i2").tobytes())
+        w.writeframes(np.rint(x).astype("<i2").tobytes())
 
 
-def read_wav_scp(path: str) -> dict[str, str]:
+def read_wav_scp(path: str, skip_pipes: bool = False) -> dict[str, str]:
     """Parse `wav.scp` lines `utt_id /path/to/file.wav`.
 
     Command-pipe entries (`utt sox ... |`) need a shell and external
-    tools; they are rejected with a clear error rather than silently
-    mis-read — pre-extract such sources to plain wav files first."""
+    tools; by default they are rejected with a clear error rather than
+    silently mis-read — pre-extract such sources to plain wav files
+    first.  Real corpora often mix plain-wav and piped entries
+    (sph2pipe/sox lines); pass skip_pipes=True to consume the plain-wav
+    subset and drop the piped entries instead of failing the whole file."""
     out: dict[str, str] = {}
     with open(path) as f:
         for line in f:
@@ -256,9 +262,12 @@ def read_wav_scp(path: str) -> dict[str, str]:
                 raise ValueError(f"malformed wav.scp line: {line!r}")
             utt, target = parts
             if target.endswith("|"):
+                if skip_pipes:
+                    continue
                 raise ValueError(
                     f"wav.scp entry for {utt!r} is a command pipe ({target!r});"
-                    " pre-extract it to a plain wav file"
+                    " pre-extract it to a plain wav file, or pass"
+                    " skip_pipes=True to consume only the plain-wav entries"
                 )
             out[utt] = target
     return out
@@ -278,6 +287,10 @@ def compute_feats_from_wav_scp(
 
     if opts is None:
         opts = FbankOptions()
+    if feat_type not in ("fbank", "mfcc"):
+        raise ValueError(
+            f"unsupported feat_type {feat_type!r}: expected 'fbank' or 'mfcc'"
+        )
     fn = {"fbank": fbank, "mfcc": mfcc}[feat_type]
     feats: dict[str, np.ndarray] = {}
     for utt, path in read_wav_scp(scp_path).items():
