@@ -18,6 +18,14 @@ from torchain_tpu.fstkit.fst import (
     Fst,
     NEG_INF,
 )
+from torchain_tpu.fstkit.openfst_io import (
+    RawArc,
+    RawFst,
+    read_openfst,
+    read_openfst_raw,
+    write_openfst,
+    write_openfst_raw,
+)
 from torchain_tpu.fstkit.algorithms import (
     arcsort,
     bfs_time_sort,
@@ -36,6 +44,12 @@ __all__ = [
     "Arc",
     "Fst",
     "NEG_INF",
+    "RawArc",
+    "RawFst",
+    "read_openfst",
+    "read_openfst_raw",
+    "write_openfst",
+    "write_openfst_raw",
     "arcsort",
     "bfs_time_sort",
     "compose",
