@@ -28,5 +28,17 @@ def main():
         print(f"wrote {path} ({path.stat().st_size} bytes)")
 
 
+
+
+def make_cegs_fixture():
+    from tests.test_cegs import _golden_example
+    from torchain_tpu.data.cegs import write_cegs_ark
+
+    path = FIXTURES / "golden_cegs.ark"
+    write_cegs_ark(str(path), {"eg-golden": _golden_example()})
+    print(f"wrote {path} ({path.stat().st_size} bytes)")
+
+
 if __name__ == "__main__":
     main()
+    make_cegs_fixture()

@@ -16,6 +16,18 @@ from torchain_tpu.data.ivector import (
     train_diag_ubm,
     train_ivector_extractor,
 )
+from torchain_tpu.data.cegs import (
+    KaldiSupervision,
+    NnetChainExample,
+    NnetChainSupervision,
+    NnetIo,
+    batches_from_cegs,
+    example_to_batch,
+    iter_cegs_ark,
+    make_chain_example,
+    read_cegs_ark,
+    write_cegs_ark,
+)
 from torchain_tpu.data.kaldi_compat import (
     compute_feats_from_wav_scp,
     load_kaldi_dir,
@@ -62,6 +74,16 @@ __all__ = [
     "extract_ivectors_online",
     "train_diag_ubm",
     "train_ivector_extractor",
+    "KaldiSupervision",
+    "NnetChainExample",
+    "NnetChainSupervision",
+    "NnetIo",
+    "batches_from_cegs",
+    "example_to_batch",
+    "iter_cegs_ark",
+    "make_chain_example",
+    "read_cegs_ark",
+    "write_cegs_ark",
     "load_kaldi_dir",
     "read_wav",
     "write_wav",

@@ -195,15 +195,22 @@ def _encode_cm1(f, mat: np.ndarray) -> None:
     f.write(codes.tobytes())
 
 
-def _read_binary_record(f) -> np.ndarray:
-    """Read ONE binary record starting at the `\\x00B` marker (the byte a
-    Kaldi scp offset points at) — FM/DM/FV/DV/CM."""
-    marker = f.read(2)
-    if marker != b"\x00B":
-        raise ValueError(
-            f"not a binary ark record (marker {marker!r}); "
-            "use read_ark_text for ark,t archives"
-        )
+def _decode_cm23(f, per_elem_bytes: int) -> np.ndarray:
+    """CompressedMatrix formats 2 (uint16) and 3 (uint8): global header then
+    one linear code per element, row-major (kaldi/src/matrix/compressed-matrix.cc
+    kTwoByte / kOneByte)."""
+    min_v, rng, rows, cols = _struct.unpack("<ffii", f.read(16))
+    dt = "<u2" if per_elem_bytes == 2 else np.uint8
+    scale = 65535.0 if per_elem_bytes == 2 else 255.0
+    data = np.frombuffer(f.read(rows * cols * per_elem_bytes), dtype=dt)
+    vals = min_v + rng * data.astype(np.float64) / scale
+    return vals.reshape(rows, cols).astype(np.float32)
+
+
+def read_kaldi_matrix_binary(f) -> np.ndarray:
+    """Read one Kaldi binary matrix/vector BODY (token + payload, no `\\x00B`
+    marker) — FM/DM/FV/DV/CM/CM2/CM3.  This is the form nnet3 examples embed
+    (GeneralMatrix::Write, kaldi/src/matrix/)."""
     token = bytearray()
     ch = f.read(1)
     while ch not in (b" ", b""):
@@ -224,7 +231,23 @@ def _read_binary_record(f) -> np.ndarray:
         return np.frombuffer(f.read(n), dtype=dt).astype(np.float32)
     if tok == "CM":
         return _decode_cm1(f)
+    if tok == "CM2":
+        return _decode_cm23(f, 2)
+    if tok == "CM3":
+        return _decode_cm23(f, 1)
     raise ValueError(f"unsupported binary ark token {tok!r}")
+
+
+def _read_binary_record(f) -> np.ndarray:
+    """Read ONE binary record starting at the `\\x00B` marker (the byte a
+    Kaldi scp offset points at) — FM/DM/FV/DV/CM/CM2/CM3."""
+    marker = f.read(2)
+    if marker != b"\x00B":
+        raise ValueError(
+            f"not a binary ark record (marker {marker!r}); "
+            "use read_ark_text for ark,t archives"
+        )
+    return read_kaldi_matrix_binary(f)
 
 
 def read_ark_binary(path: str) -> dict[str, np.ndarray]:
