@@ -282,3 +282,86 @@ class TestLatticeTextInterchange:
 
         with pytest.raises(FileNotFoundError):
             read_lattice_ark("/nonexistent/lat.ark.txt")
+
+
+class TestLatticeBinaryInterchange:
+    @pytest.mark.parametrize("compact", [True, False])
+    def test_round_trip_preserves_components(self, tmp_path, compact):
+        from torchain_tpu.eval import (
+            read_lattice_ark_binary,
+            write_lattice_ark_binary,
+        )
+
+        graph, y = _decode_fixture(seed=8, T=6)
+        lats = {
+            "utt0": lattice_decode(graph, y, beam=8.0),
+            "utt1": lattice_decode(graph, y * 0.6, beam=8.0),
+        }
+        path = str(tmp_path / "lat.1.ark")
+        write_lattice_ark_binary(path, lats, compact=compact)
+        back = read_lattice_ark_binary(path)
+        assert set(back) == {"utt0", "utt1"}
+        for utt, lat in lats.items():
+            got = back[utt]
+            assert got.num_arcs == lat.num_arcs
+            for (s0, a0), (s1, a1) in zip(lat.all_arcs(), got.all_arcs()):
+                assert (s0, a0.label, a0.dst) == (s1, a1.label, a1.dst)
+                assert a1.weight == pytest.approx(a0.weight, abs=1e-5)
+                assert a1.weight2 == pytest.approx(a0.weight2, abs=1e-5)
+            p0, s0 = lattice_best_path(rescore_lattice(lat, lm_scale=5.0))
+            p1, s1 = lattice_best_path(rescore_lattice(got, lm_scale=5.0))
+            assert p0 == p1 and s0 == pytest.approx(s1, abs=1e-4)
+
+    def test_binary_equals_text_semantics(self, tmp_path):
+        from torchain_tpu.eval import (
+            read_lattice_ark,
+            read_lattice_ark_binary,
+            write_lattice_ark,
+            write_lattice_ark_binary,
+        )
+
+        graph, y = _decode_fixture(seed=9, T=5)
+        lats = {"u": lattice_decode(graph, y, beam=8.0)}
+        bt = str(tmp_path / "lat.txt")
+        bb = str(tmp_path / "lat.ark")
+        write_lattice_ark(bt, lats)
+        write_lattice_ark_binary(bb, lats)
+        t = read_lattice_ark(bt)["u"]
+        b = read_lattice_ark_binary(bb)["u"]
+        assert t.num_arcs == b.num_arcs
+        for (_, a0), (_, a1) in zip(t.all_arcs(), b.all_arcs()):
+            assert a0.label == a1.label
+            assert a1.weight == pytest.approx(a0.weight, abs=1e-5)
+
+    def test_compact_arctype_in_header(self, tmp_path):
+        from torchain_tpu.eval import write_lattice_ark_binary
+        from torchain_tpu.fstkit.openfst_io import read_fst_stream
+
+        graph, y = _decode_fixture(seed=10, T=4)
+        path = str(tmp_path / "lat.ark")
+        write_lattice_ark_binary(path, {"u": lattice_decode(graph, y, beam=8.0)})
+        with open(path, "rb") as f:
+            assert f.read(2) == b"u "
+            assert f.read(2) == b"\x00B"
+            raw = read_fst_stream(f)
+        assert raw.arctype == "compactlattice44"
+        assert raw.fsttype == "vector"
+
+    def test_mbr_and_determinize_consume_binary_lattice(self, tmp_path):
+        from torchain_tpu.eval import (
+            read_lattice_ark_binary,
+            write_lattice_ark_binary,
+        )
+        from torchain_tpu.eval.lattice import determinize_lattice, mbr_decode
+
+        graph, y = _decode_fixture(seed=11, T=6)
+        lat = lattice_decode(graph, y, beam=10.0)
+        path = str(tmp_path / "lat.ark")
+        write_lattice_ark_binary(path, {"u": lat})
+        got = read_lattice_ark_binary(path)["u"]
+        det0 = determinize_lattice(lat)
+        det1 = determinize_lattice(got)
+        assert det0.num_arcs == det1.num_arcs
+        m0 = mbr_decode(lat)
+        m1 = mbr_decode(got)
+        assert m0.words == m1.words

@@ -27,9 +27,11 @@ from torchain_tpu.eval.lattice import (
     lmrescore_lattice,
     mbr_decode,
     read_lattice_ark,
+    read_lattice_ark_binary,
     rescore_lattice,
     score_sweep,
     write_lattice_ark,
+    write_lattice_ark_binary,
 )
 from torchain_tpu.eval.wer import edit_distance, wer
 
@@ -52,9 +54,11 @@ __all__ = [
     "lmrescore_lattice",
     "mbr_decode",
     "read_lattice_ark",
+    "read_lattice_ark_binary",
     "rescore_lattice",
     "score_sweep",
     "write_lattice_ark",
+    "write_lattice_ark_binary",
     "edit_distance",
     "wer",
 ]

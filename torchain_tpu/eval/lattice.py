@@ -877,3 +877,85 @@ def read_lattice_ark(path_or_text: str) -> dict[str, Fst]:
             raise ValueError(f"unparseable lattice line {line!r}")
     flush()
     return out
+
+# ---------------------------------------------------------------------------
+# Kaldi BINARY lattice interchange (lattice-copy default ark: role)
+# ---------------------------------------------------------------------------
+#
+# A real Kaldi decode dir ships lat.N.gz as BINARY CompactLattice archives:
+# records of `key ' ' \x00B <OpenFst binary>` with arc type compactlattice44
+# (CompactLatticeWeight = (graph_cost, acoustic_cost) + an int32 transition-id
+# alignment string) or lattice4 for non-compact Lattices
+# (kaldi/src/lat/kaldi-lattice.cc WriteCompactLattice/ReadCompactLattice).
+# The fstkit mapping mirrors lattice_to_text: weight = -(graph + acoustic)
+# log-prob, weight2 = -acoustic; alignment strings are not modeled by this
+# repo's lattices and are written empty / dropped on read (Kaldi scoring
+# ignores them; lattice-align-words would need them).
+
+
+def write_lattice_ark_binary(
+    path: str, lats: "dict[str, Fst]", compact: bool = True
+) -> None:
+    """Write a binary Kaldi lattice archive (CompactLattice by default, the
+    `lattice-copy ark:` output form; compact=False writes Lattice/lattice4).
+
+    This repo's lattices are acceptors over word ids, so ilabel == olabel
+    is written — the CompactLattice convention exactly (words on both
+    sides), and for Lattice the transducer input side (transition-ids) is
+    not available, as documented above."""
+    from torchain_tpu.fstkit.openfst_io import from_fstkit, write_fst_stream
+
+    arctype = "compactlattice44" if compact else "lattice4"
+    with open(path, "wb") as f:
+        for utt, lat in lats.items():
+            if " " in utt:
+                raise ValueError("utterance ids must not contain spaces")
+            f.write(utt.encode() + b" \x00B")
+            write_fst_stream(f, from_fstkit(lat, arctype=arctype))
+
+
+def read_lattice_ark_binary(path: str) -> "dict[str, Fst]":
+    """Read a binary Kaldi lattice archive (CompactLattice or Lattice) back
+    into component-weighted fstkit lattices.  For Lattice records the
+    OUTPUT label (words) is kept, matching read_lattice_ark."""
+    from torchain_tpu.fstkit.openfst_io import read_fst_stream, to_fstkit
+
+    out: "dict[str, Fst]" = {}
+    with open(path, "rb") as f:
+        while True:
+            key = bytearray()
+            ch = f.read(1)
+            if not ch:
+                break
+            while ch not in (b" ", b""):
+                key.extend(ch)
+                ch = f.read(1)
+            if not key:
+                raise ValueError("malformed lattice ark: empty key")
+            marker = f.read(2)
+            if marker != b"\x00B":
+                raise ValueError(
+                    f"record {key.decode()!r} lacks the binary marker; "
+                    "use read_lattice_ark for text archives"
+                )
+            raw = read_fst_stream(f)
+            if raw.arctype not in ("lattice4", "compactlattice44"):
+                raise ValueError(
+                    f"record {key.decode()!r} has arc type {raw.arctype!r}, "
+                    "not a Kaldi lattice"
+                )
+            fst, olabels = to_fstkit(raw)
+            if raw.arctype == "lattice4":
+                # keep the word (output) side, as the text reader does
+                relabeled = Fst()
+                relabeled.add_states(fst.num_states)
+                k = 0
+                for s in range(fst.num_states):
+                    for a in fst.arcs(s):
+                        relabeled.add_arc(s, olabels[k], a.weight, a.dst, a.weight2)
+                        k += 1
+                    if fst.is_final(s):
+                        relabeled.set_final(s, fst.final(s), fst.final2(s))
+                fst = relabeled
+            out[key.decode()] = fst
+    return out
