@@ -214,3 +214,219 @@ int tt_viterbi_decode_active(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Active-token LATTICE generation (latgen-faster-mapped role: produce the
+// pruned hypothesis graph at decode speed, kaldi/src/decoder/
+// lattice-faster-decoder.cc).  Semantics match the numpy reference
+// (torchain_tpu/eval/lattice.py lattice_decode): the lattice is the
+// time-unrolled subgraph of (frame, state) tokens within `beam` of each
+// frame's Viterbi best (plus an optional max_active nth-best cutoff the
+// numpy path doesn't have), arcs carrying (graph+acoustic, acoustic)
+// two-component weights and graph output labels, frame-T survivors final.
+// Trimmed to reachable+coreachable states natively so Python receives a
+// connected lattice.  Two-call ABI: decode -> counts + opaque handle,
+// fetch -> arrays, free.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TtLattice {
+  int32_t num_states = 0;
+  std::vector<int32_t> arc_src, arc_dst, arc_olabel;
+  std::vector<float> arc_w, arc_am;
+  std::vector<int32_t> final_state;
+  std::vector<float> final_w;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle (free with tt_lattice_free) or nullptr on
+// failure (*err receives a nonzero code).  Arcs are SRC-sorted CSR as in
+// tt_viterbi_decode_active.
+void* tt_lattice_decode(
+    int num_states, int num_arcs, int num_pdfs, int num_frames,
+    const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
+    const float* weight, const int32_t* olabel, const float* final_logw,
+    const float* loglikes,  // [T, P] row-major
+    float beam, int max_active, int use_final,
+    int32_t* out_num_states, int32_t* out_num_arcs, int32_t* out_num_finals,
+    int32_t* err) {
+  *err = 0;
+  if (num_states <= 0 || num_arcs <= 0 || num_frames <= 0) { *err = 1; return nullptr; }
+  const int S = num_states, T = num_frames, P = num_pdfs;
+
+  // forward pass: per-frame active token lists + scores (kept for all
+  // frames -- O(total live tokens), the lattice needs them anyway)
+  std::vector<std::vector<int32_t>> frame_active(T + 1);
+  std::vector<double> score(S, kNegInf), nscore(S, kNegInf);
+  std::vector<int32_t> stamp(S, -1), nactive;
+  frame_active[0].push_back(0);
+  score[0] = 0.0;
+
+  std::vector<double> cand;
+  for (int t = 0; t < T; ++t) {
+    const float* ll = loglikes + static_cast<size_t>(t) * P;
+    nactive.clear();
+    double best = kNegInf;
+    for (int32_t s : frame_active[t]) {
+      const double ts = score[s];
+      for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
+        const double sc = ts + weight[a] + ll[pdf[a]];
+        const int32_t d = dst[a];
+        if (stamp[d] != t) {
+          stamp[d] = t;
+          nscore[d] = kNegInf;
+          nactive.push_back(d);
+        }
+        if (sc > nscore[d]) {
+          nscore[d] = sc;
+          if (sc > best) best = sc;
+        }
+      }
+    }
+    if (nactive.empty() || best == kNegInf) { *err = 2; return nullptr; }
+    double cutoff = best - beam;
+    if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
+      cand.clear();
+      for (int32_t s : nactive) cand.push_back(nscore[s]);
+      std::nth_element(cand.begin(), cand.begin() + (max_active - 1),
+                       cand.end(), std::greater<double>());
+      cutoff = std::max(cutoff, cand[max_active - 1]);
+    }
+    auto& act = frame_active[t + 1];
+    for (int32_t s : nactive) {
+      if (nscore[s] >= cutoff) {
+        act.push_back(s);
+        score[s] = nscore[s];
+      }
+    }
+  }
+
+  // emission pass: arcs between surviving tokens of consecutive frames.
+  // Lattice ids are per (frame, state): next-frame survivors get ids up
+  // front each frame (every survivor has an in-arc by construction), then
+  // the id arrays swap — a state alive in consecutive frames keeps two
+  // distinct ids, as the time-unrolled lattice requires.  live_stamp[d]
+  // marks survival of d at the current TARGET frame.
+  auto lat = new TtLattice();
+  std::vector<int32_t> live_stamp(S, -1);
+  std::vector<int32_t> cur_lid(S, -1), nxt_lid(S, -1);
+  cur_lid[0] = lat->num_states++;  // state 0 = (frame 0, graph start)
+  for (int t = 0; t < T; ++t) {
+    const float* ll = loglikes + static_cast<size_t>(t) * P;
+    for (int32_t s : frame_active[t + 1]) {
+      live_stamp[s] = t;
+      nxt_lid[s] = lat->num_states++;
+    }
+    for (size_t i = 0; i < frame_active[t].size(); ++i) {
+      const int32_t s = frame_active[t][i];
+      const int32_t sid = cur_lid[s];
+      for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
+        const int32_t d = dst[a];
+        if (live_stamp[d] != t) continue;
+        const double am = ll[pdf[a]];
+        lat->arc_src.push_back(sid);
+        lat->arc_dst.push_back(nxt_lid[d]);
+        lat->arc_olabel.push_back(olabel[a]);
+        lat->arc_w.push_back(static_cast<float>(weight[a] + am));
+        lat->arc_am.push_back(static_cast<float>(am));
+      }
+    }
+    std::swap(cur_lid, nxt_lid);
+  }
+
+  // finals: frame-T survivors; graph final weights if any reachable,
+  // else weight-0 fallback (numpy lattice_decode's exact behavior)
+  bool any_final = false;
+  if (use_final) {
+    for (int32_t s : frame_active[T])
+      if (final_logw[s] != kNegInf) { any_final = true; break; }
+  }
+  for (int32_t s : frame_active[T]) {
+    if (use_final && any_final) {
+      if (final_logw[s] == kNegInf) continue;
+      lat->final_state.push_back(cur_lid[s]);
+      lat->final_w.push_back(final_logw[s]);
+    } else {
+      lat->final_state.push_back(cur_lid[s]);
+      lat->final_w.push_back(0.0f);
+    }
+  }
+  if (lat->final_state.empty()) { delete lat; *err = 3; return nullptr; }
+
+  // trim: keep states reachable from 0 AND co-reachable from a final.
+  // Arcs were emitted in frame order, so one forward and one reverse
+  // sweep over the arc list settle both reachabilities.
+  const int32_t L = lat->num_states;
+  const size_t NA = lat->arc_src.size();
+  std::vector<uint8_t> reach(L, 0), coreach(L, 0);
+  reach[0] = 1;
+  for (size_t i = 0; i < NA; ++i)
+    if (reach[lat->arc_src[i]]) reach[lat->arc_dst[i]] = 1;
+  for (size_t i = 0; i < lat->final_state.size(); ++i)
+    coreach[lat->final_state[i]] = 1;
+  for (size_t i = NA; i-- > 0;)
+    if (coreach[lat->arc_dst[i]]) coreach[lat->arc_src[i]] = 1;
+  std::vector<int32_t> remap(L, -1);
+  int32_t nkeep = 0;
+  for (int32_t s = 0; s < L; ++s)
+    if (reach[s] && coreach[s]) remap[s] = nkeep++;
+  if (remap[0] != 0) { delete lat; *err = 3; return nullptr; }
+  size_t na_keep = 0;
+  for (size_t i = 0; i < NA; ++i) {
+    const int32_t s = remap[lat->arc_src[i]], d = remap[lat->arc_dst[i]];
+    if (s < 0 || d < 0) continue;
+    lat->arc_src[na_keep] = s;
+    lat->arc_dst[na_keep] = d;
+    lat->arc_olabel[na_keep] = lat->arc_olabel[i];
+    lat->arc_w[na_keep] = lat->arc_w[i];
+    lat->arc_am[na_keep] = lat->arc_am[i];
+    ++na_keep;
+  }
+  lat->arc_src.resize(na_keep);
+  lat->arc_dst.resize(na_keep);
+  lat->arc_olabel.resize(na_keep);
+  lat->arc_w.resize(na_keep);
+  lat->arc_am.resize(na_keep);
+  size_t nf_keep = 0;
+  for (size_t i = 0; i < lat->final_state.size(); ++i) {
+    const int32_t s = remap[lat->final_state[i]];
+    if (s < 0) continue;
+    lat->final_state[nf_keep] = s;
+    lat->final_w[nf_keep] = lat->final_w[i];
+    ++nf_keep;
+  }
+  lat->final_state.resize(nf_keep);
+  lat->final_w.resize(nf_keep);
+  lat->num_states = nkeep;
+
+  *out_num_states = lat->num_states;
+  *out_num_arcs = static_cast<int32_t>(na_keep);
+  *out_num_finals = static_cast<int32_t>(nf_keep);
+  return lat;
+}
+
+int tt_lattice_fetch(void* handle, int32_t* arc_src, int32_t* arc_dst,
+                     int32_t* arc_olabel, float* arc_w, float* arc_am,
+                     int32_t* final_state, float* final_w) {
+  if (!handle) return 1;
+  auto* lat = static_cast<TtLattice*>(handle);
+  const size_t NA = lat->arc_src.size(), NF = lat->final_state.size();
+  std::memcpy(arc_src, lat->arc_src.data(), NA * sizeof(int32_t));
+  std::memcpy(arc_dst, lat->arc_dst.data(), NA * sizeof(int32_t));
+  std::memcpy(arc_olabel, lat->arc_olabel.data(), NA * sizeof(int32_t));
+  std::memcpy(arc_w, lat->arc_w.data(), NA * sizeof(float));
+  std::memcpy(arc_am, lat->arc_am.data(), NA * sizeof(float));
+  std::memcpy(final_state, lat->final_state.data(), NF * sizeof(int32_t));
+  std::memcpy(final_w, lat->final_w.data(), NF * sizeof(float));
+  return 0;
+}
+
+void tt_lattice_free(void* handle) {
+  delete static_cast<TtLattice*>(handle);
+}
+
+}  // extern "C"

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--utts", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--beam", type=float, default=16.0)
+    ap.add_argument("--lattice-beam", type=float, default=8.0)
     ap.add_argument("--max-active", type=int, default=7000)
     args = ap.parse_args()
 
@@ -127,6 +128,35 @@ def main():
         res = wer(wc.transcripts, hyps)
         out[f"{backend}_rtf"] = round(audio_s / dt, 1)
         out[f"{backend}_wer"] = round(res["wer"], 2)
+
+    # lattice GENERATION (latgen-faster-mapped's defining behavior): full
+    # pruned lattices at decode speed, then best-path words off the lattice
+    from torchain_tpu.eval.lattice import lattice_best_path, lattice_decode
+
+    for backend in ("native", "numpy"):
+        hyps = []
+        arcs_total = 0
+        kw = {"max_active": args.max_active} if backend == "native" else {}
+        t0 = time.perf_counter()
+        for y in posts:
+            lat = lattice_decode(
+                g, y, beam=args.lattice_beam, backend=backend, **kw
+            )
+            arcs_total += lat.num_arcs
+        dt = time.perf_counter() - t0
+        out[f"lat_{backend}_rtf"] = round(audio_s / dt, 1)
+        out[f"lat_{backend}_arcs"] = arcs_total
+        if backend == "native":
+            t0 = time.perf_counter()
+            for y, ref in zip(posts, wc.transcripts):
+                lat = lattice_decode(
+                    g, y, beam=args.lattice_beam, backend="native", **kw
+                )
+                hyps.append(lattice_best_path(lat)[0])
+            dt = time.perf_counter() - t0
+            res = wer(wc.transcripts, hyps)
+            out["lat_native_bestpath_rtf"] = round(audio_s / dt, 1)
+            out["lat_native_wer"] = round(res["wer"], 2)
     print(json.dumps(out))
 
 

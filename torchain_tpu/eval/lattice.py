@@ -35,10 +35,36 @@ def lattice_decode(
     beam: float = 10.0,
     use_final: bool = True,
     phone_bonus: float = 0.0,
+    max_active: int = 0,
+    backend: str = "auto",  # auto | native | numpy
 ) -> Fst:
     """Returns the pruned lattice as an acyclic Fst over PHONE labels
     (0 = epsilon on non-entry arcs); weights are graph + acoustic scores.
-    State 0 is the start; frame-T survivors carry final weights."""
+    State 0 is the start; frame-T survivors carry final weights.
+
+    `backend="auto"` uses the native active-token generator
+    (csrc/decoder.cc tt_lattice_decode — latgen-faster-mapped's defining
+    behavior, lattices at decode speed) and falls back to this numpy
+    reference when the toolchain is unavailable.  `max_active` caps the
+    per-frame frontier Kaldi-style (native path only; 0 = unlimited —
+    the numpy path predates it and stays the equal-beam reference)."""
+    if backend in ("auto", "native"):
+        from torchain_tpu.eval.native import native_lattice
+
+        lat = native_lattice(
+            graph,
+            np.asarray(loglikes, np.float32),
+            beam=beam,
+            max_active=max_active,
+            use_final=use_final,
+            phone_bonus=phone_bonus,
+        )
+        if lat is not None:
+            return lat
+        if backend == "native":
+            raise RuntimeError("native decoder library unavailable")
+    if max_active:
+        raise ValueError("max_active requires the native backend")
     if phone_bonus != 0.0:
         import dataclasses as _dc
 
