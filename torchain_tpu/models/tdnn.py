@@ -24,20 +24,23 @@ import jax
 import jax.numpy as jnp
 
 
-def continuous_dropout(mod: nn.Module, x, rate, train: bool):
+def continuous_dropout(mod: nn.Module, x, rate, train: bool, time_axis: int = 1):
     """Kaldi's dropout-per-dim-continuous (the chain-recipe dropout,
     [K] nnet-simple-component.cc DropoutComponent continuous mode):
     multiply each CHANNEL by a value uniform in [1-2p, 1+2p], shared
     across time within an utterance.  Expectation is exactly 1, so there
     is no train/eval rescale, p=0 is an exact identity, and a SCHEDULED
     rate can be passed as a traced scalar without recompilation —
-    the TPU-friendly realization of Kaldi's --trainer.dropout-schedule."""
+    the TPU-friendly realization of Kaldi's --trainer.dropout-schedule.
+
+    `time_axis` names the axis the mask is shared over (1 for [B, T, C]
+    activations, 0 for the time-major [T, B, C] trunk layout)."""
     if not train or rate is None or not mod.has_rng("dropout"):
         return x
     rng = mod.make_rng("dropout")
-    u = jax.random.uniform(
-        rng, (x.shape[0], 1, x.shape[-1]), x.dtype, -1.0, 1.0
-    )
+    shape = list(x.shape)
+    shape[time_axis] = 1
+    u = jax.random.uniform(rng, tuple(shape), x.dtype, -1.0, 1.0)
     return x * (1.0 + 2.0 * jnp.asarray(rate, x.dtype) * u)
 
 
@@ -125,15 +128,24 @@ class _TapDot(nn.Module):
     """A width-2 dilated 1-D 'conv' as two strided-slice matmuls.
 
     Parameter-compatible with nn.Conv (kernel [2, in, out], optional bias
-    [out]) but lowered as dot_general on MXU-friendly [B*T, C] operands:
+    [out]) but lowered as dot_general on MXU-friendly [rows, C] operands:
     measured on v5e, XLA's conv_general_dilated lowering of the same layer
-    leaves ~2x on the table at TDNN-F shapes (BENCH_NOTES round 2)."""
+    leaves ~2x on the table at TDNN-F shapes (BENCH_NOTES round 2).
+
+    `time_axis=0` expects the time-major [T, B, C] trunk layout: the
+    time-shift slices then act on the OUTERMOST (untiled) dim, which the
+    TPU emitter fuses into the matmul operands instead of materializing
+    shifted copies of the [.., 768]-wide activation — the round-2 trunk
+    remainder ("backward pad-scatters of strided slices", BENCH_NOTES) was
+    exactly these copies under the [B, T, C] layout (time = tiled middle
+    dim, so every shift misaligns the (8, 128) tiling)."""
 
     features: int
     dilation: int = 1
     stride: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    time_axis: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -148,9 +160,13 @@ class _TapDot(nn.Module):
             jnp.float32,
         ).astype(self.dtype)
         d, s = self.dilation, self.stride
-        t_out = (x.shape[1] - d - 1) // s + 1
-        lag = x[:, 0 : (t_out - 1) * s + 1 : s]
-        now = x[:, d : d + (t_out - 1) * s + 1 : s]
+        t_out = (x.shape[self.time_axis] - d - 1) // s + 1
+        if self.time_axis == 0:
+            lag = x[0 : (t_out - 1) * s + 1 : s]
+            now = x[d : d + (t_out - 1) * s + 1 : s]
+        else:
+            lag = x[:, 0 : (t_out - 1) * s + 1 : s]
+            now = x[:, d : d + (t_out - 1) * s + 1 : s]
         y = jnp.dot(lag, kernel[0]) + jnp.dot(now, kernel[1])
         if self.use_bias:
             bias = self.param(
@@ -173,6 +189,8 @@ class TdnnfLayer(nn.Module):
     dtype: Any = jnp.float32
     #: "dot" = strided-slice matmuls (TPU default), "conv" = nn.Conv
     impl: str = "dot"
+    #: axis carrying time; 0 = time-major trunk (see _TapDot)
+    time_axis: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rate=None):
@@ -185,6 +203,7 @@ class TdnnfLayer(nn.Module):
                 stride=self.stride,
                 use_bias=False,
                 dtype=self.dtype,
+                time_axis=self.time_axis,
                 name="linear_pre",
             )(x)
             # second factor: kernel covers (t, t + d)
@@ -192,6 +211,7 @@ class TdnnfLayer(nn.Module):
                 self.hidden_dim,
                 dilation=self.dilation,
                 dtype=self.dtype,
+                time_axis=self.time_axis,
                 name="affine",
             )(h)
         else:
@@ -217,12 +237,15 @@ class TdnnfLayer(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(h)
         # Kaldi tdnnf-layer order: dropout after batchnorm, before the
         # scaled bypass joins
-        h = continuous_dropout(self, h, dropout_rate, train)
+        ta = self.time_axis if self.impl == "dot" else 1
+        h = continuous_dropout(self, h, dropout_rate, train, time_axis=ta)
         # bypass: crop x to align with h (d left from factor 1, d right from
         # factor 2, then stride)
         d = self.dilation
-        crop = x[:, d :: self.stride, :]
-        crop = crop[:, : h.shape[1], :]
+        if ta == 0:
+            crop = x[d :: self.stride][: h.shape[0]]
+        else:
+            crop = x[:, d :: self.stride, :][:, : h.shape[1], :]
         if crop.shape[-1] == h.shape[-1]:
             h = h + self.bypass_scale * crop
         return h
@@ -244,6 +267,10 @@ class TdnnfConfig:
     #: factored-layer lowering: "dot" (strided-slice matmuls, TPU default)
     #: or "conv" (lax.conv_general_dilated) — numerically identical
     impl: str = "dot"
+    #: run the trunk time-major [T, B, C] ("dot" impl only): time-shifts
+    #: land on the untiled outermost dim, eliminating the slice copies and
+    #: backward pad-scatters of the [B, T, C] layout (BENCH_NOTES round 3)
+    time_major: bool = True
 
     def layer_geometry(self) -> list[tuple[int, int]]:
         """(dilation, stride) per tdnnf layer."""
@@ -281,6 +308,9 @@ class TDNNF(nn.Module):
         )
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(x)
+        tm = cfg.time_major and cfg.impl == "dot"
+        if tm:
+            x = jnp.transpose(x, (1, 0, 2))  # [B, T, C] -> [T, B, C]
         for i, (d, s) in enumerate(cfg.layer_geometry()):
             x = TdnnfLayer(
                 hidden_dim=cfg.hidden_dim,
@@ -289,8 +319,11 @@ class TDNNF(nn.Module):
                 stride=s,
                 dtype=cfg.dtype,
                 impl=cfg.impl,
+                time_axis=0 if tm else 1,
                 name=f"tdnnf{i}",
             )(x, train, dropout_rate)
+        if tm:
+            x = jnp.transpose(x, (1, 0, 2))
         chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
         xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
         return chain, xent
