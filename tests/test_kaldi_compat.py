@@ -231,3 +231,156 @@ class TestWavIO:
         open(scp, "w").write(f"u1 {p}\n")
         with pytest.raises(ValueError, match="feat_type"):
             compute_feats_from_wav_scp(scp, feat_type="plp")
+
+
+class TestSpeakerStructure:
+    def test_utt2spk_roundtrip_and_invert(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import (
+            read_utt2spk,
+            spk2utt_from_utt2spk,
+            write_utt2spk,
+        )
+
+        u2s = {"u2": "spkB", "u1": "spkA", "u3": "spkA"}
+        p = str(tmp_path / "utt2spk")
+        write_utt2spk(p, u2s)
+        assert read_utt2spk(p) == u2s
+        assert spk2utt_from_utt2spk(u2s) == {"spkA": ["u1", "u3"], "spkB": ["u2"]}
+
+    def test_segments_parse_and_validate(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import read_segments
+
+        p = tmp_path / "segments"
+        p.write_text("u1 rec1 0.0 1.5\nu2 rec1 1.5 3.0\nu3 rec2 0.25 0.75\n")
+        segs = read_segments(str(p))
+        assert segs["u2"] == ("rec1", 1.5, 3.0)
+        p.write_text("u1 rec1 2.0 1.0\n")
+        with pytest.raises(ValueError, match="segment times"):
+            read_segments(str(p))
+
+    def test_cmvn_stats_kaldi_layout_and_apply(self):
+        from torchain_tpu.data.kaldi_compat import (
+            apply_cmvn_stats_matrix,
+            cmvn_stats_from_feats,
+        )
+
+        rng = np.random.default_rng(2)
+        mats = [rng.normal(2.0, 3.0, size=(t, 4)) for t in (7, 11)]
+        stats = cmvn_stats_from_feats(mats)
+        # Kaldi [2, D+1] double layout: [sum|count] / [sumsq|0]
+        assert stats.shape == (2, 5) and stats.dtype == np.float64
+        cat = np.concatenate(mats)
+        assert stats[0, -1] == 18
+        np.testing.assert_allclose(stats[0, :-1], cat.sum(0))
+        np.testing.assert_allclose(stats[1, :-1], (cat**2).sum(0))
+        assert stats[1, -1] == 0
+        out = apply_cmvn_stats_matrix(cat, stats, norm_var=True)
+        np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(out.std(0), 1.0, atol=1e-4)
+        # default matches apply-cmvn --norm-vars=false: mean only
+        out = apply_cmvn_stats_matrix(cat, stats)
+        np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-5)
+        assert abs(out.std(0) - 1.0).max() > 0.1
+
+    def test_per_speaker_stats_roundtrip_binary_ark(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import (
+            apply_cmvn_by_speaker,
+            compute_cmvn_stats_per_spk,
+        )
+        from torchain_tpu.io import read_scp, write_ark_binary
+
+        rng = np.random.default_rng(3)
+        feats = {u: rng.normal(size=(10 + i, 5)).astype(np.float32) for i, u in enumerate("abcd")}
+        u2s = {"a": "s1", "b": "s1", "c": "s2", "d": "s2"}
+        stats = compute_cmvn_stats_per_spk(feats, u2s)
+        assert set(stats) == {"s1", "s2"}
+        # compute-cmvn-stats writes DM double matrices; round-trip ark,scp
+        ark = str(tmp_path / "cmvn.ark")
+        write_ark_binary(ark, stats, scp_path=str(tmp_path / "cmvn.scp"))
+        loaded = read_scp(str(tmp_path / "cmvn.scp"))
+        assert loaded["s1"].dtype == np.float64
+        np.testing.assert_array_equal(loaded["s1"], stats["s1"])
+        normed = apply_cmvn_by_speaker(feats, u2s, loaded)
+        spk_mean = np.concatenate([feats["a"], feats["b"]]).mean(0)
+        np.testing.assert_allclose(
+            normed["a"], feats["a"] - spk_mean.astype(np.float32), atol=1e-5
+        )
+        with pytest.raises(ValueError, match="missing from utt2spk"):
+            apply_cmvn_by_speaker(feats, {"a": "s1"}, loaded)
+
+    def test_load_kaldi_dir_speaker_cmvn(self, tmp_path):
+        from torchain_tpu.data.kaldi_compat import (
+            compute_cmvn_stats_per_spk,
+            write_utt2spk,
+        )
+        from torchain_tpu.io import write_ark_binary
+
+        rng = np.random.default_rng(4)
+        alis = {"u1": [(1, 10), (2, 5)], "u2": [(2, 8), (1, 8)]}
+        feats = {}
+        with MatrixWriter(str(tmp_path / "feats.ark")) as w:
+            for utt, ali in alis.items():
+                T = sum(d for _, d in ali)
+                feats[utt] = (rng.normal(size=(T, 6)) * 3 + 5).astype(np.float32)
+                w[utt] = feats[utt]
+        # text ark storage rounds to %.7g; compare against the re-read copy
+        from torchain_tpu.io import read_ark
+
+        feats = read_ark(str(tmp_path / "feats.ark"))
+        (tmp_path / "ali.txt").write_text(
+            "u1 1:10 2:5\nu2 2:8 1:8\n"
+        )
+        u2s = {"u1": "spk", "u2": "spk"}
+        write_utt2spk(str(tmp_path / "utt2spk"), u2s)
+        stats = compute_cmvn_stats_per_spk(feats, u2s)
+        write_ark_binary(
+            str(tmp_path / "cmvn.ark"), stats, scp_path=str(tmp_path / "cmvn.scp")
+        )
+        utts = load_kaldi_dir(str(tmp_path), cmvn="speaker")
+        mean = np.concatenate(list(feats.values())).mean(0)
+        np.testing.assert_allclose(
+            utts[0].feats, feats["u1"] - mean.astype(np.float32), atol=2e-4
+        )
+        # without cmvn.scp/cmvn.ark: stats accumulate from feats + utt2spk
+        (tmp_path / "cmvn.scp").unlink()
+        (tmp_path / "cmvn.ark").unlink()
+        utts2 = load_kaldi_dir(str(tmp_path), cmvn="speaker")
+        np.testing.assert_allclose(utts2[0].feats, utts[0].feats, atol=2e-4)
+        # per-utterance mode and the error path
+        utts3 = load_kaldi_dir(str(tmp_path), cmvn="utterance", norm_var=True)
+        np.testing.assert_allclose(utts3[0].feats.mean(0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(utts3[0].feats.std(0), 1.0, atol=1e-3)
+        with pytest.raises(ValueError, match="cmvn mode"):
+            load_kaldi_dir(str(tmp_path), cmvn="global")
+
+    def test_wav_scp_with_segments(self, tmp_path):
+        from torchain_tpu.data.features import FbankOptions, fbank
+        from torchain_tpu.data.kaldi_compat import (
+            compute_feats_from_wav_scp,
+            write_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        opts = FbankOptions(sample_rate=8000, num_mel_bins=8)
+        x = np.round(rng.standard_normal(16000) * 1000).astype(np.float32)
+        p = str(tmp_path / "rec1.wav")
+        write_wav(p, x, 8000)
+        scp = str(tmp_path / "wav.scp")
+        open(scp, "w").write(f"rec1 {p}\n")
+        segp = tmp_path / "segments"
+        segp.write_text("u1 rec1 0.0 1.0\nu2 rec1 1.0 2.0\n")
+        feats = compute_feats_from_wav_scp(scp, opts, segments_path=str(segp))
+        assert set(feats) == {"u1", "u2"}
+        # write_wav rounds+clips; slice the SAME stored samples for the ref
+        from torchain_tpu.data.kaldi_compat import read_wav
+
+        stored, _ = read_wav(p)
+        np.testing.assert_allclose(
+            feats["u2"], np.asarray(fbank(stored[8000:16000], opts)), rtol=1e-5
+        )
+        segp.write_text("u1 recX 0.0 1.0\n")
+        with pytest.raises(ValueError, match="not in wav.scp"):
+            compute_feats_from_wav_scp(scp, opts, segments_path=str(segp))
+        segp.write_text("u1 rec1 5.0 6.0\n")
+        with pytest.raises(ValueError, match="beyond recording"):
+            compute_feats_from_wav_scp(scp, opts, segments_path=str(segp))

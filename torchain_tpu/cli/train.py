@@ -173,6 +173,33 @@ def build_argparser() -> argparse.ArgumentParser:
         help="context window of the tied tree (triphone enables the "
         "delayed-emission right-context graph expansion)",
     )
+    p.add_argument(
+        "--wav-dir",
+        default="",
+        help="train from a RAW-AUDIO Kaldi data dir (wav.scp [+segments] "
+        "[+utt2spk], ali.txt; text/lexicon/words.txt enable the word "
+        "decode stage) — the real-corpus front; see data/synth_wav.py "
+        "for a self-contained generator",
+    )
+    p.add_argument(
+        "--cmvn",
+        choices=("none", "speaker", "utterance"),
+        default="speaker",
+        help="feature normalization for --wav-dir (apply-cmvn role; "
+        "'speaker' uses utt2spk / cmvn stats)",
+    )
+    p.add_argument(
+        "--speed-perturb",
+        action="store_true",
+        help="3-way 0.9/1.0/1.1 speed perturbation at the wav front "
+        "(perturb_data_dir_speed_3way.sh role; --wav-dir only)",
+    )
+    p.add_argument(
+        "--mbr",
+        action="store_true",
+        help="decode stage also reports MBR (sausage) word WER at the "
+        "swept best LMWT (lattice-mbr-decode role; needs --lmwt sweep)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = run epochs)")
     p.add_argument(
@@ -189,10 +216,10 @@ def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
     if args.synthetic_words:
         args.synthetic = True
-    if not args.synthetic:
+    if not args.synthetic and not args.wav_dir:
         print(
-            "Only --synthetic corpora are wired up in-round; mount a corpus "
-            "adapter under torchain_tpu/data to train on external data.",
+            "Pass --synthetic for the built-in corpus or --wav-dir for a "
+            "raw-audio Kaldi data dir.",
             file=sys.stderr,
         )
         sys.exit(2)
@@ -242,7 +269,24 @@ def main(argv=None) -> dict:
 
     t0 = time.time()
     word_corpus = None
-    if args.synthetic_words:
+    if args.wav_dir:
+        from torchain_tpu.data import load_wav_dir
+
+        print(
+            f"[stage 0] assembling corpus from raw-audio dir {args.wav_dir} "
+            f"(cmvn={args.cmvn}, speed_perturb={args.speed_perturb})"
+        )
+        word_corpus = load_wav_dir(
+            args.wav_dir,
+            cmvn=None if args.cmvn == "none" else args.cmvn,
+            speed_perturb=args.speed_perturb,
+            context_width=args.context_width,
+        )
+        corpus = word_corpus.corpus
+        args.feat_dim = corpus.feat_dim
+        if word_corpus.lexicon is None or not any(word_corpus.transcripts):
+            word_corpus = None  # no word decode without lexicon+text
+    elif args.synthetic_words:
         from torchain_tpu.data import synthetic_word_dataset
 
         print(
@@ -622,6 +666,20 @@ def main(argv=None) -> dict:
             )
             print(f"[stage 5] lmwt sweep: {by_lmwt} -> best {best_lmwt}")
             out["best_lmwt"] = best_lmwt
+            if args.mbr:
+                # lattice-mbr-decode role: minimum-Bayes-risk word sequence
+                # from the sausage, at the swept LMWT
+                from torchain_tpu.eval import mbr_decode, rescore_lattice
+
+                mhyps = [
+                    mbr_decode(
+                        rescore_lattice(l, lm_scale=float(best_lmwt))
+                    ).words
+                    for l in wlats
+                ]
+                mscore = wer(word_corpus.transcripts, mhyps)
+                print(f"[stage 5m] MBR WER {mscore['wer']:.2f}% ({mscore})")
+                out["mbr_wer"] = mscore["wer"]
         else:
             wscore = wer(word_corpus.transcripts, whyps)
         print(f"[stage 5] WER {wscore['wer']:.2f}% ({wscore})")

@@ -28,13 +28,29 @@ from torchain_tpu.data.cegs import (
     read_cegs_ark,
     write_cegs_ark,
 )
+from torchain_tpu.data.augment import (
+    perturb_alignment,
+    resample_waveform,
+    speed_perturb_wavs,
+)
 from torchain_tpu.data.kaldi_compat import (
+    apply_cmvn_by_speaker,
+    apply_cmvn_stats_matrix,
+    cmvn_stats_from_feats,
+    compute_cmvn_stats_per_spk,
     compute_feats_from_wav_scp,
+    extract_utterance_waves,
     load_kaldi_dir,
+    load_wav_dir,
+    read_segments,
+    read_utt2spk,
     read_wav,
     read_wav_scp,
+    spk2utt_from_utt2spk,
+    write_utt2spk,
     write_wav,
 )
+from torchain_tpu.data.synth_wav import make_wav_data_dir
 from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.words import (
     WordCorpus,
@@ -89,4 +105,18 @@ __all__ = [
     "write_wav",
     "read_wav_scp",
     "compute_feats_from_wav_scp",
+    "read_utt2spk",
+    "write_utt2spk",
+    "spk2utt_from_utt2spk",
+    "read_segments",
+    "cmvn_stats_from_feats",
+    "compute_cmvn_stats_per_spk",
+    "apply_cmvn_stats_matrix",
+    "apply_cmvn_by_speaker",
+    "extract_utterance_waves",
+    "load_wav_dir",
+    "make_wav_data_dir",
+    "resample_waveform",
+    "perturb_alignment",
+    "speed_perturb_wavs",
 ]

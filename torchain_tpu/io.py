@@ -223,12 +223,16 @@ def read_kaldi_matrix_binary(f) -> np.ndarray:
         dt = "<f4" if tok == "FM" else "<f8"
         n = rows * cols * (4 if tok == "FM" else 8)
         mat = np.frombuffer(f.read(n), dtype=dt).reshape(rows, cols)
-        return mat.astype(np.float32)
+        # DM keeps float64: CMVN stats (compute-cmvn-stats output) carry
+        # frame counts + raw sums whose precision double exists to protect
+        return mat.astype(np.float32 if tok == "FM" else np.float64)
     if tok in ("FV", "DV"):
         dim = _read_basic_int32(f)
         dt = "<f4" if tok == "FV" else "<f8"
         n = dim * (4 if tok == "FV" else 8)
-        return np.frombuffer(f.read(n), dtype=dt).astype(np.float32)
+        return np.frombuffer(f.read(n), dtype=dt).astype(
+            np.float32 if tok == "FV" else np.float64
+        )
     if tok == "CM":
         return _decode_cm1(f)
     if tok == "CM2":
@@ -277,7 +281,8 @@ def write_ark_binary(
     scp_path: str | None = None,
 ) -> None:
     """Write float matrices as a binary Kaldi archive (FM, or CM compressed
-    format 1 with `compress=True`) — what `copy-feats ark:... ark:...`
+    format 1 with `compress=True`; float64 input writes DM — the format
+    `compute-cmvn-stats` emits) — what `copy-feats ark:... ark:...`
     produces.  With `scp_path`, also write the offset index (the
     `ark,scp:` dual-output form): lines `utt ark_path:offset` where the
     offset points at the record's `\\x00B` marker."""
@@ -287,7 +292,9 @@ def write_ark_binary(
             for utt, mat in mats.items():
                 if " " in utt:
                     raise ValueError("utterance ids must not contain spaces")
-                mat = np.asarray(mat, dtype=np.float32)
+                mat = np.asarray(mat)
+                is_double = mat.dtype == np.float64
+                mat = mat.astype(np.float64 if is_double else np.float32)
                 if mat.ndim != 2:
                     raise ValueError("expected [T, D] matrices")
                 f.write(utt.encode() + b" ")
@@ -296,12 +303,12 @@ def write_ark_binary(
                 f.write(b"\x00B")
                 if compress:
                     f.write(b"CM ")
-                    _encode_cm1(f, mat)
+                    _encode_cm1(f, mat.astype(np.float32))
                 else:
-                    f.write(b"FM ")
+                    f.write(b"DM " if is_double else b"FM ")
                     _write_basic_int32(f, mat.shape[0])
                     _write_basic_int32(f, mat.shape[1])
-                    f.write(mat.astype("<f4").tobytes())
+                    f.write(mat.astype("<f8" if is_double else "<f4").tobytes())
     finally:
         if scp is not None:
             scp.close()
