@@ -84,3 +84,52 @@ def test_train_decode_per_gate():
     # the synthetic task is near-separable: a trained model must decode most
     # phones correctly (untrained/random sits near ~90% PER)
     assert score["wer"] < 20.0, score
+
+
+@pytest.mark.slow
+def test_dress_rehearsal_wav_ladder(tmp_path):
+    """The FULL Kaldi-recipe ladder in one CLI invocation, zero Kaldi
+    binaries: wav.scp (+segments, utt2spk) -> fbank -> per-speaker CMVN ->
+    3-way speed perturb -> online iVectors -> data-driven tied tree ->
+    chain training -> word HCLG decode -> LMWT sweep -> MBR.  On a
+    real-corpus day the data dir is swapped and nothing else changes
+    (VERDICT r2 item 10)."""
+    from torchain_tpu.cli.train import main
+    from torchain_tpu.data.synth_wav import make_wav_data_dir
+
+    d = tmp_path / "wavdir"
+    make_wav_data_dir(
+        str(d),
+        num_utts=12,
+        vocab_size=6,
+        num_phones=4,
+        num_speakers=2,
+        utts_per_recording=3,
+        seed=3,
+    )
+    out = main(
+        [
+            "--wav-dir", str(d),
+            "--cmvn", "speaker",
+            "--speed-perturb",
+            "--ivector-dim", "4",
+            "--ivector-gauss", "8",
+            "--tied-tree-pdfs", "24",
+            "--epochs", "2",
+            "--batch-size", "6",
+            "--chunk-frames", "16",
+            "--hidden-dim", "48",
+            "--bottleneck-dim", "12",
+            "--num-layers", "2",
+            "--decode",
+            "--lmwt-min", "6",
+            "--lmwt-max", "10",
+            "--mbr",
+        ]
+    )
+    assert out["steps"] > 0
+    # every rung of the ladder reported
+    assert "per" in out
+    assert "wer" in out and out["wer"] <= 100.0
+    assert "best_lmwt" in out and 6 <= out["best_lmwt"] <= 10
+    assert "mbr_wer" in out and out["mbr_wer"] <= 100.0
