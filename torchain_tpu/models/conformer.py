@@ -50,6 +50,12 @@ class ConformerConfig:
     #: (pure VPU elementwise, no grouped-conv lowering), "conv" =
     #: lax.conv feature_group_count — numerically identical
     depthwise_impl: str = "shift"
+    #: attention lowering: "fused" = one Pallas kernel per batch row
+    #: (ops/attention.py — qkv slicing, logits, bias, softmax, p@v and the
+    #: head re-merge never leave VMEM; the einsum path's qkv transposes +
+    #: softmax glue were ~1.8 ms of the 10 ms trigram step, round-3
+    #: trace), "einsum" = the XLA formulation (reference; CPU-friendly)
+    attn_impl: str = "fused"
 
     @property
     def context(self) -> tuple[int, int]:
@@ -136,25 +142,33 @@ class ConformerBlock(nn.Module):
         # attention einsum's own transpose
         qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="attn_qkv")(h)
         dh = D // H
-        # one explicit transpose to head-major [B,H,T,dh] per tensor, so
-        # both attention contractions are clean batch-leading dot_generals
-        # (einsum over [B,T,H,dh] made XLA materialize a layout copy per
-        # operand per layer: ~1.4 ms/step of 'copy' ops in the r2 trace);
-        # the 1/sqrt(dh) scale folds into q (the smallest tensor), and the
-        # logits accumulate f32 IN the matmul (preferred_element_type)
-        # instead of a separate convert pass over [B,H,T,T]
-        q = qkv[..., 0 * D : 1 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        k = qkv[..., 1 * D : 2 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        v = qkv[..., 2 * D : 3 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
-        q = q * float(1.0 / np.sqrt(dh))  # python scalar: stays in q.dtype
-        logits = jnp.einsum(
-            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
-        )
-        logits = logits + bias[None]
-        att = jnp.einsum(
-            "bhts,bhsd->bhtd", nn.softmax(logits, axis=-1).astype(v.dtype), v
-        )
-        att = att.transpose(0, 2, 1, 3).reshape(B, T, D)
+        if cfg.attn_impl == "fused":
+            from torchain_tpu.ops.attention import fused_relpos_attention
+
+            att = fused_relpos_attention(
+                qkv, bias, H, float(1.0 / np.sqrt(dh))
+            )
+        else:
+            # one explicit transpose to head-major [B,H,T,dh] per tensor, so
+            # both attention contractions are clean batch-leading
+            # dot_generals (einsum over [B,T,H,dh] made XLA materialize a
+            # layout copy per operand per layer: ~1.4 ms/step of 'copy' ops
+            # in the r2 trace); the 1/sqrt(dh) scale folds into q (the
+            # smallest tensor), and the logits accumulate f32 IN the matmul
+            # (preferred_element_type) instead of a separate convert pass
+            # over [B,H,T,T]
+            q = qkv[..., 0 * D : 1 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            k = qkv[..., 1 * D : 2 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            v = qkv[..., 2 * D : 3 * D].reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            q = q * float(1.0 / np.sqrt(dh))  # python scalar: stays in q.dtype
+            logits = jnp.einsum(
+                "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+            )
+            logits = logits + bias[None]
+            att = jnp.einsum(
+                "bhts,bhsd->bhtd", nn.softmax(logits, axis=-1).astype(v.dtype), v
+            )
+            att = att.transpose(0, 2, 1, 3).reshape(B, T, D)
         h = nn.Dense(D, dtype=cfg.dtype, name="attn_out")(att)
         x = x + h
 
