@@ -247,3 +247,28 @@ def test_auto_den_graph_keeps_resident_when_only_chunk_fits(monkeypatch):
     # B=6: full batch no longer fits and no 8-divisible divisor exists
     assert dr.batch_chunk(gr, 6) == 0
     assert dr.batch_chunk(gr, 16) == 0
+
+
+def test_streamed_pe_path_matches_inkernel(setup, monkeypatch):
+    """P above PE_INKERNEL_MAX_P switches to the host-side pe gather +
+    streamed kernel (the large-P production strategy); both strategies
+    must agree on logZ and gamma."""
+    graph, tree, y = setup
+    g = DeviceResidentDenGraph.from_host(graph)
+    assert den_resident.inkernel_pe(g)  # small P: in-kernel by default
+    lz_ik, res_ik = den_resident.den_forward(y, g, leaky=0.1)
+    gamma_ik = den_resident.den_backward(g, res_ik, leaky=0.1)
+    monkeypatch.setattr(den_resident, "PE_INKERNEL_MAX_P", 0)
+    assert not den_resident.inkernel_pe(g)
+    lz_st, res_st = den_resident.den_forward(y, g, leaky=0.1)
+    gamma_st = den_resident.den_backward(g, res_st, leaky=0.1)
+    assert res_st["x"].shape[-1] == g.num_slots * g.num_states  # pe stream
+    assert res_ik["x"].shape[-1] == g.num_pdfs  # p stream
+    np.testing.assert_allclose(np.asarray(lz_st), np.asarray(lz_ik), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gamma_st), np.asarray(gamma_ik), atol=1e-6
+    )
+    # and against the dense reference
+    dd = DeviceDenseDenGraph.from_host(make_dense_den_graph(graph))
+    lz_ref, res_ref = den_dense.den_forward(y, dd, leaky=0.1)
+    np.testing.assert_allclose(np.asarray(lz_st), np.asarray(lz_ref), rtol=1e-5)

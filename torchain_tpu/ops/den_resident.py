@@ -18,9 +18,12 @@ what changes is the execution strategy:
     concats instead of one-hot matmuls.  K = 2 (forward pdf + self-loop
     pdf); states entered through more distinct pdfs (backoff targets under
     aggressive LM pruning, tied trees) are clone-split in the packer;
-  * the per-frame pdf broadcast (P_mat) and the final gamma scatter run
-    OUTSIDE the kernel as one big batched op over [B*T] frames each, not
-    T small ones inside the scan.
+  * the per-frame pdf broadcast (P_mat) and the slot->pdf gamma
+    projection both run IN-KERNEL as one-hot matmuls against the
+    resident [KS, P] table (round 3: the host-side pe gather used to
+    materialize a [T, B, KS] stream plus a relayout copy for the forward
+    and a transposed copy for the reversed-t backward — ~0.5 ms/step of
+    HBM glue at trigram B=128); only p [T, B, P] and ah stream from HBM.
 
 Per-frame cost is therefore two [B,S]x[S,K*S] MXU matmuls (fwd alpha, bwd
 beta pullback; the backward reads the forward's stored normalized per-slot
@@ -53,6 +56,17 @@ VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(110 * 1024 * 1024)
 
 #: hold V in f32 while it fits this many bytes; bf16 beyond
 F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(68 * 1024 * 1024)))
+
+#: expand pe = p[slot_pdf] IN-KERNEL (one-hot matmul against the resident
+#: [KS, P] table) while P is at most this: the matmul costs 2*P*KS FLOP per
+#: frame-row vs ~10*KS bytes of stream+glue for the host-side gather, so
+#: the crossover sits near P ~ 1100 on this v5e (measured: trigram P=80
+#: 6.24 -> 5.81 ms/step, production P=1680 11.4 -> 12.3 ms REGRESSION)
+PE_INKERNEL_MAX_P = int(_os.environ.get("TORCHAIN_PE_INKERNEL_MAX_P", "1024"))
+
+
+def inkernel_pe(g) -> bool:
+    return g.num_pdfs <= PE_INKERNEL_MAX_P
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,12 +176,24 @@ def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
     """Conservative VMEM feasibility check for this graph + batch size."""
     S, KS = g.num_states, g.num_states * g.num_slots
     it = g.V.dtype.itemsize
-    # resident: V [S, KS] + slot one-hot [KS, P] (backward projection)
+    # resident: V [S, KS] + slot one-hot [KS, P] (in-kernel slot expansion
+    # in BOTH kernels + the backward's gamma projection)
     resident = g.vmem_bytes + KS * g.num_pdfs * it
-    # double-buffered streams: pe + ah in (V.dtype), gamma out (f32)
-    stream = 2 * batch * (2 * it * KS + 4 * g.num_pdfs)
+    if inkernel_pe(g):
+        # double-buffered streams: p in + ah in/out (V.dtype), gamma (f32)
+        stream = 2 * batch * (it * (g.num_pdfs + KS) + 4 * g.num_pdfs)
+    else:
+        # streamed pe [Bc, KS] + ah (V.dtype), gamma out (f32)
+        stream = 2 * batch * (2 * it * KS + 4 * g.num_pdfs)
     scratch = 4 * batch * (S + KS + S)
-    return resident + stream + scratch <= VMEM_BUDGET
+    # live f32 [Bc, KS] temporaries of the backward body (pe/occupancies/
+    # beta pullback operand): Mosaic stack-allocates these, and at the
+    # production graph they pushed Bc=128 9 MB past the budget (round-3
+    # compile OOM); the kernels' scoped limit carries 17 MB of headroom
+    # over this conservative model (VMEM_BUDGET + 17 MiB, measured to
+    # load at 120.75 MB used)
+    temps = 4 * batch * KS * 3
+    return resident + stream + scratch + temps <= VMEM_BUDGET
 
 
 def batch_chunk(g: DeviceResidentDenGraph, batch: int) -> int:
@@ -202,17 +228,8 @@ def batch_chunk(g: DeviceResidentDenGraph, batch: int) -> int:
 LANE = 128
 
 
-def _fwd_kernel(
-    leaky: float,
-    K: int,
-    S: int,
-    pe_ref,  # [1, B, KS] f32, frame t emission probs per slot
-    v_ref,  # [S, KS] resident
-    init_ref,  # [1, S] f32
-    alpha0_ref,  # [B, S] f32 initial sigma_hat
-    logc_ref,  # [1, B, LANE] out (broadcast lanes)
-    ah_ref,  # [1, B, KS] out: normalized per-slot alpha of frame t
-    carry_ref,  # scratch [Bc, S] f32
+def _fwd_body(
+    leaky, K, S, pe, v_ref, init_ref, alpha0_ref, logc_ref, ah_ref, carry_ref
 ):
     # grid = (B/Bc, T): t innermost so the carry is valid within a batch
     # block and re-initialized at each block's frame 0
@@ -233,7 +250,7 @@ def _fwd_kernel(
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, KS]
-    alpha = h * pe_ref[0].astype(jnp.float32)
+    alpha = h * pe
     c = jnp.sum(alpha, axis=-1, keepdims=True)  # [B, 1]
     logc_ref[0] = jnp.broadcast_to(jnp.log(c), (c.shape[0], LANE))
     alpha_hat = alpha / c
@@ -244,11 +261,56 @@ def _fwd_kernel(
     carry_ref[...] = nxt
 
 
+def _fwd_kernel_inkernel(
+    leaky: float,
+    K: int,
+    S: int,
+    p_ref,  # [1, B, P] frame t emission probs per pdf (V.dtype)
+    v_ref,  # [S, KS] resident
+    oh_ref,  # [KS, P] resident slot->pdf one-hot (V.dtype)
+    init_ref,  # [1, S] f32
+    alpha0_ref,  # [B, S] f32 initial sigma_hat
+    logc_ref,  # [1, B, LANE] out (broadcast lanes)
+    ah_ref,  # [1, B, KS] out: normalized per-slot alpha of frame t
+    carry_ref,  # scratch [Bc, S] f32
+):
+    # slot expansion IN-KERNEL (pe = p[slot_pdf] as a one-hot matmul):
+    # streams [T, B, P] instead of the ~4.7x bigger [T, B, KS] pe and
+    # kills its relayout copies (see _p_of); small-P graphs only
+    pe = jax.lax.dot_general(
+        p_ref[0], oh_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, KS]
+    _fwd_body(
+        leaky, K, S, pe, v_ref, init_ref, alpha0_ref, logc_ref, ah_ref, carry_ref
+    )
+
+
+def _fwd_kernel_stream(
+    leaky: float,
+    K: int,
+    S: int,
+    pe_ref,  # [1, B, KS] frame t emission probs per slot (V.dtype)
+    v_ref,  # [S, KS] resident
+    init_ref,  # [1, S] f32
+    alpha0_ref,  # [B, S] f32 initial sigma_hat
+    logc_ref,  # [1, B, LANE] out (broadcast lanes)
+    ah_ref,  # [1, B, KS] out: normalized per-slot alpha of frame t
+    carry_ref,  # scratch [Bc, S] f32
+):
+    _fwd_body(
+        leaky, K, S, pe_ref[0].astype(jnp.float32), v_ref, init_ref,
+        alpha0_ref, logc_ref, ah_ref, carry_ref,
+    )
+
+
 def _bwd_kernel(
     leaky: float,
     K: int,
     S: int,
-    pe_ref,  # [1, B, KS] (reversed t)
+    ik_pe: bool,  # static: first ref is p [1, B, P] (expand in-kernel) or
+    #               pe [1, B, KS] (streamed), both in V.dtype, reversed t
+    p_ref,
     ah_ref,  # [1, B, KS] normalized per-slot alpha of frame t (reversed)
     f_ref,  # [1, B, LANE] F_t = cumsum(logc + ymax), broadcast lanes (rev)
     ymax_ref,  # [1, B, LANE] (reversed)
@@ -271,7 +333,17 @@ def _bwd_kernel(
     def col(tile):  # all-equal broadcast lanes -> [B, 1] scalar column
         return jnp.max(tile, axis=-1, keepdims=True)
 
-    pe = pe_ref[0].astype(jnp.float32)
+    if ik_pe:
+        # in-kernel slot expansion (see _fwd_kernel_inkernel/_p_of), kept
+        # in V.dtype: pe only feeds the V^T matmul below, and the
+        # production-scale kernel sits within ~3 MB of the VMEM budget —
+        # every [B, KS] f32 temporary counts (round-3 compile OOM)
+        pe = jax.lax.dot_general(
+            p_ref[0], oh_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,  # Mosaic: acc must be 32-bit
+        ).astype(v_ref.dtype)  # [B, KS]
+    else:
+        pe = p_ref[0]  # streamed pe, already [B, KS] in V.dtype
     ah = ah_ref[0].astype(jnp.float32)  # = (pe * (L sh_prev) @ V) / c_t
     bh = bh_ref[...]
     # scale folds the stored normalization back in:
@@ -288,17 +360,18 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     # beta pullback: v = (pe * bh) @ V^T, then leak^T, broadcast to slots
-    w = (pe * bh).astype(v_ref.dtype)
+    w = (pe * bh.astype(pe.dtype)).astype(v_ref.dtype)
     v = jax.lax.dot_general(
         w, v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, S]
     if leaky > 0.0:
         v = v + leaky * jnp.sum(v * init_ref[...], axis=-1, keepdims=True)
-    nb = jnp.concatenate([v] * K, axis=1)  # [B, KS]
-    d = jnp.max(nb, axis=-1, keepdims=True)
+    d = jnp.max(v, axis=-1, keepdims=True)
     d = jnp.where(d > 0, d, 1.0)
-    bh_ref[...] = nb / d
+    vn = v / d  # the K slot copies are identical: write slices, no
+    for k in range(K):  # [B, KS] concat temporary (VMEM headroom)
+        bh_ref[:, k * S : (k + 1) * S] = vn
     g_new = col(g_ref[...]) + col(ymax_ref[0]) + jnp.log(d)
     g_ref[...] = jnp.broadcast_to(g_new, g_ref.shape)
 
@@ -312,33 +385,43 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pe_of(y, g: DeviceResidentDenGraph):
-    """p = exp(y - ymax) projected to slots: pe [T, B, KS], plus ymax [B, T].
+def _p_of(y, g: DeviceResidentDenGraph):
+    """p = exp(y - ymax) [T, B, P] in V's dtype, plus ymax [B, T].
 
-    The slot projection is a constant-index lane gather; XLA lowers
-    jnp.take on the last axis to an efficient dynamic-gather here (unlike
-    the [B, S, K] pattern den_table tripped on).  y is transposed to
-    time-major BEFORE the KS-expansion so the kernel-layout pe array
-    ([T, B, KS], ~4.7x bigger than y at production scale) is born in its
-    final layout instead of being transposed afterwards (saved a ~200 MB
-    HBM round-trip per step at B=128; BENCH_NOTES round 2)."""
+    The slot expansion pe = p[slot_pdf] happens IN-KERNEL as a one-hot
+    matmul (p_frame @ oh^T, ~6% extra MXU work): the round-2 host-side
+    gather materialized the [T, B, KS] pe stream (~4.7x bigger than y at
+    production scale) plus a relayout copy for the forward kernel AND a
+    transposed copy for the reversed-t backward — ~0.5 ms/step of pure
+    HBM glue at trigram B=128 (round-3 trace: copy.257, fusion.2,
+    broadcast_select around den_resident).  Dead slots get pe=0 from the
+    one-hot's zero rows instead of p[:, 0] from the gather's slot_pdf=0
+    padding — behaviorally identical, since every dead-slot consumer
+    (alpha via V's zero columns, occupancies via ah=0) already vanishes."""
     yt = jnp.swapaxes(y, 0, 1)  # [T, B, P] — cheap: pre-expansion
+    ymax_t = jax.lax.stop_gradient(jnp.max(yt, axis=-1))  # [T, B]
+    # p rides in V's dtype: it only ever multiplies into V-dtype matmuls
+    # (f32 accumulate), the same trade documented for the r2 pe stream
+    p = jnp.exp(yt - ymax_t[..., None]).astype(g.V.dtype)  # [T, B, P]
+    return p, ymax_t.T
+
+
+def _pe_of(y, g: DeviceResidentDenGraph):
+    """Host-side slot expansion for LARGE-P graphs (P > PE_INKERNEL_MAX_P,
+    where the in-kernel one-hot matmul costs more FLOPs than the gather's
+    stream+glue): pe [T, B, KS] in V.dtype, plus ymax [B, T].  The take
+    runs on a flattened [T*B, P] view (the 3-D form made XLA insert a
+    relayout copy before the kernel; BENCH_NOTES round 2)."""
+    yt = jnp.swapaxes(y, 0, 1)  # [T, B, P]
     T, B, P = yt.shape
     ymax_t = jax.lax.stop_gradient(jnp.max(yt, axis=-1))  # [T, B]
-    p = jnp.exp(yt - ymax_t[..., None])  # [T, B, P]
-    # the pe/ah streams ride in V's dtype: pe is only ever a multiplicand
-    # feeding the V matmuls (which run in V.dtype anyway), so bf16 streams
-    # halve the dominant HBM term at production scale without leaving the
-    # documented bf16-V error band; small f32-V graphs stay exact.
-    # The take runs on a flattened [T*B, P] view: on the 3-D form XLA
-    # picked a gather-friendly layout and inserted a 0.3 ms relayout copy
-    # before the kernel (trace copy.976, BENCH_NOTES round 2)
+    pp = jnp.exp(yt - ymax_t[..., None])  # [T, B, P]
     pe = (
-        jnp.take(p.reshape(T * B, P), g.slot_pdf, axis=-1)
+        jnp.take(pp.reshape(T * B, P), g.slot_pdf, axis=-1)
         .astype(g.V.dtype)
         .reshape(T, B, -1)
     )  # [T, B, KS]
-    return pe, ymax_t.T, p
+    return pe, ymax_t.T
 
 
 def den_forward(
@@ -350,21 +433,35 @@ def den_forward(
     B, T, P = y.shape
     S, K = g.num_states, g.num_slots
     KS = K * S
-    pe, ymax, _p = _pe_of(y, g)
+    ik = inkernel_pe(g)
+    if ik:
+        x, ymax = _p_of(y, g)  # [T, B, P]
+        kern = functools.partial(_fwd_kernel_inkernel, leaky, K, S)
+    else:
+        x, ymax = _pe_of(y, g)  # [T, B, KS]
+        kern = functools.partial(_fwd_kernel_stream, leaky, K, S)
     alpha0 = jnp.broadcast_to(g.init, (B, S))
 
     Bc = batch_chunk(g, B) or B  # 0 -> best effort single pass
     NB = B // Bc
-    kern = functools.partial(_fwd_kernel, leaky, K, S)
+    x_spec = pl.BlockSpec((1, Bc, x.shape[-1]), lambda b, t: (t, b, 0))
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((S, KS), lambda b, t: (0, 0)),
+    ]
+    ins = [x, g.V]
+    if ik:
+        in_specs.append(pl.BlockSpec((KS, P), lambda b, t: (0, 0)))
+        ins.append(g.slot_onehot.astype(g.V.dtype))
+    in_specs += [
+        pl.BlockSpec((1, S), lambda b, t: (0, 0)),
+        pl.BlockSpec((Bc, S), lambda b, t: (b, 0)),
+    ]
+    ins += [g.init, alpha0]
     logc_t, ah = pl.pallas_call(
         kern,
         grid=(NB, T),
-        in_specs=[
-            pl.BlockSpec((1, Bc, KS), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((S, KS), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, S), lambda b, t: (0, 0)),
-            pl.BlockSpec((Bc, S), lambda b, t: (b, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, Bc, LANE), lambda b, t: (t, b, 0)),
             pl.BlockSpec((1, Bc, KS), lambda b, t: (t, b, 0)),
@@ -375,17 +472,17 @@ def den_forward(
         ],
         scratch_shapes=[pltpu.VMEM((Bc, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_BUDGET + 17 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(pe, g.V, g.init, alpha0)
+    )(*ins)
 
     logc = logc_t[:, :, 0]  # [T, B]
     log_z = jnp.sum(logc, axis=0) + jnp.sum(ymax, axis=-1)
     if leaky > 0.0:
         log_z = log_z + jnp.log1p(leaky)
     res = dict(
-        resident=True, pe=pe, ymax=ymax, logc=logc, ah=ah, log_z=log_z
+        resident=True, x=x, ymax=ymax, logc=logc, ah=ah, log_z=log_z
     )
     return log_z, res
 
@@ -396,10 +493,11 @@ def den_backward(
     leaky: float = 0.0,
 ) -> jnp.ndarray:
     """Returns gamma [B, T, P]; scale bookkeeping identical to den_dense."""
-    pe, ymax, logc = res["pe"], res["ymax"], res["logc"]
+    x, ymax, logc = res["x"], res["ymax"], res["logc"]
     ah, log_z = res["ah"], res["log_z"]
-    T, B, KS = pe.shape
+    T, B, KS = ah.shape
     S, K = g.num_states, g.num_slots
+    ik = inkernel_pe(g)
 
     F = jnp.cumsum(logc + ymax.T, axis=0)  # [T, B]
     tile = lambda x: jnp.broadcast_to(x[..., None], x.shape + (LANE,))
@@ -409,12 +507,12 @@ def den_backward(
     P = g.num_pdfs
     Bc = batch_chunk(g, B) or B
     NB = B // Bc
-    kern = functools.partial(_bwd_kernel, leaky, K, S)
+    kern = functools.partial(_bwd_kernel, leaky, K, S, ik)
     gamma = pl.pallas_call(
         kern,
         grid=(NB, T),
         in_specs=[
-            pl.BlockSpec((1, Bc, KS), rev3),
+            pl.BlockSpec((1, Bc, x.shape[-1]), rev3),
             pl.BlockSpec((1, Bc, KS), rev3),
             pl.BlockSpec((1, Bc, LANE), rev3),
             pl.BlockSpec((1, Bc, LANE), rev3),
@@ -430,11 +528,11 @@ def den_backward(
             pltpu.VMEM((Bc, LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_BUDGET + 17 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(
-        pe,
+        x,
         ah,
         tile(F),
         tile(ymax.T),
