@@ -299,3 +299,32 @@ def test_oracle_error_rate(word_files):
     # the reference path survives the beam on peaked posteriors
     assert res["oracle_wer"] == 0.0
     assert res["wer"] == 0.0
+
+
+def test_ctm_out_word_times(word_files):
+    """--ctm-out writes NIST CTM rows whose words match the decode and
+    whose segments tile each utterance from t=0."""
+    from torchain_tpu.eval import read_ctm
+
+    ctm_path = str(word_files["dir"] / "hyp.ctm")
+    res = decode_main(
+        [
+            "--posteriors", word_files["ark"],
+            "--mode", "word",
+            "--lexicon", word_files["lexicon"],
+            "--ref", word_files["ref"],
+            "--num-phones", "5",
+            "--context-width", "2",
+            "--ctm-out", ctm_path,
+            "--frame-shift", "0.03",
+        ]
+    )
+    assert res["wer"] == 0.0
+    ctm = read_ctm(ctm_path)
+    assert len(ctm) == 6
+    for i, tr in enumerate(word_files["wc"].transcripts):
+        entries = ctm[f"utt{i}"]
+        assert [e.word for e in entries] == tr
+        assert entries[0].start_s == 0.0
+        for a, b in zip(entries, entries[1:]):
+            assert b.start_s == pytest.approx(a.start_s + a.dur_s, abs=0.005)

@@ -84,6 +84,17 @@ def build_argparser():
         help="write beam-pruned lattices as a Kaldi-style text archive "
         "(lattice-copy ark,t: format, graph/acoustic cost pairs)",
     )
+    p.add_argument(
+        "--ctm-out",
+        help="write word time alignments of the lattice best path as a "
+        "NIST CTM file (lattice-align-words | nbest-to-ctm role); "
+        "--frame-shift sets the output frame period",
+    )
+    p.add_argument(
+        "--frame-shift", type=float, default=0.03,
+        help="output frame period in seconds for --ctm-out (input shift "
+        "x frame_subsampling_factor; Kaldi chain default 0.03)",
+    )
     p.add_argument("--ref", help="reference transcripts for WER/PER scoring")
     p.add_argument(
         "--oracle", action="store_true",
@@ -201,6 +212,7 @@ def main(argv=None) -> dict:
         sweep
         or args.nbest > 0
         or bool(args.lattice_out)
+        or bool(args.ctm_out)
         or args.mbr
         or args.oracle
         or rescore_g is not None
@@ -261,6 +273,16 @@ def main(argv=None) -> dict:
         from torchain_tpu.eval.lattice import write_lattice_ark
 
         write_lattice_ark(args.lattice_out, lats)
+    if args.ctm_out:
+        from torchain_tpu.eval.lattice import best_path_ctm, write_ctm
+
+        write_ctm(
+            args.ctm_out,
+            {
+                u: best_path_ctm(lat, frame_shift_s=args.frame_shift)
+                for u, lat in lats.items()
+            },
+        )
 
     result = {"num_utts": len(hyps)}
     score = None

@@ -17,6 +17,8 @@ from torchain_tpu.eval.decoder import (
 )
 from torchain_tpu.eval.lattice import (
     MbrResult,
+    CtmEntry,
+    best_path_ctm,
     determinize_lattice,
     lattice_arc_posteriors,
     lattice_best_path,
@@ -28,8 +30,10 @@ from torchain_tpu.eval.lattice import (
     mbr_decode,
     read_lattice_ark,
     read_lattice_ark_binary,
+    read_ctm,
     rescore_lattice,
     score_sweep,
+    write_ctm,
     write_lattice_ark,
     write_lattice_ark_binary,
 )
@@ -46,6 +50,10 @@ __all__ = [
     "MbrResult",
     "determinize_lattice",
     "lattice_arc_posteriors",
+    "CtmEntry",
+    "best_path_ctm",
+    "write_ctm",
+    "read_ctm",
     "lattice_best_path",
     "lattice_decode",
     "lattice_nbest",

@@ -160,6 +160,113 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
     return phones, float(score)
 
 
+@_dc_module.dataclass
+class CtmEntry:
+    """One CTM row (NIST time-marked conversation format, the output of
+    Kaldi's lattice-align-words | nbest-to-ctm scoring pipeline)."""
+
+    word: int
+    start_s: float
+    dur_s: float
+    conf: float = 1.0
+
+
+def best_path_ctm(
+    lat: Fst,
+    frame_shift_s: float = 0.03,
+    offset_s: float = 0.0,
+    with_confidence: bool = True,
+) -> list[CtmEntry]:
+    """Word time alignments of the lattice best path (lattice-align-words
+    + nbest-to-ctm role, [K latbin/lattice-align-words.cc,
+    nbest-to-ctm.cc]).
+
+    Works on RAW decode lattices (lattice_decode output), whose arcs are
+    time-synchronous — the i-th arc of any path consumes output frame i —
+    so word boundaries are exact: a word spans from the frame after the
+    previous word's emitting arc through its own emitting arc (our HCLG
+    emits each word on its pronunciation's last required arc).
+    Determinized lattices lose the time-unrolled property; pass the raw
+    lattice.  `frame_shift_s` is the OUTPUT frame period (input shift x
+    frame_subsampling_factor; Kaldi chain default 0.03).
+
+    With `with_confidence`, each entry carries the posterior of its
+    emitting arc under the lattice (lattice-to-post role) — apply
+    rescore_lattice first to choose the LMWT, as score.sh does."""
+    if lat.num_states == 0:
+        return []
+    fwd = shortest_distance(lat, reverse_dir=False, semiring="tropical")
+    bwd = shortest_distance(lat, reverse_dir=True, semiring="tropical")
+    score = bwd[0]
+    post_of = {}
+    if with_confidence:
+        posts, _ = lattice_arc_posteriors(lat)
+        post_of = {(s, id(a)): p for s, a, p in posts}
+    out: list[CtmEntry] = []
+    s, t, seg_start = 0, 0, 0
+    while True:
+        nxt = None
+        for a in lat.arcs(s):
+            if abs(fwd[s] + a.weight + bwd[a.dst] - score) < 1e-6:
+                nxt = a
+                break
+        if nxt is None:
+            assert lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-4
+            break
+        if nxt.label > 0:
+            out.append(
+                CtmEntry(
+                    word=int(nxt.label),
+                    start_s=offset_s + seg_start * frame_shift_s,
+                    dur_s=(t + 1 - seg_start) * frame_shift_s,
+                    conf=float(post_of.get((s, id(nxt)), 1.0)),
+                )
+            )
+            seg_start = t + 1
+        s = nxt.dst
+        t += 1
+    return out
+
+
+def write_ctm(
+    path: str,
+    entries_by_utt: dict[str, list[CtmEntry]],
+    words_txt: dict[int, str] | None = None,
+    channel: str = "1",
+) -> None:
+    """Write NIST CTM: `utt channel start dur word [conf]` per row, sorted
+    by utterance then start time — the file every Kaldi scoring pipeline
+    (sclite, score.sh ctm mode) consumes.  `words_txt` (id -> symbol) maps
+    ids to symbols; absent, integer ids are written."""
+    with open(path, "w") as f:
+        for utt in sorted(entries_by_utt):
+            for e in entries_by_utt[utt]:
+                w = words_txt.get(e.word, str(e.word)) if words_txt else str(e.word)
+                f.write(
+                    f"{utt} {channel} {e.start_s:.2f} {e.dur_s:.2f} {w}"
+                    f" {e.conf:.2f}\n"
+                )
+
+
+def read_ctm(path: str) -> dict[str, list[CtmEntry]]:
+    """Parse a CTM file back into per-utterance entries (symbols must be
+    integer ids or `w<N>`-style; foreign symbols raise)."""
+    out: dict[str, list[CtmEntry]] = {}
+    for line in open(path):
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) not in (5, 6):
+            raise ValueError(f"malformed CTM line: {line!r}")
+        utt, _ch, start, dur, word = parts[:5]
+        conf = float(parts[5]) if len(parts) == 6 else 1.0
+        wid = int(word[1:]) if word.startswith("w") else int(word)
+        out.setdefault(utt, []).append(
+            CtmEntry(word=wid, start_s=float(start), dur_s=float(dur), conf=conf)
+        )
+    return out
+
+
 def determinize_lattice(lat: Fst, max_states: int = 200_000) -> Fst:
     """Weighted tropical determinization over label sequences with epsilon
     removal — the lattice-determinization step of Kaldi's pipeline
