@@ -24,6 +24,22 @@ class TestResampler:
         y = resample_waveform(x, speed)
         assert y.shape[0] == int(9000 / speed) or y.shape[0] == 9000 * 10 // int(speed * 10)
 
+    @pytest.mark.parametrize("speed", [0.9, 1.1, 1.25])
+    def test_exact_reconstruction_of_bandlimited_tone(self, speed):
+        """A band-limited tone must resample to the ANALYTIC shifted tone
+        sample-for-sample, not just hit the right FFT peak (the round-3
+        review found a filter-bank phase bug that peak checks missed:
+        12% RMS error at speed 0.9)."""
+        rate = 8000
+        n = np.arange(2 * rate)
+        x = np.sin(2 * np.pi * 440.0 * n / rate).astype(np.float32)
+        y = resample_waveform(x, speed)
+        m = np.arange(y.shape[0])
+        ref = np.sin(2 * np.pi * 440.0 * (m * speed) / rate)
+        body = slice(400, -400)
+        err = np.sqrt(np.mean((y[body] - ref[body]) ** 2))
+        assert err < 2e-3, f"RMS reconstruction error {err}"
+
     @pytest.mark.parametrize("speed", [0.9, 1.1])
     def test_tone_frequency_shifts(self, speed):
         """sox `speed f` raises pitch by f: a 440 Hz tone lands at 440*f."""

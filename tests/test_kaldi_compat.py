@@ -384,3 +384,7 @@ class TestSpeakerStructure:
         segp.write_text("u1 rec1 5.0 6.0\n")
         with pytest.raises(ValueError, match="beyond recording"):
             compute_feats_from_wav_scp(scp, opts, segments_path=str(segp))
+        # end past the recording must raise too, not silently truncate
+        segp.write_text("u1 rec1 0.0 60.0\n")
+        with pytest.raises(ValueError, match="ends at"):
+            compute_feats_from_wav_scp(scp, opts, segments_path=str(segp))

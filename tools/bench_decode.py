@@ -148,7 +148,7 @@ def main():
         out[f"lat_{backend}_arcs"] = arcs_total
         if backend == "native":
             t0 = time.perf_counter()
-            for y, ref in zip(posts, wc.transcripts):
+            for y in posts:
                 lat = lattice_decode(
                     g, y, beam=args.lattice_beam, backend="native", **kw
                 )

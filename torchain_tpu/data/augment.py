@@ -45,12 +45,16 @@ def resample_waveform(
     # low-pass at the narrower of the two Nyquists (in input-sample units)
     c = cutoff_scale * min(1.0, 1.0 / float(speed))
     half = int(np.ceil(num_zeros / c))
-    # output n samples input position t_n = n * p / q; phase = (n*p) % q
-    # repeats with period q, so precompute one [q, 2*half+1] filter bank
+    # output n samples input position t_n = n * p / q, whose fractional
+    # part is ((n*p) % q) / q — index the bank by ph = (n*p) % q directly,
+    # so phase ph interpolates at fraction ph / q.  (Round-3 review: the
+    # original bank used (ph*p % q)/q, double-applying p; correct only
+    # when p = 1 mod q, so speed 1.1 worked by accident while 0.9 had 12%
+    # RMS distortion — now pinned by an exact-reconstruction test)
     taps = np.arange(-half, half + 1, dtype=np.float64)
     bank = np.empty((q, 2 * half + 1), np.float64)
     for ph in range(q):
-        frac_pos = (ph * p % q) / q  # fractional part of t_n for this phase
+        frac_pos = ph / q  # fractional part of t_n for this phase
         t = taps - frac_pos
         h = c * np.sinc(c * t)
         w = 0.5 * (1.0 + np.cos(np.pi * t / (half + 1)))
@@ -113,6 +117,14 @@ def perturb_alignment(
 SP_FACTORS_3WAY = (0.9, 1.0, 1.1)
 
 
+def sp_key(utt: str, factor: float) -> str:
+    """perturb_data_dir_speed_3way.sh naming: factor 1.0 keeps the bare
+    id, others prefix `sp<f>-`.  The single source of truth for the
+    naming (speed_perturb_wavs and speed_perturb_key_map must agree or
+    load_wav_dir silently drops perturbed copies)."""
+    return utt if factor == 1.0 else f"sp{factor:g}-{utt}"
+
+
 def speed_perturb_wavs(
     wavs: dict[str, np.ndarray],
     factors: tuple[float, ...] = SP_FACTORS_3WAY,
@@ -124,8 +136,9 @@ def speed_perturb_wavs(
     out: dict[str, np.ndarray] = {}
     for f in factors:
         for utt, x in wavs.items():
-            key = utt if f == 1.0 else f"sp{f:g}-{utt}"
-            out[key] = x if f == 1.0 else resample_waveform(x, f, num_zeros)
+            out[sp_key(utt, f)] = (
+                x if f == 1.0 else resample_waveform(x, f, num_zeros)
+            )
     return out
 
 
@@ -137,6 +150,5 @@ def speed_perturb_key_map(
     out: dict[str, tuple[str, float]] = {}
     for f in factors:
         for utt in utt_ids:
-            key = utt if f == 1.0 else f"sp{f:g}-{utt}"
-            out[key] = (utt, f)
+            out[sp_key(utt, f)] = (utt, f)
     return out

@@ -457,19 +457,15 @@ def write_chain_example(f: BinaryIO, eg: NnetChainExample, compress: bool = Fals
 def iter_cegs_ark(path: str) -> Iterator[tuple[str, NnetChainExample]]:
     """Sequentially read a binary cegs archive (`ark:cegs.1.ark`) — the
     SequentialNnetChainExampleReader role."""
+    from torchain_tpu.io import read_ark_key
+
     with open(path, "rb") as f:
         while True:
-            key = bytearray()
-            ch = f.read(1)
-            if not ch:
+            key = read_ark_key(f, what="cegs ark")
+            if key is None:
                 return
-            while ch not in (b" ", b""):
-                key.extend(ch)
-                ch = f.read(1)
-            if not key:
-                raise ValueError("malformed cegs ark: empty key")
             expect_binary_marker(f)
-            yield key.decode(), read_chain_example(f)
+            yield key, read_chain_example(f)
 
 
 def read_cegs_ark(path: str) -> dict[str, NnetChainExample]:

@@ -378,6 +378,11 @@ def extract_utterance_waves(
                 raise ValueError(
                     f"segment {utt} starts at {start}s, beyond recording {rec}"
                 )
+            if b > samples.shape[0]:
+                raise ValueError(
+                    f"segment {utt} ends at {end}s, beyond recording {rec}"
+                    f" ({samples.shape[0] / expected_rate:.2f}s)"
+                )
             out[utt] = samples[a:b]
     return out
 

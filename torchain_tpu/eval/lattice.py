@@ -48,6 +48,10 @@ def lattice_decode(
     reference when the toolchain is unavailable.  `max_active` caps the
     per-frame frontier Kaldi-style (native path only; 0 = unlimited —
     the numpy path predates it and stays the equal-beam reference)."""
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(
+            f"unknown backend {backend!r}: expected 'auto', 'native', or 'numpy'"
+        )
     if backend in ("auto", "native"):
         from torchain_tpu.eval.native import native_lattice
 
@@ -198,10 +202,12 @@ def best_path_ctm(
     fwd = shortest_distance(lat, reverse_dir=False, semiring="tropical")
     bwd = shortest_distance(lat, reverse_dir=True, semiring="tropical")
     score = bwd[0]
-    post_of = {}
     if with_confidence:
-        posts, _ = lattice_arc_posteriors(lat)
-        post_of = {(s, id(a)): p for s, a, p in posts}
+        # log-semiring forward-backward for arc posteriors, computed
+        # directly at the traversed arc (lattice_arc_posteriors formula)
+        lfwd = shortest_distance(lat, reverse_dir=False, semiring="log")
+        lbwd = shortest_distance(lat, reverse_dir=True, semiring="log")
+        total = lbwd[0]
     out: list[CtmEntry] = []
     s, t, seg_start = 0, 0, 0
     while True:
@@ -214,12 +220,17 @@ def best_path_ctm(
             assert lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-4
             break
         if nxt.label > 0:
+            conf = 1.0
+            if with_confidence:
+                conf = float(
+                    np.exp(lfwd[s] + nxt.weight + lbwd[nxt.dst] - total)
+                )
             out.append(
                 CtmEntry(
                     word=int(nxt.label),
                     start_s=offset_s + seg_start * frame_shift_s,
                     dur_s=(t + 1 - seg_start) * frame_shift_s,
-                    conf=float(post_of.get((s, id(nxt)), 1.0)),
+                    conf=conf,
                 )
             )
             seg_start = t + 1
@@ -1053,28 +1064,24 @@ def read_lattice_ark_binary(path: str) -> "dict[str, Fst]":
     OUTPUT label (words) is kept, matching read_lattice_ark."""
     from torchain_tpu.fstkit.openfst_io import read_fst_stream, to_fstkit
 
+    from torchain_tpu.io import read_ark_key
+
     out: "dict[str, Fst]" = {}
     with open(path, "rb") as f:
         while True:
-            key = bytearray()
-            ch = f.read(1)
-            if not ch:
+            key = read_ark_key(f, what="lattice ark")
+            if key is None:
                 break
-            while ch not in (b" ", b""):
-                key.extend(ch)
-                ch = f.read(1)
-            if not key:
-                raise ValueError("malformed lattice ark: empty key")
             marker = f.read(2)
             if marker != b"\x00B":
                 raise ValueError(
-                    f"record {key.decode()!r} lacks the binary marker; "
+                    f"record {key!r} lacks the binary marker; "
                     "use read_lattice_ark for text archives"
                 )
             raw = read_fst_stream(f)
             if raw.arctype not in ("lattice4", "compactlattice44"):
                 raise ValueError(
-                    f"record {key.decode()!r} has arc type {raw.arctype!r}, "
+                    f"record {key!r} has arc type {raw.arctype!r}, "
                     "not a Kaldi lattice"
                 )
             fst, olabels = to_fstkit(raw)
@@ -1090,5 +1097,5 @@ def read_lattice_ark_binary(path: str) -> "dict[str, Fst]":
                     if fst.is_final(s):
                         relabeled.set_final(s, fst.final(s), fst.final2(s))
                 fst = relabeled
-            out[key.decode()] = fst
+            out[key] = fst
     return out

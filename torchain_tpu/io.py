@@ -254,23 +254,35 @@ def _read_binary_record(f) -> np.ndarray:
     return read_kaldi_matrix_binary(f)
 
 
+def read_ark_key(f, what: str = "binary ark") -> str | None:
+    """Read one archive record key (bytes until space); None at EOF.
+
+    The shared scan for every binary-archive reader (feature arks, cegs,
+    binary lattice arks) — one place to fix separator/truncation handling."""
+    key = bytearray()
+    ch = f.read(1)
+    if not ch:
+        return None
+    while ch not in (b" ", b""):
+        key.extend(ch)
+        ch = f.read(1)
+    if not key:
+        raise ValueError(f"malformed {what}: empty record key")
+    return key.decode()
+
+
 def read_ark_binary(path: str) -> dict[str, np.ndarray]:
     """Read a binary Kaldi archive of float/double matrices, vectors, or
-    compressed (CM) matrices into float32 arrays."""
+    compressed (CM) matrices.  FM/FV/CM records decode to float32; DM/DV
+    keep float64 (CMVN stats carry frame counts + raw sums whose
+    precision double exists to protect)."""
     out: dict[str, np.ndarray] = {}
     with open(path, "rb") as f:
         while True:
-            # utt id: bytes until space
-            utt = bytearray()
-            ch = f.read(1)
-            if not ch:
+            utt = read_ark_key(f)
+            if utt is None:
                 break
-            while ch not in (b" ", b""):
-                utt.extend(ch)
-                ch = f.read(1)
-            if not utt:
-                raise ValueError("malformed binary ark: empty utt id")
-            out[utt.decode()] = _read_binary_record(f)
+            out[utt] = _read_binary_record(f)
     return out
 
 
