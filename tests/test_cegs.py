@@ -286,6 +286,29 @@ class TestExampleRoundTrip:
         batch2 = example_to_batch(eg, append_ivector=False)
         assert batch2.feats.shape[2] == 8
 
+    def test_online_ivector_nearest_row(self):
+        """Egs made with --online-ivector-period carry several ivector rows
+        per sequence; Kaldi selects the nearest-t row per frame."""
+        from torchain_tpu.data.cegs import NnetIo
+
+        eg, *_rest = self.make_example(B=3, T=6, with_ivector=True)
+        rng = np.random.default_rng(11)
+        rows = rng.standard_normal((3, 2, 5)).astype(np.float32)
+        eg.inputs = [i for i in eg.inputs if i.name != "ivector"] + [
+            NnetIo(
+                name="ivector",
+                indexes=[(n, t, 0) for n in range(3) for t in (0, 12)],
+                features=rows.reshape(6, 5),
+            )
+        ]
+        batch = example_to_batch(eg)
+        ivec = batch.feats[:, :, 8:]
+        in_ts = np.array(sorted({i[1] for i in eg.io("input").indexes}))
+        want_row1 = np.abs(in_ts - 12) < np.abs(in_ts - 0)
+        for n in range(3):
+            for ti, use1 in enumerate(want_row1):
+                np.testing.assert_array_equal(ivec[n, ti], rows[n, 1 if use1 else 0])
+
     def test_trains_one_step(self):
         """VERDICT r2 'Done' gate: a cegs record trains one step."""
         import jax

@@ -5,6 +5,7 @@ compiler, and golden-byte fixtures (same protocol as the binary-ark suite)."""
 import io
 import math
 import pathlib
+import struct
 
 import numpy as np
 import pytest
@@ -94,6 +95,38 @@ class TestRoundTrip:
         got = read_fst_stream(buf)
         assert got.arcs == raw.arcs and got.finals == raw.finals
         assert buf.read() == b"TRAILING"
+
+    def test_stream_counts_rejected_in_archives(self):
+        # a stream-written header (numstates == -1) reads states to EOF;
+        # inside a multi-record archive that would swallow every record
+        # after it, so archive contexts must reject it loudly
+        from torchain_tpu.fstkit.openfst_io import (
+            VECTOR_FILE_VERSION,
+            _read_weight,
+            _write_header,
+            _write_weight,
+        )
+
+        raw = small_raw("standard")
+        buf = io.BytesIO()
+        _write_header(
+            buf, "vector", "standard", VECTOR_FILE_VERSION, 0, 0, raw.start, -1, -1
+        )
+        for s in range(raw.num_states):
+            _write_weight(buf, "standard", raw.finals[s])
+            buf.write(struct.pack("<q", len(raw.arcs[s])))
+            for a in raw.arcs[s]:
+                buf.write(struct.pack("<ii", a.ilabel, a.olabel))
+                _write_weight(buf, "standard", a.weight)
+                buf.write(struct.pack("<i", a.nextstate))
+        # standalone stream read still works (runs to EOF)
+        buf.seek(0)
+        got = read_fst_stream(buf)
+        assert got.arcs == raw.arcs and got.finals == raw.finals
+        # archive context rejects instead of consuming to EOF
+        buf.seek(0)
+        with pytest.raises(ValueError, match="archive"):
+            read_fst_stream(buf, allow_stream_counts=False)
 
     def test_bad_magic(self, tmp_path):
         p = tmp_path / "bad.fst"

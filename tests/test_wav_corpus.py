@@ -136,3 +136,23 @@ def test_corpus_trains_one_step(wav_dir):
     )
     results = trainer.fit(ds, log_fn=lambda s: None)
     assert np.isfinite(results.objf)
+
+
+def test_equal_frame_length_and_shift(tmp_path):
+    """frame_length == frame_shift used to append the ENTIRE waveform
+    (x[-0:] is the whole array); the tail pad must be skipped instead."""
+    from torchain_tpu.data.features import FbankOptions
+
+    d = tmp_path / "eqshift"
+    make_wav_data_dir(
+        str(d),
+        num_utts=4,
+        vocab_size=4,
+        num_phones=3,
+        num_speakers=2,
+        opts=FbankOptions(sample_rate=8000, num_mel_bins=16,
+                          frame_length_ms=10.0, frame_shift_ms=10.0),
+        seed=3,
+    )
+    wc = load_wav_dir(str(d))
+    assert len(wc.corpus.utts) == 4

@@ -1,0 +1,165 @@
+"""One-shot cross-validation against REAL Kaldi artifacts (ADVICE r3 #2).
+
+Byte-level Kaldi/OpenFst compatibility in this repo is pinned by
+self-generated golden fixtures (the writer tests its own reader) because
+the reference mount is empty and there is no network.  The day a real
+Kaldi system is reachable, run this once per artifact class and record
+the output in PARITY.md; until then the provenance caveat there stands.
+
+For each supplied artifact the tool (a) reads it with this repo's
+readers, (b) rewrites it with this repo's writers, and (c) byte-compares
+the rewrite to the original (exact for deterministic formats; structural
+round-trip equality where Kaldi's writer is not byte-canonical, e.g.
+compressed matrices).
+
+Usage:
+  python tools/crosscheck_kaldi.py --den-fst den.fst --hclg HCLG.fst \
+      --cegs ark:cegs.1.ark --lattice ark:lat.1.ark --ark feats.ark
+Any subset of flags may be given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _strip(rspec: str) -> str:
+    return rspec.split(":", 1)[1] if ":" in rspec else rspec
+
+
+def check_fst(path: str, name: str) -> bool:
+    from torchain_tpu.fstkit.openfst_io import (
+        CONST_ALIGNED_FILE_VERSION,
+        FLAG_IS_ALIGNED,
+        _read_header,
+        read_fst_stream,
+        write_fst_stream,
+    )
+
+    orig = open(path, "rb").read()
+    _, _, version, flags, *_rest = _read_header(io.BytesIO(orig))
+    aligned = version == CONST_ALIGNED_FILE_VERSION or bool(flags & FLAG_IS_ALIGNED)
+    raw = read_fst_stream(io.BytesIO(orig))
+    buf = io.BytesIO()
+    write_fst_stream(buf, raw, fsttype=raw.fsttype, aligned=aligned)
+    ok = buf.getvalue() == orig
+    print(
+        f"[{name}] {path}: fsttype={raw.fsttype} arctype={raw.arctype} "
+        f"states={raw.num_states} byte-identical-rewrite={ok}"
+    )
+    if not ok:
+        a, b = orig, buf.getvalue()
+        i = next((k for k in range(min(len(a), len(b))) if a[k] != b[k]), min(len(a), len(b)))
+        print(f"  first divergence at byte {i} (len {len(a)} vs {len(b)})")
+    return ok
+
+
+def check_cegs(path: str) -> bool:
+    from torchain_tpu.data.cegs import (
+        iter_cegs_ark,
+        write_cegs_ark,
+        example_to_batch,
+    )
+
+    path = _strip(path)
+    egs = list(iter_cegs_ark(path))
+    print(f"[cegs] {path}: {len(egs)} records")
+    import tempfile, filecmp, os
+
+    with tempfile.NamedTemporaryFile(suffix=".ark", delete=False) as tmp:
+        out = tmp.name
+    try:
+        write_cegs_ark(out, egs)
+        ok = filecmp.cmp(path, out, shallow=False)
+        print(f"  byte-identical-rewrite={ok}")
+        for key, eg in egs[:1]:
+            if not eg.outputs[0].supervision.is_e2e:
+                b = example_to_batch(eg)
+                print(f"  {key}: batch feats {b.feats.shape} OK")
+    finally:
+        os.unlink(out)
+    return ok
+
+
+def check_lattice_ark(path: str) -> bool:
+    from torchain_tpu.eval.lattice import (
+        read_lattice_ark_binary,
+        write_lattice_ark_binary,
+    )
+
+    path = _strip(path)
+    lats = read_lattice_ark_binary(path)
+    print(f"[lattice] {path}: {len(lats)} lattices")
+    import tempfile, filecmp, os
+
+    with tempfile.NamedTemporaryFile(suffix=".ark", delete=False) as tmp:
+        out = tmp.name
+    try:
+        write_lattice_ark_binary(out, lats)
+        ok = filecmp.cmp(path, out, shallow=False)
+        print(f"  byte-identical-rewrite={ok}")
+    finally:
+        os.unlink(out)
+    return ok
+
+
+def check_ark(path: str) -> bool:
+    from torchain_tpu.io import read_ark, write_ark_binary
+
+    path = _strip(path)
+    mats = dict(read_ark(path))
+    print(f"[ark] {path}: {len(mats)} matrices")
+    import tempfile, filecmp, os
+
+    with tempfile.NamedTemporaryFile(suffix=".ark", delete=False) as tmp:
+        out = tmp.name
+    try:
+        write_ark_binary(out, mats)
+        ok = filecmp.cmp(path, out, shallow=False)
+        print(f"  byte-identical-rewrite={ok} "
+              "(False is expected for compressed (CM) sources; "
+              "verify values round-trip instead)")
+        if not ok:
+            back = dict(read_ark(out))
+            import numpy as np
+
+            ok = all(np.allclose(mats[k], back[k], atol=1e-4) for k in mats)
+            print(f"  value-round-trip={ok}")
+    finally:
+        os.unlink(out)
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--den-fst")
+    ap.add_argument("--hclg")
+    ap.add_argument("--cegs")
+    ap.add_argument("--lattice")
+    ap.add_argument("--ark")
+    args = ap.parse_args()
+    results = []
+    if args.den_fst:
+        results.append(check_fst(args.den_fst, "den.fst"))
+    if args.hclg:
+        results.append(check_fst(args.hclg, "HCLG"))
+    if args.cegs:
+        results.append(check_cegs(args.cegs))
+    if args.lattice:
+        results.append(check_lattice_ark(args.lattice))
+    if args.ark:
+        results.append(check_ark(args.ark))
+    if not results:
+        print("nothing to check; pass at least one artifact flag")
+        return 2
+    print("CROSSCHECK:", "ALL OK" if all(results) else "DIVERGENCES FOUND")
+    return 0 if all(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -230,7 +231,16 @@ def main(argv=None) -> dict:
     # bench.py / __graft_entry__.dryrun_multichip)
     from torchain_tpu.utils.backend import backend_reachable
 
-    tpu_dead = not backend_reachable()
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # explicit CPU run: make it stick at the CONFIG level — the axon
+        # sitecustomize overrides env-derived config, and with a dead relay
+        # that hangs backend init even under JAX_PLATFORMS=cpu (round 4)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        tpu_dead = False
+    else:
+        tpu_dead = not backend_reachable()
 
     import jax
 

@@ -249,7 +249,7 @@ class KaldiSupervision:
 
 
 def _read_embedded_std_fst(f: BinaryIO) -> Fst:
-    raw = read_fst_stream(f)
+    raw = read_fst_stream(f, allow_stream_counts=False)
     if raw.arctype != "standard":
         raise ValueError(f"supervision FST has arc type {raw.arctype!r}")
     fst, _ = to_fstkit(raw)
@@ -695,10 +695,13 @@ def example_to_batch(
     if append_ivector and eg.has_io("ivector"):
         ivec = eg.io("ivector")
         rows = _rows_to_batch(ivec.indexes, ivec.features)  # [B, n_ivec_t, D]
-        # online ivectors: one (or few) rows per sequence; tile the last
-        # available one across frames (recipes feed a per-chunk ivector)
-        tiled = np.repeat(rows[:, -1:, :], feats.shape[1], axis=1)
-        feats = np.concatenate([feats, tiled], axis=2)
+        # online ivectors: egs made with --online-ivector-period carry one
+        # row per period; Kaldi's computation selects the nearest-t row for
+        # each frame, so do the same over the (n, t) index grids
+        ivec_ts = np.array(sorted({i[1] for i in ivec.indexes}))
+        in_ts = np.array(sorted({i[1] for i in eg.io("input").indexes}))
+        sel = np.abs(in_ts[:, None] - ivec_ts[None, :]).argmin(axis=1)
+        feats = np.concatenate([feats, rows[:, sel, :]], axis=2)
     pieces = split_merged_supervision_fst(
         sup.fst, B, sup.frames_per_sequence
     )

@@ -98,8 +98,14 @@ def make_wav_data_dir(
             # phone so total samples give exactly t_in frames
             chunks.append(render_phone_wave(q, d * fshift, opts.sample_rate, rng))
         x = np.concatenate(chunks)
-        x = np.concatenate([x, x[-(flen - fshift):]])  # frame-length tail
-        assert 1 + (x.shape[0] - flen) // fshift == t_in
+        tail = flen - fshift  # frame-length tail (x[-0:] would be ALL of x)
+        if tail:
+            x = np.concatenate([x, x[-tail:]])
+        if 1 + (x.shape[0] - flen) // fshift != t_in:
+            raise RuntimeError(
+                f"synth wav frame count mismatch for {utt}: "
+                f"{1 + (x.shape[0] - flen) // fshift} != {t_in}"
+            )
         waves[utt] = np.clip(x * gains[spk_i], -32767, 32767)
 
     from torchain_tpu.data.kaldi_compat import write_utt2spk, write_wav

@@ -148,19 +148,26 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
     bwd = shortest_distance(lat, reverse_dir=True, semiring="tropical")
     score = bwd[0]
     phones: list[int] = []
-    s = 0
+    s, steps = 0, 0
     while True:
-        nxt = None
+        # argmin residual, not a fixed tolerance — see best_path_ctm
+        nxt, best = None, np.inf
         for a in lat.arcs(s):
-            if abs(fwd[s] + a.weight + bwd[a.dst] - score) < 1e-6:
-                nxt = a
-                break
-        if nxt is None:
-            assert lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-4
+            r = abs(fwd[s] + a.weight + bwd[a.dst] - score)
+            if r < best:
+                nxt, best = a, r
+        fin = abs(fwd[s] + lat.final(s) - score) if lat.is_final(s) else np.inf
+        if fin <= best:
             break
+        if nxt is None or steps > lat.num_states:
+            raise RuntimeError(
+                f"best-path walk stranded at state {s}: no outgoing arc or "
+                "final weight lies on the best-path score"
+            )
         if nxt.label > 0:
             phones.append(nxt.label)
         s = nxt.dst
+        steps += 1
     return phones, float(score)
 
 
@@ -211,14 +218,23 @@ def best_path_ctm(
     out: list[CtmEntry] = []
     s, t, seg_start = 0, 0, 0
     while True:
-        nxt = None
+        # the on-path arc is the argmin of |fwd + w + bwd - score| rather
+        # than a fixed absolute tolerance — robust to accumulated float
+        # error on long utterances; stopping at a final state wins only
+        # when its residual beats every outgoing arc's
+        nxt, best = None, np.inf
         for a in lat.arcs(s):
-            if abs(fwd[s] + a.weight + bwd[a.dst] - score) < 1e-6:
-                nxt = a
-                break
-        if nxt is None:
-            assert lat.is_final(s) and abs(fwd[s] + lat.final(s) - score) < 1e-4
+            r = abs(fwd[s] + a.weight + bwd[a.dst] - score)
+            if r < best:
+                nxt, best = a, r
+        fin = abs(fwd[s] + lat.final(s) - score) if lat.is_final(s) else np.inf
+        if fin <= best:
             break
+        if nxt is None or t > lat.num_states:
+            raise RuntimeError(
+                f"best-path walk stranded at state {s} (frame {t}): no "
+                "outgoing arc or final weight lies on the best-path score"
+            )
         if nxt.label > 0:
             conf = 1.0
             if with_confidence:
@@ -1078,7 +1094,7 @@ def read_lattice_ark_binary(path: str) -> "dict[str, Fst]":
                     f"record {key!r} lacks the binary marker; "
                     "use read_lattice_ark for text archives"
                 )
-            raw = read_fst_stream(f)
+            raw = read_fst_stream(f, allow_stream_counts=False)
             if raw.arctype not in ("lattice4", "compactlattice44"):
                 raise ValueError(
                     f"record {key!r} has arc type {raw.arctype!r}, "

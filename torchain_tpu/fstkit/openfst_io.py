@@ -378,9 +378,19 @@ def _write_const_body(f, raw: RawFst, aligned: bool) -> None:
 # ---------------------------------------------------------------------------
 
 
-def read_fst_stream(f: BinaryIO) -> RawFst:
-    """Read one OpenFst binary FST starting at the current position."""
+def read_fst_stream(f: BinaryIO, allow_stream_counts: bool = True) -> RawFst:
+    """Read one OpenFst binary FST starting at the current position.
+
+    `allow_stream_counts=False` rejects stream-written headers (negative
+    state counts, whose body runs to EOF) — required inside multi-record
+    archives, where a run-to-EOF body would silently swallow every
+    subsequent record."""
     fsttype, arctype, version, flags, _props, start, numstates, numarcs = _read_header(f)
+    if numstates < 0 and not allow_stream_counts:
+        raise ValueError(
+            "stream-written FST header (numstates < 0) inside an archive: "
+            "the body runs to EOF and would consume all following records"
+        )
     if arctype not in ARC_TYPES:
         raise ValueError(
             f"unsupported arc type {arctype!r}: expected one of {sorted(ARC_TYPES)}"
