@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from torchain_tpu.models.tdnn import Prefinal, continuous_dropout
+from torchain_tpu.models.tdnn import Prefinal, batch_norm, continuous_dropout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +50,13 @@ class ConformerConfig:
     #: (pure VPU elementwise, no grouped-conv lowering), "conv" =
     #: lax.conv feature_group_count — numerically identical
     depthwise_impl: str = "shift"
+    #: batchnorm lowering for the conv module + prefinal heads: "fused" =
+    #: hand-fused 2+2-pass custom VJP (models/tdnn.ChainBatchNorm),
+    #: "flax" = stock nn.BatchNorm — numerically matched
+    bn_impl: str = "flax"
+    #: layernorm lowering: "fused" = hand-fused custom VJP (ops/fused_ln),
+    #: "flax" = stock nn.LayerNorm — numerically matched
+    ln_impl: str = "flax"
     #: attention lowering: "fused" = one Pallas kernel per batch row
     #: (ops/attention.py — qkv slicing, logits, bias, softmax, p@v and the
     #: head re-merge never leave VMEM; the einsum path's qkv transposes +
@@ -61,6 +68,25 @@ class ConformerConfig:
     def context(self) -> tuple[int, int]:
         c = (self.frontend_kernel - 1) // 2
         return c, c
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm replacement over the hand-fused VJP
+    (ops/fused_ln.py): f32 row stats straight off the bf16 operand, no
+    materialized f32 island, two-pass backward.  Parameter tree matches
+    nn.LayerNorm (scale/bias, f32); epsilon matches flax's 1e-6 default."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from torchain_tpu.ops.fused_ln import ln_apply
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return ln_apply(x.astype(self.dtype), scale, bias, self.epsilon)
 
 
 class RelPositionBias(nn.Module):
@@ -123,6 +149,8 @@ class ConformerBlock(nn.Module):
 
         def ln(h, name):
             # f32 normalization island, output back in the trunk dtype
+            if cfg.ln_impl == "fused":
+                return FusedLayerNorm(dtype=cfg.dtype, name=name)(h)
             return nn.LayerNorm(dtype=jnp.float32, name=name)(h).astype(cfg.dtype)
 
         # FFN half-step 1
@@ -194,8 +222,9 @@ class ConformerBlock(nn.Module):
                 name="depthwise",
             )(h.astype(dw_dtype))
         # f32 batch-norm island (running stats must not accumulate in bf16)
-        h = nn.BatchNorm(
-            use_running_average=not train, axis_name=None, dtype=jnp.float32
+        h = batch_norm(
+            train=train, dtype=jnp.float32, impl=cfg.bn_impl,
+            name="BatchNorm_0",
         )(h.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.swish(h)
         h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="conv_out")(h)
@@ -236,6 +265,6 @@ class Conformer(nn.Module):
             # the standard conformer's per-sublayer Bernoulli dropout is
             # replaced by the chain recipes' expectation-1 channel noise)
             x = continuous_dropout(self, x, dropout_rate, train)
-        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
-        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, bn_impl=cfg.bn_impl, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, bn_impl=cfg.bn_impl, name="xent_head")(x, train)
         return chain, xent

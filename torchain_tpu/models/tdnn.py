@@ -44,6 +44,61 @@ def continuous_dropout(mod: nn.Module, x, rate, train: bool, time_axis: int = 1)
     return x * (1.0 + 2.0 * jnp.asarray(rate, x.dtype) * u)
 
 
+class ChainBatchNorm(nn.Module):
+    """Drop-in replacement for nn.BatchNorm (feature axis -1, no
+    cross-replica axis) built on the hand-fused train-mode kernel in
+    ops/fused_bn.py: two passes forward, two passes backward, f32
+    reductions straight off the bf16 operand — removing the flax
+    module's materialized upcast + separate dmean/dvar chains (r3 device
+    trace: ~0.57 ms/step at trigram B=128).  Parameters and batch_stats
+    variables are laid out identically to nn.BatchNorm; instantiate with
+    name="BatchNorm_0" so checkpoints stay interchangeable between
+    implementations (tests/test_fused_bn.py)."""
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from torchain_tpu.ops.fused_bn import bn_train
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        if self.use_running_average:
+            rstd = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = (rstd * scale).astype(x.dtype)
+            b = (bias - ra_mean.value * rstd * scale).astype(x.dtype)
+            return x * a + b
+        y, mean, var = bn_train(x, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
+def batch_norm(*, train: bool, dtype, impl: str = "flax", name=None):
+    """BatchNorm factory shared by the trunks: impl "fused" builds
+    ChainBatchNorm, "flax" the stock nn.BatchNorm — numerically matched,
+    checkpoint-compatible trees (both named BatchNorm_N)."""
+    if impl == "fused":
+        return ChainBatchNorm(
+            use_running_average=not train, dtype=dtype, name=name
+        )
+    return nn.BatchNorm(
+        use_running_average=not train, axis_name=None, dtype=dtype, name=name
+    )
+
+
 class Prefinal(nn.Module):
     """Kaldi's prefinal-chain / prefinal-xent block: linear bottleneck +
     relu + batchnorm + affine to pdfs.  Always emits float32 (the chain
@@ -52,12 +107,16 @@ class Prefinal(nn.Module):
     dim: int
     num_pdfs: int
     dtype: Any = jnp.float32
+    bn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.dim, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(x)
+        x = batch_norm(
+            train=train, dtype=self.dtype, impl=self.bn_impl,
+            name="BatchNorm_0",
+        )(x)
         return nn.Dense(self.num_pdfs, dtype=jnp.float32)(x.astype(jnp.float32))
 
 
@@ -208,6 +267,8 @@ class TdnnfLayer(nn.Module):
     impl: str = "dot"
     #: axis carrying time; 0 = time-major trunk (see _TapDot)
     time_axis: int = 1
+    #: "fused" = ChainBatchNorm (hand-fused VJP), "flax" = nn.BatchNorm
+    bn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rate=None):
@@ -251,7 +312,10 @@ class TdnnfLayer(nn.Module):
                 name="affine",
             )(h)
         h = nn.relu(h)
-        h = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=self.dtype)(h)
+        h = batch_norm(
+            train=train, dtype=self.dtype, impl=self.bn_impl,
+            name="BatchNorm_0",
+        )(h)
         # Kaldi tdnnf-layer order: dropout after batchnorm, before the
         # scaled bypass joins
         ta = self.time_axis if self.impl == "dot" else 1
@@ -288,6 +352,9 @@ class TdnnfConfig:
     #: land on the untiled outermost dim, eliminating the slice copies and
     #: backward pad-scatters of the [B, T, C] layout (BENCH_NOTES round 3)
     time_major: bool = True
+    #: batchnorm lowering: "fused" = hand-fused 2+2-pass custom VJP
+    #: (ChainBatchNorm), "flax" = stock nn.BatchNorm — numerically matched
+    bn_impl: str = "flax"
 
     def layer_geometry(self) -> list[tuple[int, int]]:
         """(dilation, stride) per tdnnf layer."""
@@ -324,7 +391,9 @@ class TDNNF(nn.Module):
             feats.astype(cfg.dtype)
         )
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, axis_name=None, dtype=cfg.dtype)(x)
+        x = batch_norm(
+            train=train, dtype=cfg.dtype, impl=cfg.bn_impl, name="BatchNorm_0"
+        )(x)
         tm = cfg.time_major and cfg.impl == "dot"
         if tm:
             x = jnp.transpose(x, (1, 0, 2))  # [B, T, C] -> [T, B, C]
@@ -337,10 +406,11 @@ class TDNNF(nn.Module):
                 dtype=cfg.dtype,
                 impl=cfg.impl,
                 time_axis=0 if tm else 1,
+                bn_impl=cfg.bn_impl,
                 name=f"tdnnf{i}",
             )(x, train, dropout_rate)
         if tm:
             x = jnp.transpose(x, (1, 0, 2))
-        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="chain_head")(x, train)
-        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, name="xent_head")(x, train)
+        chain = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, bn_impl=cfg.bn_impl, name="chain_head")(x, train)
+        xent = Prefinal(cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype, bn_impl=cfg.bn_impl, name="xent_head")(x, train)
         return chain, xent
