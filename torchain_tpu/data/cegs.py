@@ -774,3 +774,69 @@ def batches_from_cegs(path: str, append_ivector: bool = True):
     """Iterate training-ready ChainBatches straight off a cegs archive."""
     for key, eg in iter_cegs_ark(path):
         yield key, example_to_batch(eg, append_ivector=append_ivector)
+
+
+def dataset_to_cegs(
+    dataset,
+    path: str,
+    batch_size: int,
+    compress: bool = False,
+    scp_path: str | None = None,
+    shuffle_seed: int | None = None,
+) -> int:
+    """Export a ChainDataset's chunks as a MERGED binary cegs archive —
+    the offline half of Kaldi's egs pipeline (nnet3-chain-get-egs |
+    shuffle-egs | merge-egs, [K] chainbin; SURVEY.md section 2.2 "chain
+    egs format & binaries") as one in-process step: chunk alignments are
+    compiled to supervision FSTs composed with the normalization FST,
+    grouped `batch_size` equal-length chunks per record, and written with
+    the interchange writer so a Kaldi system (or batches_from_cegs) can
+    train on the archive directly.  Returns the number of records."""
+    import collections
+
+    from torchain_tpu.fstkit import compose
+    from torchain_tpu.graphs.supervision import alignment_to_supervision_fst
+
+    # compile every chunk's supervision FST first, dropping failures the
+    # way the training loader (and Kaldi's get-egs) does
+    by_t: "dict[int, list[tuple[int, Fst]]]" = collections.defaultdict(list)
+    for ci, (_ui, _c0, t_out, chunk_ali, lctx, rctx) in enumerate(
+        dataset.chunks
+    ):
+        try:
+            fst = alignment_to_supervision_fst(
+                chunk_ali,
+                dataset.tree,
+                dataset.sup_opts,
+                left_context_phone=lctx,
+                right_context_phone=rctx,
+            )
+            fst = compose(fst, dataset._norm_ready, b_ready=True)
+        except ValueError:
+            continue
+        by_t[t_out].append((ci, fst))
+    if shuffle_seed is not None:
+        rng = np.random.default_rng(shuffle_seed)
+        for items in by_t.values():
+            rng.shuffle(items)
+    n = 0
+    egs: list[tuple[str, NnetChainExample]] = []
+    for t_out in sorted(by_t):
+        items = by_t[t_out]
+        for b0 in range(0, len(items) - batch_size + 1, batch_size):
+            group = items[b0 : b0 + batch_size]
+            feats = []
+            for ci, _fst in group:
+                ui, c0, t, *_rest = dataset.chunks[ci]
+                feats.append(dataset._chunk_feats(dataset.utts[ui], c0, t))
+            eg = make_chain_example(
+                np.stack(feats),
+                [f for _ci, f in group],
+                dataset.tree.num_pdfs,
+                frame_subsampling_factor=dataset.fsf,
+                left_context=dataset.left_context,
+            )
+            egs.append((f"eg-{n:06d}", eg))
+            n += 1
+    write_cegs_ark(path, egs, compress=compress, scp_path=scp_path)
+    return n
