@@ -3,9 +3,11 @@
 Usage: timeout 1500 python tools/bench_models.py [--models conformer tdnnf]
 
 Measures the full jitted train step (model fwd+bwd + chain loss + adam)
-at the bench.py configuration (B=64, T_out=50, trigram den graph) for
-each (model, dtype) pair in one process — cross-run relay noise exceeds
-the dtype delta, same-process min-of-windows is reliable (BENCH_NOTES)."""
+at the bench.py configuration for each (model, dtype) pair in one
+process, by the DEVICE-TRACE protocol (bench.py _measure): wall
+min-of-windows through the axon relay reported physically impossible
+numbers at B=128 (f32 "2.5 ms" below the device span of one step —
+BENCH_NOTES round 3), so wall is printed only as a cross-check."""
 
 import argparse
 import json
@@ -105,21 +107,22 @@ def main():
                 state, metrics = step_fn(state, feats, den, sup)
             jax.block_until_ready(metrics["loss"])
             compile_s = time.time() - t0
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                for _ in range(20):
-                    state, metrics = step_fn(state, feats, den, sup)
-                jax.block_until_ready(metrics["loss"])
-                best = min(best, (time.perf_counter() - t0) / 20)
+            import bench
+
+            device_ms, wall_ms, state = bench._measure(
+                step_fn, state, feats, den, sup,
+                f"/tmp/tb_bench_models_{model_name}_{jnp.dtype(dtype).name}",
+            )
+            step_ms = device_ms if device_ms == device_ms else wall_ms
             audio = batch.feats.shape[0] * batch.sup.num_frames * 3 * 0.010
             print(
                 json.dumps(
                     dict(
                         model=model_name,
                         dtype=str(jnp.dtype(dtype)),
-                        step_ms=round(best * 1e3, 3),
-                        audio_s_per_s=round(audio / best, 1),
+                        step_ms=round(step_ms, 3),
+                        wall_step_ms=round(wall_ms, 3),
+                        audio_s_per_s=round(audio / (step_ms / 1e3), 1),
                         loss=float(metrics["loss"]),
                         compile_s=round(compile_s, 1),
                     )

@@ -9,7 +9,13 @@ and xent-head logits for the cross-entropy regularizer
 (kaldi chain recipes' output / output-xent pair).
 """
 
-from torchain_tpu.models.tdnn import TDNN, TDNNF, TdnnConfig, TdnnfConfig
+from torchain_tpu.models.tdnn import (
+    TDNN,
+    TDNNF,
+    ChainBatchNorm,
+    TdnnConfig,
+    TdnnfConfig,
+)
 from torchain_tpu.models.conformer import Conformer, ConformerConfig
 from torchain_tpu.models.semi_orthogonal import (
     constrain_semi_orthogonal,
@@ -18,6 +24,7 @@ from torchain_tpu.models.semi_orthogonal import (
 
 __all__ = [
     "TDNN",
+    "ChainBatchNorm",
     "TDNNF",
     "TdnnConfig",
     "TdnnfConfig",
