@@ -53,10 +53,11 @@ class ConformerConfig:
     #: batchnorm lowering for the conv module + prefinal heads: "fused" =
     #: hand-fused 2+2-pass custom VJP (models/tdnn.ChainBatchNorm),
     #: "flax" = stock nn.BatchNorm — numerically matched
-    bn_impl: str = "flax"
+    bn_impl: str = "fused"
     #: layernorm lowering: "fused" = hand-fused custom VJP (ops/fused_ln),
-    #: "flax" = stock nn.LayerNorm — numerically matched
-    ln_impl: str = "flax"
+    #: "flax" = stock nn.LayerNorm — numerically matched (device A/B round
+    #: 4: fused bn+ln 9.438 vs flax 9.489 ms/step, trigram B=128)
+    ln_impl: str = "fused"
     #: attention lowering: "fused" = one Pallas kernel per batch row
     #: (ops/attention.py — qkv slicing, logits, bias, softmax, p@v and the
     #: head re-merge never leave VMEM; the einsum path's qkv transposes +

@@ -107,7 +107,7 @@ class Prefinal(nn.Module):
     dim: int
     num_pdfs: int
     dtype: Any = jnp.float32
-    bn_impl: str = "flax"
+    bn_impl: str = "fused"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -268,7 +268,7 @@ class TdnnfLayer(nn.Module):
     #: axis carrying time; 0 = time-major trunk (see _TapDot)
     time_axis: int = 1
     #: "fused" = ChainBatchNorm (hand-fused VJP), "flax" = nn.BatchNorm
-    bn_impl: str = "flax"
+    bn_impl: str = "fused"
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rate=None):
@@ -354,7 +354,9 @@ class TdnnfConfig:
     time_major: bool = True
     #: batchnorm lowering: "fused" = hand-fused 2+2-pass custom VJP
     #: (ChainBatchNorm), "flax" = stock nn.BatchNorm — numerically matched
-    bn_impl: str = "flax"
+    #: (device A/B round 4: fused 5.737 vs flax 5.816 ms/step at the
+    #: trigram B=128 headline — small but consistent, so fused is default)
+    bn_impl: str = "fused"
 
     def layer_geometry(self) -> list[tuple[int, int]]:
         """(dilation, stride) per tdnnf layer."""
