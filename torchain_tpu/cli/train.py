@@ -31,7 +31,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-phones", type=int, default=12)
     p.add_argument("--feat-dim", type=int, default=24)
     p.add_argument("--context-width", type=int, default=1, choices=(1, 2))
-    p.add_argument("--model", choices=("tdnn", "tdnnf", "conformer"), default="tdnnf")
+    p.add_argument(
+        "--model",
+        choices=("tdnn", "tdnnf", "tdnn-lstm", "conformer"),
+        default="tdnnf",
+    )
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--bottleneck-dim", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=5)
@@ -267,10 +271,12 @@ def main(argv=None) -> dict:
     from torchain_tpu.models import (
         TDNN,
         TDNNF,
+        TDNNLSTM,
         Conformer,
         ConformerConfig,
         TdnnConfig,
         TdnnfConfig,
+        TdnnLstmConfig,
     )
     from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.parallel import MeshConfig
@@ -402,6 +408,15 @@ def main(argv=None) -> dict:
             num_layers=args.num_layers,
         )
         model = TDNNF(cfg)
+    elif args.model == "tdnn-lstm":
+        cfg = TdnnLstmConfig(
+            num_pdfs=corpus.tree.num_pdfs,
+            hidden_dim=args.hidden_dim,
+            cell_dim=args.hidden_dim,
+            rec_proj_dim=max(8, args.hidden_dim // 4),
+            nonrec_proj_dim=max(8, args.hidden_dim // 4),
+        )
+        model = TDNNLSTM(cfg)
     else:
         cfg = ConformerConfig(
             num_pdfs=corpus.tree.num_pdfs, dim=args.hidden_dim, num_layers=args.num_layers

@@ -2,8 +2,9 @@
 
 The model zoo the reference ecosystem trains with chain loss (SURVEY.md
 section 2 / BASELINE.json configs): TDNN (dilated-conv context splicing),
-TDNN-F (factored layers with the semi-orthogonal constraint), and a
-conformer encoder.  All emit two heads over shared trunk features:
+TDNN-F (factored layers with the semi-orthogonal constraint), TDNN-LSTM
+(projected-LSTM layers interleaved, the Kaldi tdnn-lstm chain family),
+and a conformer encoder.  All emit two heads over shared trunk features:
 chain-head raw outputs y (unnormalized log-likelihoods, no prior division)
 and xent-head logits for the cross-entropy regularizer
 (kaldi chain recipes' output / output-xent pair).
@@ -17,6 +18,7 @@ from torchain_tpu.models.tdnn import (
     TdnnfConfig,
 )
 from torchain_tpu.models.conformer import Conformer, ConformerConfig
+from torchain_tpu.models.lstm import TDNNLSTM, Lstmp, TdnnLstmConfig
 from torchain_tpu.models.semi_orthogonal import (
     constrain_semi_orthogonal,
     semi_orthogonal_step,
@@ -30,6 +32,9 @@ __all__ = [
     "TdnnfConfig",
     "Conformer",
     "ConformerConfig",
+    "TDNNLSTM",
+    "Lstmp",
+    "TdnnLstmConfig",
     "constrain_semi_orthogonal",
     "semi_orthogonal_step",
 ]

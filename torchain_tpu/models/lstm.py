@@ -1,0 +1,259 @@
+"""TDNN-LSTM acoustic encoder: projected LSTM (LSTMP) layers interleaved
+with context-spliced TDNN layers.
+
+Behavioral reference: Kaldi's chain TDNN-LSTM recipes
+([K] egs/wsj/s5/local/chain/tuning/run_tdnn_lstm_1a.sh and the
+LstmNonlinearityComponent / projection pair in
+[K] nnet-combined-component.cc ~LstmNonlinearityComponent) — the third
+standard chain model family next to TDNN(-F) and the attention encoders
+(SURVEY.md section 2.1 example recipe).  Per layer:
+
+    i_t = sigmoid(W_ix x_t + W_ir r_{t-d} + w_ic . c_{t-d} + b_i)
+    f_t = sigmoid(W_fx x_t + W_fr r_{t-d} + w_fc . c_{t-d} + b_f)
+    c_t = f_t . c_{t-d} + i_t . tanh(W_cx x_t + W_cr r_{t-d} + b_c)
+    o_t = sigmoid(W_ox x_t + W_or r_{t-d} + w_oc . c_t + b_o)
+    m_t = o_t . tanh(c_t)
+    [r_t | p_t] = m_t W_rm          (recurrent / non-recurrent projection)
+    output_t = [r_t | p_t]
+
+with diagonal "peephole" weights w_ic/w_fc/w_oc, exactly Kaldi's cell.
+
+TPU-first redesign decisions (vs the Kaldi configs):
+
+* **Recurrence at the output frame rate.** Kaldi runs its LSTMs at the
+  input rate with ``delay=-3``, so each recurrent chain still only sees
+  every third frame — three interleaved chains, 3x the compute.  Here
+  the subsampling stride happens in an early TDNN layer and the LSTMs
+  run once per output frame with ``delay=1``: the SAME temporal
+  structure per chain (one recurrence step per 30 ms) at 1/3 the FLOPs.
+  ``delay>1`` is still supported (see next point) for configs that want
+  Kaldi's literal interleaving.
+* **Delay-d as batched phase chains.** A ``delay=d`` recurrence is d
+  independent chains over the phase classes ``t mod d``.  Instead of a
+  length-T scan with a d-deep state history, time is reshaped to
+  ``[T/d, d, B, C]`` and one ``lax.scan`` of length T/d carries the d
+  phase states as extra batch rows — the per-step recurrent matmul is d
+  times wider (better MXU fill) and the sequential chain d times
+  shorter.
+* **One big input GEMM outside the scan.** ``x @ W_x`` for all T frames
+  is hoisted out of the scan (cuDNN-style), so the MXU sees one
+  [T*B, C] x [C, 4*cell] matmul; the scan body is only the small
+  recurrent projection + fused gate elementwise.
+* **f32 cell state under a bf16 trunk.** Matmuls run in the configured
+  compute dtype; the cell update and gate nonlinearities accumulate in
+  f32 (the recurrence is the numerically fragile part).
+* **State warm-up instead of cross-chunk state.** Kaldi chain LSTM
+  recipes pass ``--egs.chunk-left-context 40`` so the zero-initialized
+  state warms up on extra left-context frames before the scored chunk.
+  ``TdnnLstmConfig.warmup_frames`` reproduces that: the loader supplies
+  ``warmup_frames`` extra OUTPUT frames of left context (the ``context``
+  property accounts for them), the trunk processes them normally, and
+  the heads score only the final T_out frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from torchain_tpu.models.tdnn import Prefinal, batch_norm, continuous_dropout
+
+
+class Lstmp(nn.Module):
+    """One projected LSTM layer over a time-major [T, B, C] input.
+
+    Returns [T, B, rec_proj_dim + nonrec_proj_dim].  ``delay`` is the
+    recurrence distance in frames at THIS layer's frame rate (Kaldi's
+    ``delay=-3`` at the input rate == ``delay=1`` here when the layer
+    runs at the 1/3 output rate)."""
+
+    cell_dim: int
+    rec_proj_dim: int
+    nonrec_proj_dim: int
+    delay: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [T, B, C]
+        T, B, C = x.shape
+        d = self.delay
+        cell, rec = self.cell_dim, self.rec_proj_dim
+        proj = rec + self.nonrec_proj_dim
+        w_x = self.param(
+            "w_x", nn.initializers.lecun_normal(), (C, 4 * cell), jnp.float32
+        )
+        w_r = self.param(
+            "w_r", nn.initializers.lecun_normal(), (rec, 4 * cell), jnp.float32
+        )
+        # forget-gate bias 1.0: standard remember-by-default initialization
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype: jnp.concatenate(
+                [
+                    jnp.zeros((cell,), dtype),
+                    jnp.ones((cell,), dtype),
+                    jnp.zeros((2 * cell,), dtype),
+                ]
+            ),
+            (4 * cell,),
+            jnp.float32,
+        )
+        # diagonal peephole weights (Kaldi LstmNonlinearityComponent)
+        w_ic = self.param("w_ic", nn.initializers.zeros, (cell,), jnp.float32)
+        w_fc = self.param("w_fc", nn.initializers.zeros, (cell,), jnp.float32)
+        w_oc = self.param("w_oc", nn.initializers.zeros, (cell,), jnp.float32)
+        w_rm = self.param(
+            "w_rm", nn.initializers.lecun_normal(), (cell, proj), jnp.float32
+        )
+
+        dt = self.dtype
+        # the big input GEMM for all frames, outside the scan
+        xp = jnp.dot(x.astype(dt), w_x.astype(dt)) + bias.astype(dt)
+
+        # pad T up to a multiple of d, then fold the d phase chains into
+        # the batch: [T, B, 4*cell] -> [ceil(T/d), d*B, 4*cell]
+        Tp = -(-T // d) * d
+        if Tp != T:
+            xp = jnp.pad(xp, ((0, Tp - T), (0, 0), (0, 0)))
+        xp = xp.reshape(Tp // d, d * B, 4 * cell)
+
+        c0 = jnp.zeros((d * B, cell), jnp.float32)
+        r0 = jnp.zeros((d * B, rec), dt)
+        w_r_dt = w_r.astype(dt)
+        w_rm_dt = w_rm.astype(dt)
+
+        def step(carry, xp_k):
+            c_prev, r_prev = carry
+            gates = (xp_k + jnp.dot(r_prev, w_r_dt)).astype(jnp.float32)
+            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(gi + w_ic * c_prev)
+            f = jax.nn.sigmoid(gf + w_fc * c_prev)
+            c = f * c_prev + i * jnp.tanh(gg)
+            o = jax.nn.sigmoid(go + w_oc * c)
+            m = o * jnp.tanh(c)
+            rp = jnp.dot(m.astype(dt), w_rm_dt)
+            return (c, rp[:, :rec]), rp
+
+        _, ys = jax.lax.scan(step, (c0, r0), xp)
+        ys = ys.reshape(Tp, B, proj)
+        return ys[:T]
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnLstmConfig:
+    """Kaldi tdnn-lstm chain topology: TDNN splice blocks with LSTMP
+    layers interleaved (run_tdnn_lstm_1a-style ladder by default)."""
+
+    num_pdfs: int = 120
+    hidden_dim: int = 512
+    cell_dim: int = 512
+    rec_proj_dim: int = 128
+    nonrec_proj_dim: int = 128
+    prefinal_dim: int = 256
+    dtype: Any = jnp.float32
+    #: trunk ladder: ("tdnn", kernel, dilation, stride) or ("lstm", delay).
+    #: Exactly one tdnn stride equals frame_subsampling_factor; lstm
+    #: delays are at the post-stride frame rate (delay 1 == Kaldi's
+    #: delay -3 at the input rate once the stride-3 layer has run).
+    layers: Sequence[tuple] = (
+        ("tdnn", 5, 1, 1),
+        ("tdnn", 3, 1, 3),
+        ("tdnn", 3, 1, 1),
+        ("lstm", 1),
+        ("tdnn", 3, 3, 1),
+        ("tdnn", 3, 3, 1),
+        ("lstm", 1),
+        ("tdnn", 3, 3, 1),
+        ("tdnn", 3, 3, 1),
+        ("lstm", 1),
+    )
+    #: extra left-context OUTPUT frames the recurrent state warms up on
+    #: before the scored chunk (Kaldi --egs.chunk-left-context / 3);
+    #: the heads score only the final T_out frames
+    warmup_frames: int = 6
+    bn_impl: str = "fused"
+
+    @property
+    def frame_subsampling_factor(self) -> int:
+        f = 1
+        for spec in self.layers:
+            if spec[0] == "tdnn":
+                f *= spec[3]
+        return f
+
+    @property
+    def context(self) -> tuple[int, int]:
+        """(left, right) extra input frames: symmetric TDNN splice context
+        plus the LSTM warm-up frames (input rate)."""
+        left = right = 0
+        rate = 1
+        for spec in self.layers:
+            if spec[0] != "tdnn":
+                continue
+            _, k, dil, s = spec
+            half = (k // 2) * dil * rate
+            left += half
+            rate *= s
+            right += half
+        return left + self.warmup_frames * rate, right
+
+
+class TDNNLSTM(nn.Module):
+    """TDNN-LSTM trunk with chain + xent heads (see module docstring)."""
+
+    config: TdnnLstmConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, dropout_rate=None):
+        cfg = self.config
+        x = feats.astype(cfg.dtype)  # [B, T_in, F]
+        li = 0
+        for spec in cfg.layers:
+            if spec[0] == "tdnn":
+                _, k, dil, s = spec
+                x = nn.Conv(
+                    cfg.hidden_dim,
+                    kernel_size=(k,),
+                    kernel_dilation=(dil,),
+                    strides=(s,),
+                    padding="VALID",
+                    dtype=cfg.dtype,
+                    name=f"tdnn{li}",
+                )(x)
+                x = nn.relu(x)
+                x = batch_norm(
+                    train=train,
+                    dtype=cfg.dtype,
+                    impl=cfg.bn_impl,
+                    name=f"BatchNorm_{li}",
+                )(x)
+                x = continuous_dropout(self, x, dropout_rate, train)
+            else:
+                _, delay = spec
+                y = jnp.transpose(x, (1, 0, 2))  # [T, B, C]
+                y = Lstmp(
+                    cell_dim=cfg.cell_dim,
+                    rec_proj_dim=cfg.rec_proj_dim,
+                    nonrec_proj_dim=cfg.nonrec_proj_dim,
+                    delay=delay,
+                    dtype=cfg.dtype,
+                    name=f"lstm{li}",
+                )(y)
+                x = jnp.transpose(y, (1, 0, 2))
+                x = continuous_dropout(self, x, dropout_rate, train)
+            li += 1
+        if cfg.warmup_frames:
+            x = x[:, cfg.warmup_frames :, :]  # score only the chunk
+        chain = Prefinal(
+            cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype,
+            bn_impl=cfg.bn_impl, name="chain_head",
+        )(x, train)
+        xent = Prefinal(
+            cfg.prefinal_dim, cfg.num_pdfs, dtype=cfg.dtype,
+            bn_impl=cfg.bn_impl, name="xent_head",
+        )(x, train)
+        return chain, xent
