@@ -38,9 +38,11 @@ def main():
     from torchain_tpu.graphs import SupervisionOptions
     from torchain_tpu.models import (
         TDNNF,
+        TDNNLSTM,
         Conformer,
         ConformerConfig,
         TdnnfConfig,
+        TdnnLstmConfig,
     )
     from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
     from torchain_tpu.ops.device_graphs import DeviceSupervision
@@ -68,6 +70,16 @@ def main():
                 dtype=dtype,
             )
             return TDNNF(cfg), cfg.context
+        if model_name == "tdnn-lstm":
+            cfg = TdnnLstmConfig(
+                num_pdfs=corpus.tree.num_pdfs,
+                hidden_dim=512,
+                cell_dim=512,
+                rec_proj_dim=128,
+                nonrec_proj_dim=128,
+                dtype=dtype,
+            )
+            return TDNNLSTM(cfg), cfg.context
         cfg = ConformerConfig(
             num_pdfs=corpus.tree.num_pdfs,
             dim=256,

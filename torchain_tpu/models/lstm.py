@@ -76,6 +76,11 @@ class Lstmp(nn.Module):
     nonrec_proj_dim: int
     delay: int = 1
     dtype: Any = jnp.float32
+    #: lax.scan unroll factor.  Measured on v5e (round 4, B=128 full
+    #: step): unroll=5 was WORSE than 1 (30.4 vs 29.4 ms) — the scan is
+    #: bound by backward-pass residual traffic, not step dispatch — so
+    #: the default stays 1; the knob remains for other shapes
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):  # x: [T, B, C]
@@ -138,7 +143,7 @@ class Lstmp(nn.Module):
             rp = jnp.dot(m.astype(dt), w_rm_dt)
             return (c, rp[:, :rec]), rp
 
-        _, ys = jax.lax.scan(step, (c0, r0), xp)
+        _, ys = jax.lax.scan(step, (c0, r0), xp, unroll=self.unroll)
         ys = ys.reshape(Tp, B, proj)
         return ys[:T]
 
@@ -176,6 +181,8 @@ class TdnnLstmConfig:
     #: the heads score only the final T_out frames
     warmup_frames: int = 6
     bn_impl: str = "fused"
+    #: scan unroll for the LSTMP layers (see Lstmp.unroll)
+    lstm_unroll: int = 1
 
     @property
     def frame_subsampling_factor(self) -> int:
@@ -241,6 +248,7 @@ class TDNNLSTM(nn.Module):
                     nonrec_proj_dim=cfg.nonrec_proj_dim,
                     delay=delay,
                     dtype=cfg.dtype,
+                    unroll=cfg.lstm_unroll,
                     name=f"lstm{li}",
                 )(y)
                 x = jnp.transpose(y, (1, 0, 2))
