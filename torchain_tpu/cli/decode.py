@@ -69,6 +69,11 @@ def build_argparser():
     )
     # LM rescoring (steps/lmrescore.sh role): subtract the old grammar's
     # scores, add the new one's, both via lattice composition
+    p.add_argument(
+        "--prune-beam", type=float, default=0.0,
+        help="re-prune generated lattices to this beam before any other "
+        "lattice consumer (lattice-prune role; 0 disables)",
+    )
     p.add_argument("--lm-rescore", help="fstkit text acceptor: NEW grammar to rescore with")
     p.add_argument("--lm-rescore-old", help="fstkit text acceptor: OLD grammar to subtract first")
     p.add_argument("--lm-rescore-scale", type=float, default=1.0)
@@ -228,6 +233,10 @@ def main(argv=None) -> dict:
                 beam=args.beam,
                 phone_bonus=args.phone_insertion_bonus,
             )
+            if args.prune_beam > 0:
+                from torchain_tpu.eval.lattice import prune_lattice
+
+                lat = prune_lattice(lat, args.prune_beam)
             if rescore_g is not None:
                 from torchain_tpu.eval.lattice import lmrescore_lattice
 

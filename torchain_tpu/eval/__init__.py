@@ -27,6 +27,7 @@ from torchain_tpu.eval.lattice import (
     lattice_oracle,
     lattice_to_text,
     lmrescore_lattice,
+    prune_lattice,
     mbr_decode,
     read_lattice_ark,
     read_lattice_ark_binary,
@@ -58,6 +59,7 @@ __all__ = [
     "lattice_decode",
     "lattice_nbest",
     "lattice_oracle",
+    "prune_lattice",
     "lattice_to_text",
     "lmrescore_lattice",
     "mbr_decode",

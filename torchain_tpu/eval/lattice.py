@@ -574,6 +574,37 @@ def lattice_arc_posteriors(lat: Fst) -> tuple[list[tuple[int, Any, float]], floa
     return posts, float(total)
 
 
+def prune_lattice(lat: Fst, beam: float) -> Fst:
+    """Posterior-style beam pruning of an existing lattice — the
+    lattice-prune role ([K latbin/lattice-prune.cc]): keep exactly the
+    arcs (and final weights) lying on some complete path whose score is
+    within `beam` of the lattice best path, then trim.  Weights are used
+    as they sit on the lattice; apply rescore_lattice first to choose the
+    acoustic/LM scales, as Kaldi pipes lattice-scale before -prune.
+
+    `weight2` (acoustic) components ride through unchanged, so the pruned
+    lattice rescoring-composes like the original."""
+    from torchain_tpu.fstkit import connect
+
+    if lat.num_states == 0:
+        return Fst()
+    fwd = shortest_distance(lat, reverse_dir=False, semiring="tropical")
+    bwd = shortest_distance(lat, reverse_dir=True, semiring="tropical")
+    best = bwd[0]
+    if best == NEG_INF:  # no accepting path at all
+        return Fst()
+    cutoff = best - beam
+    out = Fst()
+    out.add_states(lat.num_states)
+    for s, a in lat.all_arcs():
+        if fwd[s] + a.weight + bwd[a.dst] >= cutoff:
+            out.add_arc(s, a.label, a.weight, a.dst, a.weight2)
+    for s in range(lat.num_states):
+        if lat.is_final(s) and fwd[s] + lat.final(s) >= cutoff:
+            out.set_final(s, lat.final(s), lat.final2(s))
+    return connect(out)
+
+
 def lmrescore_lattice(lat: Fst, g: Fst, lm_scale: float = 1.0) -> Fst:
     """Compose the (word/phone-label) lattice with acceptor grammar `g`,
     adding `lm_scale * g_weight` to the GRAPH component of matching arcs —
