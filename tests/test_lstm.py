@@ -145,3 +145,94 @@ def test_chain_training_decreases_loss():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def _naive_opgru(params, x, delay):
+    """Per-frame python reference of the OPGRU recurrence."""
+    w_x = np.asarray(params["w_x"], np.float32)
+    u_s = np.asarray(params["u_s"], np.float32)
+    bias = np.asarray(params["bias"], np.float32)
+    u_h = np.asarray(params["u_h"], np.float32)
+    w_rm = np.asarray(params["w_rm"], np.float32)
+    T, B, _ = x.shape
+    cell = u_h.shape[0]
+    rec = u_s.shape[0]
+    proj = w_rm.shape[1]
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    cs = np.zeros((T, B, cell), np.float32)
+    ss = np.zeros((T, B, rec), np.float32)
+    out = np.zeros((T, B, proj), np.float32)
+    for t in range(T):
+        c_prev = cs[t - delay] if t >= delay else np.zeros((B, cell))
+        s_prev = ss[t - delay] if t >= delay else np.zeros((B, rec))
+        gz, go, gh = np.split(x[t] @ w_x + bias, 3, axis=-1)
+        zz, oo = np.split(s_prev @ u_s, 2, axis=-1)
+        z = sig(gz + zz)
+        o = sig(go + oo)
+        h = np.tanh(gh + u_h * c_prev)
+        c = (1.0 - z) * h + z * c_prev
+        m = c * o
+        rp = m @ w_rm
+        cs[t], ss[t], out[t] = c, rp[:, :rec], rp
+    return out
+
+
+@pytest.mark.parametrize("delay,T", [(1, 7), (3, 8)])
+def test_opgru_matches_naive_reference(delay, T):
+    from torchain_tpu.models import Opgru
+
+    B, C = 3, 10
+    mod = Opgru(cell_dim=12, rec_proj_dim=5, nonrec_proj_dim=4, delay=delay)
+    x = jax.random.normal(jax.random.PRNGKey(4), (T, B, C), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(5), x)
+    # zero-init u_h/u_s makes the recurrence trivial; randomize them
+    params = dict(variables["params"])
+    params["u_h"] = jax.random.normal(jax.random.PRNGKey(6), params["u_h"].shape) * 0.5
+    variables = {"params": params}
+    got = np.asarray(mod.apply(variables, x))
+    want = _naive_opgru(params, np.asarray(x), delay)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_opgru_ladder_trains():
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+    from torchain_tpu.train import create_train_state, make_train_step
+
+    corpus = synthetic_dataset(
+        num_utts=8, num_phones=8, feat_dim=12, utt_frames_out=(14, 18), seed=0
+    )
+    cfg = TdnnLstmConfig(
+        num_pdfs=corpus.tree.num_pdfs, hidden_dim=24, cell_dim=16,
+        rec_proj_dim=8, nonrec_proj_dim=8, prefinal_dim=16, warmup_frames=2,
+        layers=(
+            ("tdnn", 5, 1, 1), ("tdnn", 3, 1, 3), ("gru", 1),
+            ("tdnn", 3, 3, 1), ("gru", 1),
+        ),
+    )
+    left, right = cfg.context
+    ds = ChainDataset(
+        corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=12,
+        left_context=left, right_context=right,
+        sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
+    )
+    batch = next(ds.batches(4, shuffle=False))
+    den = auto_den_graph(corpus.den_graph, batch_hint=4)
+    sup = DeviceSupervision.from_host(batch.sup)
+    feats = jnp.asarray(batch.feats)
+    step = make_train_step(
+        ChainLossOptions(l2_regularize=5e-4, leaky_hmm_coefficient=0.1,
+                         xent_regularize=0.1)
+    )
+    state = create_train_state(TDNNLSTM(cfg), feats, optax.adam(2e-3))
+    losses = []
+    for _ in range(6):
+        state, m = step(state, feats, den, sup)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

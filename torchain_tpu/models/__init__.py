@@ -18,7 +18,7 @@ from torchain_tpu.models.tdnn import (
     TdnnfConfig,
 )
 from torchain_tpu.models.conformer import Conformer, ConformerConfig
-from torchain_tpu.models.lstm import TDNNLSTM, Lstmp, TdnnLstmConfig
+from torchain_tpu.models.lstm import TDNNLSTM, Lstmp, Opgru, TdnnLstmConfig
 from torchain_tpu.models.semi_orthogonal import (
     constrain_semi_orthogonal,
     semi_orthogonal_step,
@@ -34,6 +34,7 @@ __all__ = [
     "ConformerConfig",
     "TDNNLSTM",
     "Lstmp",
+    "Opgru",
     "TdnnLstmConfig",
     "constrain_semi_orthogonal",
     "semi_orthogonal_step",

@@ -160,7 +160,9 @@ class TdnnLstmConfig:
     nonrec_proj_dim: int = 128
     prefinal_dim: int = 256
     dtype: Any = jnp.float32
-    #: trunk ladder: ("tdnn", kernel, dilation, stride) or ("lstm", delay).
+    #: trunk ladder: ("tdnn", kernel, dilation, stride), ("lstm", delay),
+    #: or ("gru", delay) — "gru" builds an Opgru layer (the norm-opgru
+    #: chain family).
     #: Exactly one tdnn stride equals frame_subsampling_factor; lstm
     #: delays are at the post-stride frame rate (delay 1 == Kaldi's
     #: delay -3 at the input rate once the stride-3 layer has run).
@@ -240,16 +242,17 @@ class TDNNLSTM(nn.Module):
                 )(x)
                 x = continuous_dropout(self, x, dropout_rate, train)
             else:
-                _, delay = spec
+                kind, delay = spec
+                cell_cls = Lstmp if kind == "lstm" else Opgru
                 y = jnp.transpose(x, (1, 0, 2))  # [T, B, C]
-                y = Lstmp(
+                y = cell_cls(
                     cell_dim=cfg.cell_dim,
                     rec_proj_dim=cfg.rec_proj_dim,
                     nonrec_proj_dim=cfg.nonrec_proj_dim,
                     delay=delay,
                     dtype=cfg.dtype,
                     unroll=cfg.lstm_unroll,
-                    name=f"lstm{li}",
+                    name=f"{kind}{li}",
                 )(y)
                 x = jnp.transpose(y, (1, 0, 2))
                 x = continuous_dropout(self, x, dropout_rate, train)
@@ -265,3 +268,82 @@ class TDNNLSTM(nn.Module):
             bn_impl=cfg.bn_impl, name="xent_head",
         )(x, train)
         return chain, xent
+
+
+class Opgru(nn.Module):
+    """One projected OPGRU layer over a time-major [T, B, C] input.
+
+    Behavioral reference: Kaldi's norm-opgru chain recipes
+    ([K] egs/swbd/s5c/local/chain/tuning/run_opgru_1a.sh and
+    OutputGruNonlinearityComponent in [K] nnet-combined-component.cc;
+    Cheng et al. 2018, "Output-Gate Projected GRU").  The reset gate is
+    removed, the candidate's recurrence is a DIAGONAL (per-element)
+    weight on the cell state, and an output gate multiplies the cell
+    before the [recurrent | non-recurrent] projection:
+
+        z_t = sigmoid(W_z x_t + U_z s_{t-d})        (update gate)
+        o_t = sigmoid(W_o x_t + U_o s_{t-d})        (output gate)
+        h_t = tanh(W_h x_t + u_h . c_{t-d})         (u_h diagonal)
+        c_t = (1 - z_t) . h_t + z_t . c_{t-d}
+        m_t = c_t . o_t
+        [r_t | p_t] = m_t W_rm ;  s_t = r_t
+
+    Same TPU lowering as Lstmp: input GEMMs hoisted out of the scan,
+    delay-d as batched phase chains, f32 cell state under a bf16 trunk.
+    """
+
+    cell_dim: int
+    rec_proj_dim: int
+    nonrec_proj_dim: int
+    delay: int = 1
+    dtype: Any = jnp.float32
+    unroll: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # x: [T, B, C]
+        T, B, C = x.shape
+        d = self.delay
+        cell, rec = self.cell_dim, self.rec_proj_dim
+        proj = rec + self.nonrec_proj_dim
+        w_x = self.param(
+            "w_x", nn.initializers.lecun_normal(), (C, 3 * cell), jnp.float32
+        )
+        u_s = self.param(
+            "u_s", nn.initializers.lecun_normal(), (rec, 2 * cell), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (3 * cell,), jnp.float32)
+        u_h = self.param("u_h", nn.initializers.zeros, (cell,), jnp.float32)
+        w_rm = self.param(
+            "w_rm", nn.initializers.lecun_normal(), (cell, proj), jnp.float32
+        )
+
+        dt = self.dtype
+        xp = jnp.dot(x.astype(dt), w_x.astype(dt)) + bias.astype(dt)
+        Tp = -(-T // d) * d
+        if Tp != T:
+            xp = jnp.pad(xp, ((0, Tp - T), (0, 0), (0, 0)))
+        xp = xp.reshape(Tp // d, d * B, 3 * cell)
+
+        c0 = jnp.zeros((d * B, cell), jnp.float32)
+        s0 = jnp.zeros((d * B, rec), dt)
+        u_s_dt = u_s.astype(dt)
+        w_rm_dt = w_rm.astype(dt)
+
+        def step(carry, xp_k):
+            c_prev, s_prev = carry
+            # gates take the PROJECTED state; the candidate recurrence is
+            # diagonal on the cell (the OPGRU cost trick)
+            zo = jnp.dot(s_prev, u_s_dt)
+            gz, go, gh = jnp.split(xp_k.astype(jnp.float32), 3, axis=-1)
+            zz, oo = jnp.split(zo.astype(jnp.float32), 2, axis=-1)
+            z = jax.nn.sigmoid(gz + zz)
+            o = jax.nn.sigmoid(go + oo)
+            h = jnp.tanh(gh + u_h * c_prev)
+            c = (1.0 - z) * h + z * c_prev
+            m = c * o
+            rp = jnp.dot(m.astype(dt), w_rm_dt)
+            return (c, rp[:, :rec]), rp
+
+        _, ys = jax.lax.scan(step, (c0, s0), xp, unroll=self.unroll)
+        ys = ys.reshape(Tp, B, proj)
+        return ys[:T]
