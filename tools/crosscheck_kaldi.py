@@ -135,6 +135,70 @@ def check_ark(path: str) -> bool:
     return ok
 
 
+def check_mdl(path: str) -> bool:
+    """TransitionModel prefix of final.mdl: read, rewrite, byte-compare
+    the TransitionModel span (the trailing nnet is not parsed)."""
+    import io as _io
+
+    from torchain_tpu.graphs.transition_model import TransitionModel
+    from torchain_tpu.utils.kaldi_io import expect_binary_marker
+
+    orig = open(path, "rb").read()
+    f = _io.BytesIO(orig)
+    binary = orig[:2] == b"\x00B"
+    if binary:
+        expect_binary_marker(f)
+        tm = TransitionModel.read_binary(f)
+        span = orig[2 : f.tell()]
+        buf = _io.BytesIO()
+        tm.write_binary(buf)
+        ok = buf.getvalue() == span
+    else:
+        text = orig.decode()
+        end = text.find("</TransitionModel>") + len("</TransitionModel>")
+        tm = TransitionModel.read_text(text[:end])
+        tm2 = TransitionModel.read_text(tm.write_text())
+        ok = tm2.tuples == tm.tuples and tm2.topo.phones == tm.topo.phones
+    print(
+        f"[mdl] {path}: phones={len(tm.topo.phones)} tuples={len(tm.tuples)} "
+        f"tids={tm.num_transition_ids} pdfs={tm.num_pdfs} "
+        f"byte-identical-rewrite={ok}"
+    )
+    return ok
+
+
+def check_ali(path: str, mdl: str | None) -> bool:
+    import io as _io
+
+    from torchain_tpu.graphs.transition_model import (
+        read_ali_ark,
+        read_transition_model,
+        write_ali_ark,
+    )
+
+    alis = read_ali_ark(path)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".ark", delete=False) as t:
+        tmp = t.name
+    write_ali_ark(tmp, alis, binary=True)
+    ok = read_ali_ark(tmp) == alis
+    msg = f"[ali] {path}: {len(alis)} utterances round-trip={ok}"
+    if mdl:
+        tm = read_transition_model(mdl)
+        n_bad = sum(
+            1
+            for v in alis.values()
+            if any(t < 1 or t > tm.num_transition_ids for t in v)
+        )
+        segs = sum(len(tm.ali_to_phones(v)) for v in alis.values() if not any(
+            t < 1 or t > tm.num_transition_ids for t in v))
+        msg += f" tid-range-violations={n_bad} phone-segments={segs}"
+        ok = ok and n_bad == 0
+    print(msg)
+    return ok
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--den-fst")
@@ -142,6 +206,8 @@ def main() -> int:
     ap.add_argument("--cegs")
     ap.add_argument("--lattice")
     ap.add_argument("--ark")
+    ap.add_argument("--mdl", help="final.mdl / trans.mdl (TransitionModel)")
+    ap.add_argument("--ali", help="transition-id alignment archive (ark/.gz)")
     args = ap.parse_args()
     results = []
     if args.den_fst:
@@ -154,6 +220,10 @@ def main() -> int:
         results.append(check_lattice_ark(args.lattice))
     if args.ark:
         results.append(check_ark(args.ark))
+    if args.mdl:
+        results.append(check_mdl(args.mdl))
+    if args.ali:
+        results.append(check_ali(args.ali, args.mdl))
     if not results:
         print("nothing to check; pass at least one artifact flag")
         return 2

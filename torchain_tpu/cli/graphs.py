@@ -126,6 +126,36 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_ali_to_phones(args) -> int:
+    from torchain_tpu.graphs.transition_model import (
+        read_ali_ark,
+        read_transition_model,
+    )
+
+    tm = read_transition_model(args.model)
+    alis = {}
+    for ark in args.ali:
+        alis.update(read_ali_ark(ark))
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        for utt, tids in alis.items():
+            segs = tm.ali_to_phones(tids, reorder=not args.no_reorder)
+            if args.write_lengths:
+                body = " ; ".join(f"{p} ,{d}" for p, d in segs)
+            else:
+                body = " ".join(f"{p}:{d}" for p, d in segs)
+            out.write(f"{utt} {body}\n")
+    finally:
+        if args.out:
+            out.close()
+    print(
+        f"ali-to-phones: {len(alis)} utterances"
+        + (f" -> {args.out}" if args.out else ""),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphs", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,6 +183,26 @@ def main(argv=None) -> int:
     c.add_argument("--arctype", default=None)
     c.add_argument("--aligned", action="store_true")
     c.set_defaults(fn=_cmd_convert)
+
+    a = sub.add_parser(
+        "ali-to-phones",
+        help="final.mdl + Kaldi transition-id alignment archives -> "
+        "phone/duration alignments (ali-to-phones role; output feeds "
+        "load_kaldi_dir / make-den-fst directly)",
+    )
+    a.add_argument("model", help="final.mdl / trans.mdl (binary or text)")
+    a.add_argument("ali", nargs="+", help="ali archives (ark/txt/.gz)")
+    a.add_argument("--out", help="output path (default stdout)")
+    a.add_argument(
+        "--write-lengths", action="store_true",
+        help="emit 'utt p ,d ; p ,d' lines (ali-to-phones "
+        "--write-lengths=true format) instead of 'utt p:d p:d'",
+    )
+    a.add_argument(
+        "--no-reorder", action="store_true",
+        help="alignment graphs were built with --reorder=false",
+    )
+    a.set_defaults(fn=_cmd_ali_to_phones)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -10,6 +10,15 @@ for the device kernels in `torchain_tpu.ops`.
 """
 
 from torchain_tpu.graphs.topology import ChainTopology, ContextTree
+from torchain_tpu.graphs.transition_model import (
+    HmmTopology,
+    TransitionModel,
+    chain_transition_model,
+    read_ali_ark,
+    read_transition_model,
+    write_ali_ark,
+    write_transition_model,
+)
 from torchain_tpu.graphs.tied_tree import (
     TiedTree,
     TreeStats,
@@ -55,6 +64,13 @@ from torchain_tpu.graphs.supervision import (
 __all__ = [
     "ChainTopology",
     "ContextTree",
+    "HmmTopology",
+    "TransitionModel",
+    "chain_transition_model",
+    "read_ali_ark",
+    "read_transition_model",
+    "write_ali_ark",
+    "write_transition_model",
     "TiedTree",
     "TreeStats",
     "accumulate_tree_stats",
