@@ -35,6 +35,17 @@ def build_argparser():
     )
     p.add_argument("--posteriors", required=True, help="text or binary ark of [T,P] loglikes")
     p.add_argument("--mode", choices=("phone", "word"), default="phone")
+    p.add_argument(
+        "--hclg",
+        help="decode over a REAL Kaldi HCLG.fst (binary/text OpenFst, "
+        "transition-id input labels) instead of building a graph; "
+        "requires --mdl (nnet3-latgen-faster role)",
+    )
+    p.add_argument(
+        "--mdl",
+        help="final.mdl / trans.mdl providing the TransitionModel that "
+        "maps --hclg input labels to pdfs",
+    )
     # tree sources
     p.add_argument("--tree", help="Kaldi ContextDependency text file (TiedTree import)")
     p.add_argument("--num-phones", type=int, default=0, help="enumerated tree: phone count")
@@ -164,9 +175,19 @@ def main(argv=None) -> dict:
     posts = tio.read_ark(args.posteriors)
     if not posts:
         raise SystemExit(f"no utterances in {args.posteriors}")
-    tree = load_tree(args)
 
-    if args.mode == "word":
+    if args.hclg:
+        if not args.mdl:
+            raise SystemExit("--hclg needs --mdl (transition-id -> pdf map)")
+        from torchain_tpu.eval import hclg_decoding_graph
+        from torchain_tpu.fstkit.openfst_io import read_openfst
+        from torchain_tpu.graphs.transition_model import read_transition_model
+
+        hfst, holab = read_openfst(args.hclg)
+        tm = read_transition_model(args.mdl)
+        graph = hclg_decoding_graph(hfst, holab, tm)
+    elif args.mode == "word":
+        tree = load_tree(args)
         if not args.lexicon:
             raise SystemExit("word mode needs --lexicon")
         from torchain_tpu.graphs.hclg import Lexicon
@@ -189,6 +210,7 @@ def main(argv=None) -> dict:
             raise SystemExit("word mode needs --word-lm or --ref (to train one)")
         graph = make_word_decoding_graph(g, lex, tree, lm_scale=args.lm_scale)
     else:
+        tree = load_tree(args)
         if not args.phone_lm:
             raise SystemExit("phone mode needs --phone-lm")
         with open(args.phone_lm) as f:
@@ -370,6 +392,7 @@ def main(argv=None) -> dict:
         label = "WER" if args.mode == "word" else "PER"
         print(f"# {label} {score['wer']:.2f}% {score}", file=sys.stderr)
     print(json.dumps(result), file=sys.stderr)
+    result["hyps"] = hyps  # for programmatic callers; not in the JSON line
     return result
 
 

@@ -10,6 +10,7 @@ chain convention), and WER/PER scoring.
 from torchain_tpu.eval.align import align_corpus, force_align
 from torchain_tpu.eval.decoder import (
     DecodingGraph,
+    hclg_decoding_graph,
     make_decoding_graph,
     make_word_decoding_graph,
     pack_decoding_graph,
@@ -44,6 +45,7 @@ __all__ = [
     "DecodingGraph",
     "align_corpus",
     "force_align",
+    "hclg_decoding_graph",
     "make_decoding_graph",
     "make_word_decoding_graph",
     "pack_decoding_graph",

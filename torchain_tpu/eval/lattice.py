@@ -52,6 +52,12 @@ def lattice_decode(
         raise ValueError(
             f"unknown backend {backend!r}: expected 'auto', 'native', or 'numpy'"
         )
+    if getattr(graph, "num_eps", 0):
+        raise ValueError(
+            "lattice_decode does not yet support graphs with input-epsilon "
+            "arcs (real Kaldi HCLGs); use viterbi_decode for best-path/word "
+            "output, or remove epsilons from the graph first"
+        )
     if backend in ("auto", "native"):
         from torchain_tpu.eval.native import native_lattice
 
