@@ -9,6 +9,13 @@
 // style torchain's bridge used for Kaldi (extern "C" over opaque data),
 // but with no framework dependency on either side.
 //
+// Input-epsilon (non-emitting) arcs — real Kaldi HCLGs carry them as
+// word-boundary / LM-backoff arcs — are supported by the *_eps entry
+// points: the eps arc list arrives pre-sorted by topological level of its
+// source within the eps subgraph (decoder.py _pack_eps_arcs), so ONE
+// in-order relaxation sweep per frame boundary is exact (Kaldi's
+// ProcessNonemitting step, [K decoder/lattice-faster-decoder.cc]).
+//
 // Build: make -C csrc    (produces libtorchain_tpu_native.so)
 
 #include <algorithm>
@@ -23,6 +30,11 @@ constexpr float kNegInf = -std::numeric_limits<float>::infinity();
 }
 
 extern "C" {
+
+// Bumped whenever any symbol's signature changes; the Python bridge
+// rebuilds a stale .so whose sources are newer (make does the mtime
+// check), so this is a belt-and-braces guard for hand-copied binaries.
+int tt_abi_version(void) { return 2; }
 
 // Returns 0 on success, nonzero on error.  out_phones must have room for T
 // entries; *out_len receives the number of phones written.
@@ -107,28 +119,34 @@ int tt_viterbi_decode(int num_states, int num_arcs, int num_pdfs, int num_frames
 
 }  // extern "C"
 
-
-extern "C" {
-
+// ---------------------------------------------------------------------------
 // Active-token Viterbi: only states alive within the beam are expanded,
 // with a Kaldi-style max_active cap (adaptive beam via nth-best cutoff)
 // and a token-record lattice for traceback (memory O(total live tokens),
 // not O(T * S)) -- the faster-decoder behavior HCLG-scale graphs need
 // (kaldi/src/decoder/faster-decoder.cc).  Arcs must be SRC-sorted with
 // CSR offsets [S+1]; olabel/weight/pdf/dst aligned with that order.
-int tt_viterbi_decode_active(
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Rec { int32_t state; int32_t arc; int32_t prev; };
+
+// Record arc ids >= num_arcs encode eps arcs: arc - num_arcs indexes the
+// eps arrays (the emitting/eps olabel split is resolved at backtrace).
+
+static int viterbi_active_impl(
     int num_states, int num_arcs, int num_pdfs, int num_frames,
-    const int32_t* offsets,  // [S+1] src-sorted CSR
-    const int32_t* dst, const int32_t* pdf, const float* weight,
-    const int32_t* olabel, const float* final_logw,
-    const float* loglikes,  // [T, P] row-major
-    float beam, int max_active, int use_final,
+    const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
+    const float* weight, const int32_t* olabel, const float* final_logw,
+    int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
+    const float* eps_w, const int32_t* eps_olabel,
+    const float* loglikes, float beam, int max_active, int use_final,
+    int out_capacity,
     int32_t* out_phones, int32_t* out_len, float* out_score) {
   if (num_states <= 0 || num_arcs <= 0 || num_frames <= 0) return 1;
-  const int S = num_states, T = num_frames, P = num_pdfs;
-  (void)num_arcs;
+  const int S = num_states, A = num_arcs, T = num_frames, P = num_pdfs;
 
-  struct Rec { int32_t state; int32_t arc; int32_t prev; };
   std::vector<Rec> recs;
   recs.reserve(1 << 16);
 
@@ -138,6 +156,38 @@ int tt_viterbi_decode_active(
   active.push_back(0);
   score[0] = 0.0;
   rec_of[0] = -1;
+
+  // one exact level-ordered relaxation sweep of the eps arcs over the
+  // stamped (sc, rc, act) frontier; new states join act
+  auto relax_eps = [&](std::vector<double>& sc, std::vector<int32_t>& rc,
+                       std::vector<int32_t>& act, std::vector<int32_t>& stmp,
+                       int32_t sval, double& best) {
+    for (int e = 0; e < num_eps; ++e) {
+      const int32_t s = eps_src[e];
+      if (stmp[s] != sval || sc[s] == kNegInf) continue;
+      const double v = sc[s] + eps_w[e];
+      const int32_t d = eps_dst[e];
+      if (stmp[d] != sval) {
+        stmp[d] = sval;
+        sc[d] = kNegInf;
+        rc[d] = -1;
+        act.push_back(d);
+      }
+      if (v > sc[d]) {
+        sc[d] = v;
+        rc[d] = static_cast<int32_t>(recs.size());
+        recs.push_back(Rec{d, A + e, rc[s]});
+        if (v > best) best = v;
+      }
+    }
+  };
+
+  if (num_eps) {  // initial closure from the start state (boundary 0)
+    std::vector<int32_t> stamp0(S, -1);
+    stamp0[0] = 0;
+    double best0 = 0.0;
+    relax_eps(score, rec_of, active, stamp0, 0, best0);
+  }
 
   std::vector<double> cand;  // scratch for max_active cutoff
   for (int t = 0; t < T; ++t) {
@@ -165,6 +215,7 @@ int tt_viterbi_decode_active(
       }
     }
     if (nactive.empty() || best == kNegInf) return 2;  // all tokens died
+    if (num_eps) relax_eps(nscore, nrec, nactive, stamp, t, best);
     double cutoff = best - beam;
     if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
       cand.clear();
@@ -203,14 +254,55 @@ int tt_viterbi_decode_active(
   std::vector<int32_t> rev;
   rev.reserve(T);
   for (int32_t r = best_rec; r >= 0; r = recs[r].prev) {
-    const int32_t ol = olabel[recs[r].arc];
+    const int32_t a = recs[r].arc;
+    const int32_t ol = a < A ? olabel[a] : eps_olabel[a - A];
     if (ol > 0) rev.push_back(ol);
   }
   const int n = static_cast<int>(rev.size());
+  if (n > out_capacity) return 5;  // caller's label buffer too small
   for (int i = 0; i < n; ++i) out_phones[i] = rev[n - 1 - i];
   *out_len = n;
   *out_score = static_cast<float>(best_score);
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int tt_viterbi_decode_active(
+    int num_states, int num_arcs, int num_pdfs, int num_frames,
+    const int32_t* offsets,  // [S+1] src-sorted CSR
+    const int32_t* dst, const int32_t* pdf, const float* weight,
+    const int32_t* olabel, const float* final_logw,
+    const float* loglikes,  // [T, P] row-major
+    float beam, int max_active, int use_final,
+    int32_t* out_phones, int32_t* out_len, float* out_score) {
+  return viterbi_active_impl(
+      num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
+      olabel, final_logw, 0, nullptr, nullptr, nullptr, nullptr, loglikes,
+      beam, max_active, use_final, num_frames, out_phones, out_len,
+      out_score);
+}
+
+// Eps-aware active-token Viterbi (real-HCLG best path).  `out_capacity`
+// is the label-buffer size; a path can emit more than T labels when eps
+// arcs carry words, so callers size it T + (T+1) * eps_levels and get
+// error 5 if even that overflows.
+int tt_viterbi_decode_eps(
+    int num_states, int num_arcs, int num_pdfs, int num_frames,
+    const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
+    const float* weight, const int32_t* olabel, const float* final_logw,
+    int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
+    const float* eps_w, const int32_t* eps_olabel,
+    const float* loglikes, float beam, int max_active, int use_final,
+    int out_capacity,
+    int32_t* out_phones, int32_t* out_len, float* out_score) {
+  return viterbi_active_impl(
+      num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
+      olabel, final_logw, num_eps, eps_src, eps_dst, eps_w, eps_olabel,
+      loglikes, beam, max_active, use_final, out_capacity, out_phones,
+      out_len, out_score);
 }
 
 }  // extern "C"
@@ -224,9 +316,12 @@ int tt_viterbi_decode_active(
 // frame's Viterbi best (plus an optional max_active nth-best cutoff the
 // numpy path doesn't have), arcs carrying (graph+acoustic, acoustic)
 // two-component weights and graph output labels, frame-T survivors final.
-// Trimmed to reachable+coreachable states natively so Python receives a
-// connected lattice.  Two-call ABI: decode -> counts + opaque handle,
-// fetch -> arrays, free.
+// Eps arcs (when given) appear as zero-acoustic arcs between same-boundary
+// lattice states, and each lattice state records its frame index
+// (state_time, fetched separately) since the lattice is then no longer
+// one-arc-per-frame.  Trimmed to reachable+coreachable states natively so
+// Python receives a connected lattice.  Two-call ABI: decode -> counts +
+// opaque handle, fetch -> arrays, free.
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -237,19 +332,15 @@ struct TtLattice {
   std::vector<float> arc_w, arc_am;
   std::vector<int32_t> final_state;
   std::vector<float> final_w;
+  std::vector<int32_t> state_time;
 };
 
-}  // namespace
-
-extern "C" {
-
-// Returns an opaque handle (free with tt_lattice_free) or nullptr on
-// failure (*err receives a nonzero code).  Arcs are SRC-sorted CSR as in
-// tt_viterbi_decode_active.
-void* tt_lattice_decode(
+static void* lattice_impl(
     int num_states, int num_arcs, int num_pdfs, int num_frames,
     const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
     const float* weight, const int32_t* olabel, const float* final_logw,
+    int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
+    const float* eps_w, const int32_t* eps_olabel,
     const float* loglikes,  // [T, P] row-major
     float beam, int max_active, int use_final,
     int32_t* out_num_states, int32_t* out_num_arcs, int32_t* out_num_finals,
@@ -258,13 +349,41 @@ void* tt_lattice_decode(
   if (num_states <= 0 || num_arcs <= 0 || num_frames <= 0) { *err = 1; return nullptr; }
   const int S = num_states, T = num_frames, P = num_pdfs;
 
-  // forward pass: per-frame active token lists + scores (kept for all
-  // frames -- O(total live tokens), the lattice needs them anyway)
+  // forward pass: per-frame-boundary active token lists + scores (kept for
+  // all boundaries -- O(total live tokens), the lattice needs them anyway)
   std::vector<std::vector<int32_t>> frame_active(T + 1);
   std::vector<double> score(S, kNegInf), nscore(S, kNegInf);
   std::vector<int32_t> stamp(S, -1), nactive;
   frame_active[0].push_back(0);
   score[0] = 0.0;
+
+  // relax the (level-sorted) eps arcs over a stamped frontier in place
+  auto relax_eps = [&](std::vector<double>& sc, std::vector<int32_t>& act,
+                       std::vector<int32_t>& stmp, int32_t sval,
+                       double& best) {
+    for (int e = 0; e < num_eps; ++e) {
+      const int32_t s = eps_src[e];
+      if (stmp[s] != sval || sc[s] == kNegInf) continue;
+      const double v = sc[s] + eps_w[e];
+      const int32_t d = eps_dst[e];
+      if (stmp[d] != sval) {
+        stmp[d] = sval;
+        sc[d] = kNegInf;
+        act.push_back(d);
+      }
+      if (v > sc[d]) {
+        sc[d] = v;
+        if (v > best) best = v;
+      }
+    }
+  };
+
+  if (num_eps) {  // initial closure from the start state (boundary 0)
+    std::vector<int32_t> stamp0(S, -1);
+    stamp0[0] = 0;
+    double best0 = 0.0;
+    relax_eps(score, frame_active[0], stamp0, 0, best0);
+  }
 
   std::vector<double> cand;
   for (int t = 0; t < T; ++t) {
@@ -288,6 +407,7 @@ void* tt_lattice_decode(
       }
     }
     if (nactive.empty() || best == kNegInf) { *err = 2; return nullptr; }
+    if (num_eps) relax_eps(nscore, nactive, stamp, t, best);
     double cutoff = best - beam;
     if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
       cand.clear();
@@ -305,28 +425,46 @@ void* tt_lattice_decode(
     }
   }
 
-  // emission pass: arcs between surviving tokens of consecutive frames.
-  // Lattice ids are per (frame, state): next-frame survivors get ids up
-  // front each frame (every survivor has an in-arc by construction), then
-  // the id arrays swap — a state alive in consecutive frames keeps two
-  // distinct ids, as the time-unrolled lattice requires.  live_stamp[d]
-  // marks survival of d at the current TARGET frame.
+  // emission pass: arcs between surviving tokens of consecutive boundaries
+  // plus (eps mode) eps arcs between same-boundary survivors.  Lattice ids
+  // are per (boundary, state): each boundary's survivors get ids up front
+  // (every survivor has an in-arc by construction), stamped with the
+  // boundary index in bstamp so both endpoints' liveness is O(1).  A state
+  // alive in consecutive boundaries keeps two distinct ids, as the
+  // time-unrolled lattice requires.
   auto lat = new TtLattice();
-  std::vector<int32_t> live_stamp(S, -1);
+  std::vector<int32_t> bstamp(S, -1);
   std::vector<int32_t> cur_lid(S, -1), nxt_lid(S, -1);
-  cur_lid[0] = lat->num_states++;  // state 0 = (frame 0, graph start)
+  for (int32_t s : frame_active[0]) {  // state 0 first -> lattice state 0
+    bstamp[s] = 0;
+    cur_lid[s] = lat->num_states++;
+    lat->state_time.push_back(0);
+  }
+  auto emit_eps = [&](int32_t boundary, const std::vector<int32_t>& lid) {
+    for (int e = 0; e < num_eps; ++e) {
+      const int32_t s = eps_src[e], d = eps_dst[e];
+      if (bstamp[s] != boundary || bstamp[d] != boundary) continue;
+      lat->arc_src.push_back(lid[s]);
+      lat->arc_dst.push_back(lid[d]);
+      lat->arc_olabel.push_back(eps_olabel[e]);
+      lat->arc_w.push_back(eps_w[e]);
+      lat->arc_am.push_back(0.0f);
+    }
+  };
+  if (num_eps) emit_eps(0, cur_lid);
   for (int t = 0; t < T; ++t) {
     const float* ll = loglikes + static_cast<size_t>(t) * P;
     for (int32_t s : frame_active[t + 1]) {
-      live_stamp[s] = t;
+      bstamp[s] = t + 1;
       nxt_lid[s] = lat->num_states++;
+      lat->state_time.push_back(t + 1);
     }
     for (size_t i = 0; i < frame_active[t].size(); ++i) {
       const int32_t s = frame_active[t][i];
       const int32_t sid = cur_lid[s];
       for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
         const int32_t d = dst[a];
-        if (live_stamp[d] != t) continue;
+        if (bstamp[d] != t + 1) continue;
         const double am = ll[pdf[a]];
         lat->arc_src.push_back(sid);
         lat->arc_dst.push_back(nxt_lid[d]);
@@ -335,6 +473,7 @@ void* tt_lattice_decode(
         lat->arc_am.push_back(static_cast<float>(am));
       }
     }
+    if (num_eps) emit_eps(t + 1, nxt_lid);
     std::swap(cur_lid, nxt_lid);
   }
 
@@ -358,8 +497,9 @@ void* tt_lattice_decode(
   if (lat->final_state.empty()) { delete lat; *err = 3; return nullptr; }
 
   // trim: keep states reachable from 0 AND co-reachable from a final.
-  // Arcs were emitted in frame order, so one forward and one reverse
-  // sweep over the arc list settle both reachabilities.
+  // Arcs were emitted in boundary order with all same-boundary eps arcs in
+  // level order, so one forward and one reverse sweep over the arc list
+  // settle both reachabilities.
   const int32_t L = lat->num_states;
   const size_t NA = lat->arc_src.size();
   std::vector<uint8_t> reach(L, 0), coreach(L, 0);
@@ -401,12 +541,55 @@ void* tt_lattice_decode(
   }
   lat->final_state.resize(nf_keep);
   lat->final_w.resize(nf_keep);
+  for (int32_t s = 0; s < L; ++s)
+    if (remap[s] >= 0) lat->state_time[remap[s]] = lat->state_time[s];
+  lat->state_time.resize(nkeep);
   lat->num_states = nkeep;
 
   *out_num_states = lat->num_states;
   *out_num_arcs = static_cast<int32_t>(na_keep);
   *out_num_finals = static_cast<int32_t>(nf_keep);
   return lat;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque handle (free with tt_lattice_free) or nullptr on
+// failure (*err receives a nonzero code).  Arcs are SRC-sorted CSR as in
+// tt_viterbi_decode_active.
+void* tt_lattice_decode(
+    int num_states, int num_arcs, int num_pdfs, int num_frames,
+    const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
+    const float* weight, const int32_t* olabel, const float* final_logw,
+    const float* loglikes,  // [T, P] row-major
+    float beam, int max_active, int use_final,
+    int32_t* out_num_states, int32_t* out_num_arcs, int32_t* out_num_finals,
+    int32_t* err) {
+  return lattice_impl(
+      num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
+      olabel, final_logw, 0, nullptr, nullptr, nullptr, nullptr, loglikes,
+      beam, max_active, use_final, out_num_states, out_num_arcs,
+      out_num_finals, err);
+}
+
+// Eps-aware lattice generation (real-HCLG latgen).  Fetch state times with
+// tt_lattice_fetch_times after the ordinary tt_lattice_fetch.
+void* tt_lattice_decode_eps(
+    int num_states, int num_arcs, int num_pdfs, int num_frames,
+    const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
+    const float* weight, const int32_t* olabel, const float* final_logw,
+    int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
+    const float* eps_w, const int32_t* eps_olabel,
+    const float* loglikes, float beam, int max_active, int use_final,
+    int32_t* out_num_states, int32_t* out_num_arcs, int32_t* out_num_finals,
+    int32_t* err) {
+  return lattice_impl(
+      num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
+      olabel, final_logw, num_eps, eps_src, eps_dst, eps_w, eps_olabel,
+      loglikes, beam, max_active, use_final, out_num_states, out_num_arcs,
+      out_num_finals, err);
 }
 
 int tt_lattice_fetch(void* handle, int32_t* arc_src, int32_t* arc_dst,
@@ -422,6 +605,16 @@ int tt_lattice_fetch(void* handle, int32_t* arc_src, int32_t* arc_dst,
   std::memcpy(arc_am, lat->arc_am.data(), NA * sizeof(float));
   std::memcpy(final_state, lat->final_state.data(), NF * sizeof(int32_t));
   std::memcpy(final_w, lat->final_w.data(), NF * sizeof(float));
+  return 0;
+}
+
+// Frame index of each lattice state ([num_states] int32) — meaningful for
+// eps lattices, whose arcs are no longer one-per-frame.
+int tt_lattice_fetch_times(void* handle, int32_t* state_time) {
+  if (!handle) return 1;
+  auto* lat = static_cast<TtLattice*>(handle);
+  std::memcpy(state_time, lat->state_time.data(),
+              lat->state_time.size() * sizeof(int32_t));
   return 0;
 }
 

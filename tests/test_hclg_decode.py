@@ -184,6 +184,131 @@ class TestRealHclgLadder:
         assert words == [101, 103]
 
 
+def _brute_all_paths(fst, olabels, loglikes, use_final=True):
+    """All complete T-frame paths (eps arcs free): list of (words, score)."""
+    T = loglikes.shape[0]
+    arcs_by_src = {}
+    for i, (s, a) in enumerate(fst.all_arcs()):
+        arcs_by_src.setdefault(s, []).append((a, olabels[i]))
+    out = []
+
+    def dfs(state, t, score, words, eps_depth=0):
+        if eps_depth > fst.num_states:
+            return
+        if t == T and (fst.is_final(state) or not use_final):
+            fw = fst.final(state) if use_final else 0.0
+            out.append((list(words), score + fw))
+        for a, ol in arcs_by_src.get(state, ()):
+            nw = words + ([ol] if ol > 0 else [])
+            if a.label == 0:
+                dfs(a.dst, t, score + a.weight, nw, eps_depth + 1)
+            elif t < T:
+                dfs(
+                    a.dst, t + 1,
+                    score + a.weight + loglikes[t, a.label - 1], nw, 0,
+                )
+
+    dfs(0, 0, 0.0, [])
+    return out
+
+
+class TestEpsLattice:
+    """lattice_decode over eps-bearing graphs: numpy reference against
+    brute-force path enumeration, native against numpy."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_numpy_lattice_matches_brute_force(self, seed):
+        from torchain_tpu.eval.lattice import lattice_best_path, lattice_decode
+        from torchain_tpu.fstkit import shortest_distance
+
+        f, olab, ll = _eps_fixture(seed)
+        graph = pack_decoding_graph(f, olab, 3, allow_eps=True)
+        lat = lattice_decode(graph, ll, beam=1e9, backend="numpy")
+        paths = _brute_all_paths(f, olab, ll)
+        assert paths
+        # tropical total == best path == viterbi
+        bwords, bscore = max(paths, key=lambda p: p[1])
+        words, score = lattice_best_path(lat)
+        assert score == pytest.approx(bscore, abs=1e-4)
+        assert words == bwords
+        # log-semiring total == logsumexp over ALL complete paths
+        mass = shortest_distance(lat, reverse_dir=True, semiring="log")[0]
+        ref_mass = np.logaddexp.reduce([s for _, s in paths])
+        assert mass == pytest.approx(ref_mass, abs=1e-4)
+        # state_times attached and consistent: emitting arcs advance one
+        # frame, eps arcs stay within the boundary
+        times = lat.state_times
+        assert len(times) == lat.num_states
+        for s, a in lat.all_arcs():
+            if a.weight2 == 0.0 and times[a.dst] == times[s]:
+                continue  # eps arc
+            assert times[a.dst] == times[s] + 1
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("beam", [2.0, 5.0, 1e9])
+    def test_native_matches_numpy(self, seed, beam):
+        from torchain_tpu.eval.lattice import lattice_best_path, lattice_decode
+        from torchain_tpu.eval.native import get_lib
+        from torchain_tpu.fstkit import shortest_distance
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        f, olab, ll = _eps_fixture(seed)
+        graph = pack_decoding_graph(f, olab, 3, allow_eps=True)
+        ref = lattice_decode(graph, ll, beam=beam, backend="numpy")
+        nat = lattice_decode(graph, ll, beam=beam, backend="native")
+        assert nat.num_arcs == ref.num_arcs
+        assert nat.num_states == ref.num_states
+        p0, s0 = lattice_best_path(ref)
+        p1, s1 = lattice_best_path(nat)
+        assert p0 == p1
+        assert s1 == pytest.approx(s0, abs=1e-4)
+        m0 = shortest_distance(ref, reverse_dir=True, semiring="log")[0]
+        m1 = shortest_distance(nat, reverse_dir=True, semiring="log")[0]
+        assert m1 == pytest.approx(m0, abs=1e-4)
+        assert sorted(nat.state_times) == sorted(ref.state_times)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_native_viterbi_matches_numpy(self, seed):
+        from torchain_tpu.eval.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        f, olab, ll = _eps_fixture(seed)
+        graph = pack_decoding_graph(f, olab, 3, allow_eps=True)
+        w0, s0 = viterbi_decode(graph, ll, beam=1e9, backend="numpy")
+        w1, s1 = viterbi_decode(graph, ll, beam=1e9, backend="native")
+        assert w1 == w0
+        assert s1 == pytest.approx(s0, abs=1e-4)
+
+    def test_ctm_times_on_real_hclg(self, tmp_path):
+        from torchain_tpu.eval.lattice import best_path_ctm, lattice_decode
+
+        fst, olab, tm = TestRealHclgLadder()._build(tmp_path)
+        graph = hclg_decoding_graph(fst, olab, tm)
+        ll = np.full((4, 6), -5.0, np.float32)
+        ll[0, 0] = ll[1, 1] = 0.0   # phone1 frames 0-1
+        ll[2, 2] = ll[3, 3] = 0.0   # phone2 frames 2-3
+        for backend in ("numpy", "native"):
+            if backend == "native":
+                from torchain_tpu.eval.native import get_lib
+
+                if get_lib() is None:
+                    continue
+            lat = lattice_decode(graph, ll, beam=1e9, backend=backend)
+            ctm = best_path_ctm(lat, frame_shift_s=1.0)
+            assert [e.word for e in ctm] == [101, 102]
+            # word labels sit on phone-ENTRY arcs in this HCLG, so under
+            # the documented convention (span ends at the emitting arc)
+            # word 101 covers frame 0 and word 102 frames 1-2; eps arcs
+            # consume no time (the walk crosses the boundary-2 eps arc
+            # without advancing)
+            assert ctm[0].start_s == 0.0
+            assert ctm[0].dur_s == pytest.approx(1.0)
+            assert ctm[1].start_s == pytest.approx(1.0)
+            assert ctm[1].dur_s == pytest.approx(2.0)
+
+
 def test_cli_decode_with_real_hclg(tmp_path):
     """cli.decode --hclg HCLG.fst --mdl final.mdl: the full
     nnet3-latgen-faster day-1 command with zero graph-building inputs."""
@@ -232,3 +357,33 @@ def test_cli_decode_with_real_hclg(tmp_path):
     assert res["hyps"]["utt0"] == [101, 102]
     with open(hyp) as fh:
         assert fh.read().strip() == "utt0 101 102"
+
+    # the full scoring ladder over the same real HCLG: lattices, LMWT
+    # sweep, MBR, CTM, words.txt symbols, symbolic refs
+    words = str(tmp_path / "words.txt")
+    with open(words, "w") as fh:
+        fh.write("<eps> 0\nalpha 101\nbeta 102\n")
+    ref = str(tmp_path / "ref.txt")
+    with open(ref, "w") as fh:
+        fh.write("utt0 alpha beta\n")
+    ctm = str(tmp_path / "hyp.ctm")
+    res = decode_main(
+        [
+            "--posteriors", ark,
+            "--hclg", hclg,
+            "--mdl", mdl,
+            "--word-symbols", words,
+            "--ref", ref,
+            "--lmwt-min", "1",
+            "--lmwt-max", "3",
+            "--mbr",
+            "--ctm-out", ctm,
+            "--hyp-out", hyp,
+        ]
+    )
+    assert res["wer"] == 0.0
+    assert res["mbr"] is True
+    with open(hyp) as fh:
+        assert fh.read().strip() == "utt0 alpha beta"
+    rows = [ln.split() for ln in open(ctm)]
+    assert [r[4] for r in rows] == ["alpha", "beta"]

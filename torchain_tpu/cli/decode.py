@@ -46,6 +46,12 @@ def build_argparser():
         help="final.mdl / trans.mdl providing the TransitionModel that "
         "maps --hclg input labels to pdfs",
     )
+    p.add_argument(
+        "--word-symbols",
+        help="words.txt (OpenFst SymbolTable text): hypotheses, CTM rows "
+        "and N-best lines print symbols instead of ids, and --ref may "
+        "contain symbols",
+    )
     # tree sources
     p.add_argument("--tree", help="Kaldi ContextDependency text file (TiedTree import)")
     p.add_argument("--num-phones", type=int, default=0, help="enumerated tree: phone count")
@@ -120,12 +126,20 @@ def build_argparser():
     return p
 
 
-def read_transcripts(path: str) -> dict[str, list[int]]:
+def read_transcripts(
+    path: str, sym2id: dict[str, int] | None = None
+) -> dict[str, list[int]]:
     out: dict[str, list[int]] = {}
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if parts:
+            if not parts:
+                continue
+            if sym2id is not None:
+                out[parts[0]] = [
+                    sym2id[x] if x in sym2id else int(x) for x in parts[1:]
+                ]
+            else:
                 out[parts[0]] = [int(x) for x in parts[1:]]
     return out
 
@@ -176,6 +190,18 @@ def main(argv=None) -> dict:
     if not posts:
         raise SystemExit(f"no utterances in {args.posteriors}")
 
+    sym2id = id2sym = None
+    if args.word_symbols:
+        from torchain_tpu.data.kaldi_compat import read_symbol_table
+
+        sym2id = read_symbol_table(args.word_symbols)
+        id2sym = {v: k for k, v in sym2id.items()}
+
+    def fmt(ids):
+        if id2sym is None:
+            return " ".join(map(str, ids))
+        return " ".join(id2sym.get(i, str(i)) for i in ids)
+
     if args.hclg:
         if not args.mdl:
             raise SystemExit("--hclg needs --mdl (transition-id -> pdf map)")
@@ -204,7 +230,8 @@ def main(argv=None) -> dict:
             from torchain_tpu.data import train_word_lm
 
             g = train_word_lm(
-                list(read_transcripts(args.ref).values()), order=args.word_lm_order
+                list(read_transcripts(args.ref, sym2id).values()),
+                order=args.word_lm_order
             )
         else:
             raise SystemExit("word mode needs --word-lm or --ref (to train one)")
@@ -247,13 +274,15 @@ def main(argv=None) -> dict:
     for utt, ll in posts.items():
         ll = np.asarray(ll, np.float32) * args.acoustic_scale
         if need_lat:
-            # lattice paths run the (numpy) lattice decoder — --backend /
-            # --max-active apply only to the best-path-only viterbi core
+            # --max-active needs the native generator; under auto a numpy
+            # fallback would reject it, so it applies to native only
             lat = lattice_decode(
                 graph,
                 ll,
                 beam=args.beam,
                 phone_bonus=args.phone_insertion_bonus,
+                backend=args.backend,
+                max_active=args.max_active if args.backend == "native" else 0,
             )
             if args.prune_beam > 0:
                 from torchain_tpu.eval.lattice import prune_lattice
@@ -313,12 +342,13 @@ def main(argv=None) -> dict:
                 u: best_path_ctm(lat, frame_shift_s=args.frame_shift)
                 for u, lat in lats.items()
             },
+            words_txt=id2sym,
         )
 
     result = {"num_utts": len(hyps)}
     score = None
     if args.ref:
-        refs = read_transcripts(args.ref)
+        refs = read_transcripts(args.ref, sym2id)
         common = [u for u in hyps if u in refs]
         missing = [u for u in hyps if u not in refs]
         if missing:
@@ -381,13 +411,13 @@ def main(argv=None) -> dict:
     if args.hyp_out:
         with open(args.hyp_out, "w") as f:
             for utt, hyp in hyps.items():
-                f.write(utt + " " + " ".join(map(str, hyp)) + "\n")
+                f.write(utt + " " + fmt(hyp) + "\n")
     for utt, hyp in hyps.items():
-        print(f"{utt} {' '.join(map(str, hyp))}")
+        print(f"{utt} {fmt(hyp)}")
     if args.nbest > 0:
         for utt, nb in nbests.items():
             for i, (seq, s) in enumerate(nb):
-                print(f"# nbest {utt} [{i}] {s:.3f} {' '.join(map(str, seq))}")
+                print(f"# nbest {utt} [{i}] {s:.3f} {fmt(seq)}")
     if score is not None:
         label = "WER" if args.mode == "word" else "PER"
         print(f"# {label} {score['wer']:.2f}% {score}", file=sys.stderr)

@@ -293,16 +293,18 @@ def viterbi_decode(
             weight=(graph.weight + phone_bonus * (graph.olabel > 0)).astype(
                 np.float32
             ),
+            eps_weight=(
+                graph.eps_weight + phone_bonus * (graph.eps_olabel > 0)
+            ).astype(np.float32),
         )
-    if backend in ("auto", "native") and graph.num_eps == 0:
-        # the C++ core predates eps arcs; eps graphs (real HCLGs) decode
-        # on the numpy path below, which handles them exactly
+    if backend in ("auto", "native"):
         from torchain_tpu.eval.native import native_viterbi, native_viterbi_active
 
         out = native_viterbi_active(
             graph, np.asarray(loglikes, np.float32), beam, max_active, use_final
         )
-        if out is None:
+        if out is None and graph.num_eps == 0:
+            # the dense fallback core predates eps arcs
             out = native_viterbi(
                 graph, np.asarray(loglikes, np.float32), beam, use_final
             )

@@ -52,12 +52,6 @@ def lattice_decode(
         raise ValueError(
             f"unknown backend {backend!r}: expected 'auto', 'native', or 'numpy'"
         )
-    if getattr(graph, "num_eps", 0):
-        raise ValueError(
-            "lattice_decode does not yet support graphs with input-epsilon "
-            "arcs (real Kaldi HCLGs); use viterbi_decode for best-path/word "
-            "output, or remove epsilons from the graph first"
-        )
     if backend in ("auto", "native"):
         from torchain_tpu.eval.native import native_lattice
 
@@ -83,7 +77,12 @@ def lattice_decode(
             weight=(graph.weight + phone_bonus * (graph.olabel > 0)).astype(
                 np.float32
             ),
+            eps_weight=(
+                graph.eps_weight + phone_bonus * (graph.eps_olabel > 0)
+            ).astype(np.float32),
         )
+    if getattr(graph, "num_eps", 0):
+        return _lattice_decode_eps(graph, loglikes, beam, use_final)
     T, P = loglikes.shape
     S = graph.num_states
 
@@ -139,6 +138,92 @@ def lattice_decode(
     from torchain_tpu.fstkit import connect
 
     return connect(fst)
+
+
+def _lattice_decode_eps(
+    graph: DecodingGraph,
+    loglikes: np.ndarray,
+    beam: float,
+    use_final: bool,
+) -> Fst:
+    """Numpy lattice generation over a graph WITH input-epsilon arcs (real
+    Kaldi HCLGs: word-boundary / LM-backoff arcs).  Same semantics as the
+    eps-free path plus, at every frame boundary, the surviving eps arcs as
+    zero-acoustic lattice arcs between same-boundary states (Kaldi's
+    ProcessNonemitting step, [K decoder/lattice-faster-decoder.cc]).  The
+    result is no longer one-arc-per-frame time-synchronous, so the lattice
+    carries `state_times` (frame index per lattice state; remapped through
+    the trim) for the CTM walk."""
+    from torchain_tpu.eval.decoder import _relax_eps
+
+    T, P = loglikes.shape
+    S = graph.num_states
+
+    tokens = np.full(S, NEG_INF)
+    tokens[0] = 0.0
+    _relax_eps(graph, tokens)  # initial closure from the start state
+    alive: list[np.ndarray] = [tokens.copy()]
+    for t in range(T):
+        scores = tokens[graph.src] + graph.weight + loglikes[t, graph.pdf]
+        nxt = np.full(S, NEG_INF)
+        np.maximum.at(nxt, graph.dst, scores)
+        _relax_eps(graph, nxt)  # relax BEFORE pruning, as viterbi_decode does
+        best = nxt.max()
+        if not np.isfinite(best):
+            raise ValueError("all decoding tokens died (beam too small?)")
+        nxt = np.where(nxt >= best - beam, nxt, NEG_INF)
+        alive.append(nxt.copy())
+        tokens = nxt
+
+    fst = Fst()
+    ids: dict[tuple[int, int], int] = {}
+    times: list[int] = []
+
+    def sid(t: int, s: int) -> int:
+        key = (t, s)
+        if key not in ids:
+            ids[key] = fst.add_state()
+            times.append(t)
+        return ids[key]
+
+    assert sid(0, 0) == 0
+    for t in range(T + 1):
+        cur = alive[t]
+        if graph.num_eps:
+            live_src = cur[graph.eps_src] > NEG_INF
+            live_dst = cur[graph.eps_dst] > NEG_INF
+            for e in np.flatnonzero(live_src & live_dst):
+                s, d = int(graph.eps_src[e]), int(graph.eps_dst[e])
+                fst.add_arc(
+                    sid(t, s),
+                    int(graph.eps_olabel[e]),
+                    float(graph.eps_weight[e]),
+                    sid(t, d),
+                    0.0,
+                )
+        if t == T:
+            break
+        nxt = alive[t + 1]
+        live_src = cur[graph.src] > NEG_INF
+        live_dst = nxt[graph.dst] > NEG_INF
+        for a in np.flatnonzero(live_src & live_dst):
+            s, d = int(graph.src[a]), int(graph.dst[a])
+            am = float(loglikes[t, graph.pdf[a]])
+            w = float(graph.weight[a]) + am
+            fst.add_arc(sid(t, s), int(graph.olabel[a]), w, sid(t + 1, d), am)
+
+    final_scores = alive[T] + (graph.final_logw if use_final else 0.0)
+    if not np.isfinite(final_scores.max()):
+        final_scores = alive[T]
+    for s in np.flatnonzero(final_scores > NEG_INF):
+        fw = final_scores[int(s)] - alive[T][int(s)]
+        fst.set_final(sid(T, int(s)), float(fw if np.isfinite(fw) else 0.0))
+
+    from torchain_tpu.fstkit import connect
+
+    out, keep = connect(fst, return_map=True)
+    out.state_times = [times[old] for old in keep]
+    return out
 
 
 def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
@@ -221,8 +306,11 @@ def best_path_ctm(
         lfwd = shortest_distance(lat, reverse_dir=False, semiring="log")
         lbwd = shortest_distance(lat, reverse_dir=True, semiring="log")
         total = lbwd[0]
+    # eps lattices (real Kaldi HCLGs) are not one-arc-per-frame; they carry
+    # state_times (frame index per state) instead, set by lattice_decode
+    times = getattr(lat, "state_times", None)
     out: list[CtmEntry] = []
-    s, t, seg_start = 0, 0, 0
+    s, t, seg_start, steps = 0, 0, 0, 0
     while True:
         # the on-path arc is the argmin of |fwd + w + bwd - score| rather
         # than a fixed absolute tolerance — robust to accumulated float
@@ -236,11 +324,12 @@ def best_path_ctm(
         fin = abs(fwd[s] + lat.final(s) - score) if lat.is_final(s) else np.inf
         if fin <= best:
             break
-        if nxt is None or t > lat.num_states:
+        if nxt is None or steps > lat.num_states:
             raise RuntimeError(
                 f"best-path walk stranded at state {s} (frame {t}): no "
                 "outgoing arc or final weight lies on the best-path score"
             )
+        t_end = times[nxt.dst] if times is not None else t + 1
         if nxt.label > 0:
             conf = 1.0
             if with_confidence:
@@ -251,13 +340,14 @@ def best_path_ctm(
                 CtmEntry(
                     word=int(nxt.label),
                     start_s=offset_s + seg_start * frame_shift_s,
-                    dur_s=(t + 1 - seg_start) * frame_shift_s,
+                    dur_s=(t_end - seg_start) * frame_shift_s,
                     conf=conf,
                 )
             )
-            seg_start = t + 1
+            seg_start = t_end
         s = nxt.dst
-        t += 1
+        t = t_end
+        steps += 1
     return out
 
 

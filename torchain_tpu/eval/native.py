@@ -34,12 +34,23 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so predates any csrc source (someone edited decoder.cc
+    since the last build) — `make` re-checks, this just avoids the subprocess
+    when everything is fresh."""
+    try:
+        so_m = _SO.stat().st_mtime
+        return any(p.stat().st_mtime > so_m for p in _CSRC.glob("*.cc"))
+    except OSError:
+        return True
+
+
 def get_lib():
     """The loaded native library, or None if unavailable."""
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _SO.exists() and not _build():
+    if (not _SO.exists() or _stale()) and not _build() and not _SO.exists():
         _load_failed = True
         return None
     try:
@@ -117,6 +128,16 @@ def _src_csr(graph):
     return cached
 
 
+def _eps_arrays(graph):
+    """Contiguous level-sorted eps arc arrays (see decoder._pack_eps_arcs)."""
+    return (
+        np.ascontiguousarray(graph.eps_src, np.int32),
+        np.ascontiguousarray(graph.eps_dst, np.int32),
+        np.ascontiguousarray(graph.eps_weight, np.float32),
+        np.ascontiguousarray(graph.eps_olabel, np.int32),
+    )
+
+
 def native_viterbi_active(
     graph,
     loglikes: np.ndarray,
@@ -125,11 +146,14 @@ def native_viterbi_active(
     use_final: bool,
 ):
     """Active-token best path (faster-decoder role: only live states are
-    expanded, max_active caps the frontier).  Returns (phones, score) or
-    None if the native library is missing."""
+    expanded, max_active caps the frontier).  Handles graphs with
+    input-epsilon arcs (real Kaldi HCLGs) through tt_viterbi_decode_eps.
+    Returns (phones, score) or None if the native library is missing."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tt_viterbi_decode_active"):
         return None
+    if getattr(graph, "num_eps", 0):
+        return _native_viterbi_eps(lib, graph, loglikes, beam, max_active, use_final)
     if not getattr(lib, "_active_proto_set", False):
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -167,6 +191,52 @@ def native_viterbi_active(
     return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)
 
 
+def _native_viterbi_eps(lib, graph, loglikes, beam, max_active, use_final):
+    if not hasattr(lib, "tt_viterbi_decode_eps"):
+        return None  # stale .so: numpy fallback handles eps exactly
+    if not getattr(lib, "_eps_proto_set", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.tt_viterbi_decode_eps.restype = ctypes.c_int
+        lib.tt_viterbi_decode_eps.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, f32p, i32p, f32p,
+            ctypes.c_int, i32p, i32p, f32p, i32p,
+            f32p,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib._eps_proto_set = True
+    offsets, dst, pdf, weight, olabel = _src_csr(graph)
+    esrc, edst, ew, eol = _eps_arrays(graph)
+    T = loglikes.shape[0]
+    # a path can emit a word on an eps arc at every boundary and level
+    capacity = T + (T + 1) * max(len(graph.eps_levels) - 1, 0)
+    out_phones = np.zeros(capacity, dtype=np.int32)
+    out_len = ctypes.c_int32(0)
+    out_score = ctypes.c_float(0.0)
+    rc = lib.tt_viterbi_decode_eps(
+        graph.num_states,
+        dst.shape[0],
+        graph.num_pdfs,
+        T,
+        offsets, dst, pdf, weight, olabel,
+        np.ascontiguousarray(graph.final_logw, np.float32),
+        graph.num_eps, esrc, edst, ew, eol,
+        np.ascontiguousarray(loglikes, np.float32),
+        beam,
+        int(max_active),
+        int(use_final),
+        capacity,
+        out_phones,
+        ctypes.byref(out_len),
+        ctypes.byref(out_score),
+    )
+    if rc != 0:
+        return None
+    return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)
+
+
 def native_lattice(
     graph,
     loglikes: np.ndarray,
@@ -184,6 +254,8 @@ def native_lattice(
     lib = get_lib()
     if lib is None or not hasattr(lib, "tt_lattice_decode"):
         return None
+    if getattr(graph, "num_eps", 0) and not hasattr(lib, "tt_lattice_decode_eps"):
+        return None  # stale .so: numpy fallback handles eps exactly
     if not getattr(lib, "_lattice_proto_set", False):
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -202,8 +274,21 @@ def native_lattice(
         ]
         lib.tt_lattice_free.restype = None
         lib.tt_lattice_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "tt_lattice_decode_eps"):
+            lib.tt_lattice_decode_eps.restype = ctypes.c_void_p
+            lib.tt_lattice_decode_eps.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, f32p, i32p, f32p,
+                ctypes.c_int, i32p, i32p, f32p, i32p,
+                f32p,
+                ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                c_i32p, c_i32p, c_i32p, c_i32p,
+            ]
+            lib.tt_lattice_fetch_times.restype = ctypes.c_int
+            lib.tt_lattice_fetch_times.argtypes = [ctypes.c_void_p, i32p]
         lib._lattice_proto_set = True
     offsets, dst, pdf, weight, olabel = _src_csr(graph)
+    num_eps = int(getattr(graph, "num_eps", 0))
     if phone_bonus != 0.0:
         weight = (weight + phone_bonus * (olabel > 0)).astype(np.float32)
     T = loglikes.shape[0]
@@ -211,22 +296,44 @@ def native_lattice(
     n_arcs = ctypes.c_int32(0)
     n_finals = ctypes.c_int32(0)
     err = ctypes.c_int32(0)
-    handle = lib.tt_lattice_decode(
-        graph.num_states,
-        dst.shape[0],
-        graph.num_pdfs,
-        T,
-        offsets, dst, pdf, weight, olabel,
-        np.ascontiguousarray(graph.final_logw, np.float32),
-        np.ascontiguousarray(loglikes, np.float32),
-        beam,
-        int(max_active),
-        int(use_final),
-        ctypes.byref(n_states),
-        ctypes.byref(n_arcs),
-        ctypes.byref(n_finals),
-        ctypes.byref(err),
-    )
+    if num_eps:
+        esrc, edst, ew, eol = _eps_arrays(graph)
+        if phone_bonus != 0.0:
+            ew = (ew + phone_bonus * (eol > 0)).astype(np.float32)
+        handle = lib.tt_lattice_decode_eps(
+            graph.num_states,
+            dst.shape[0],
+            graph.num_pdfs,
+            T,
+            offsets, dst, pdf, weight, olabel,
+            np.ascontiguousarray(graph.final_logw, np.float32),
+            num_eps, esrc, edst, ew, eol,
+            np.ascontiguousarray(loglikes, np.float32),
+            beam,
+            int(max_active),
+            int(use_final),
+            ctypes.byref(n_states),
+            ctypes.byref(n_arcs),
+            ctypes.byref(n_finals),
+            ctypes.byref(err),
+        )
+    else:
+        handle = lib.tt_lattice_decode(
+            graph.num_states,
+            dst.shape[0],
+            graph.num_pdfs,
+            T,
+            offsets, dst, pdf, weight, olabel,
+            np.ascontiguousarray(graph.final_logw, np.float32),
+            np.ascontiguousarray(loglikes, np.float32),
+            beam,
+            int(max_active),
+            int(use_final),
+            ctypes.byref(n_states),
+            ctypes.byref(n_arcs),
+            ctypes.byref(n_finals),
+            ctypes.byref(err),
+        )
     if not handle:
         if err.value == 2:
             raise ValueError("all decoding tokens died (beam too small?)")
@@ -245,6 +352,12 @@ def native_lattice(
         )
         if rc != 0:
             return None
+        state_times = None
+        if num_eps:
+            times = np.empty(int(n_states.value), np.int32)
+            if lib.tt_lattice_fetch_times(handle, times) != 0:
+                return None
+            state_times = [int(t) for t in times]
     finally:
         lib.tt_lattice_free(handle)
     from torchain_tpu.fstkit import Fst
@@ -260,4 +373,6 @@ def native_lattice(
         )
     for i in range(NF):
         fst.set_final(int(fin_s[i]), float(fin_w[i]))
+    if state_times is not None:
+        fst.state_times = state_times
     return fst
