@@ -247,3 +247,79 @@ class TestFusedLayerNorm:
         (ca, _), _ = ma.apply(va, x, train=True, mutable=["batch_stats"])
         (cb, _), _ = mb.apply(va, x, train=True, mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-4)
+
+
+class TestBrbFused:
+    """bias -> relu -> batchnorm [-> bypass] fused tail (brb_train /
+    brb_bypass_train) against the unfused autodiff composition."""
+
+    def _ref(self, x, cb, scale, bias, byp, eps, bs):
+        h = jnp.maximum(x + cb, 0)
+        mean = jnp.mean(h, axis=(0, 1))
+        var = jnp.maximum(jnp.mean(jnp.square(h), axis=(0, 1)) - mean**2, 0)
+        y = (h - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+        if byp is not None:
+            y = y + bs * byp
+        return y
+
+    @pytest.mark.parametrize("with_bypass", [False, True])
+    def test_value_and_grads_match_autodiff(self, with_bypass):
+        from torchain_tpu.ops.fused_bn import brb_bypass_train, brb_train
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((5, 9, 24)), jnp.float32) * 2
+        cb = jnp.asarray(rng.standard_normal(24), jnp.float32)
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, 24), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(24), jnp.float32)
+        byp = (
+            jnp.asarray(rng.standard_normal((5, 9, 24)), jnp.float32)
+            if with_bypass
+            else None
+        )
+        eps, bs = 1e-5, 0.66
+        ct = jnp.asarray(rng.standard_normal((5, 9, 24)), jnp.float32)
+
+        def loss_ref(*args):
+            return jnp.sum(self._ref(*args, byp, eps, bs) * ct)
+
+        if with_bypass:
+            def loss_fused(x, cb, scale, bias, byp_):
+                y, _m, _v = brb_bypass_train(x, cb, scale, bias, byp_, eps, bs)
+                return jnp.sum(y * ct)
+
+            def loss_ref(x, cb, scale, bias, byp_):  # noqa: F811
+                return jnp.sum(self._ref(x, cb, scale, bias, byp_, eps, bs) * ct)
+
+            args = (x, cb, scale, bias, byp)
+        else:
+            def loss_fused(x, cb, scale, bias):
+                y, _m, _v = brb_train(x, cb, scale, bias, eps)
+                return jnp.sum(y * ct)
+
+            def loss_ref(x, cb, scale, bias):  # noqa: F811
+                return jnp.sum(self._ref(x, cb, scale, bias, None, eps, bs) * ct)
+
+            args = (x, cb, scale, bias)
+
+        v0, g0 = jax.value_and_grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+        v1, g1 = jax.value_and_grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            )
+
+    def test_stats_match_bn_train(self):
+        from torchain_tpu.ops.fused_bn import brb_train
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((4, 7, 16)), jnp.float32)
+        cb = jnp.asarray(rng.standard_normal(16), jnp.float32)
+        scale = jnp.ones(16, jnp.float32)
+        bias = jnp.zeros(16, jnp.float32)
+        y, mean, var = brb_train(x, cb, scale, bias, 1e-5)
+        h = np.maximum(np.asarray(x) + np.asarray(cb), 0)
+        np.testing.assert_allclose(np.asarray(mean), h.mean((0, 1)), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(var), h.var((0, 1)), rtol=1e-4, atol=1e-6
+        )

@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--context-width", type=int, default=1, choices=(1, 2))
     p.add_argument(
         "--model",
-        choices=("tdnn", "tdnnf", "tdnn-lstm", "conformer"),
+        choices=("tdnn", "tdnnf", "tdnn-lstm", "cnn-tdnn", "conformer"),
         default="tdnnf",
     )
     p.add_argument("--hidden-dim", type=int, default=256)
@@ -408,6 +408,17 @@ def main(argv=None) -> dict:
             num_layers=args.num_layers,
         )
         model = TDNNF(cfg)
+    elif args.model == "cnn-tdnn":
+        from torchain_tpu.models import CNNTDNN, CnnTdnnConfig
+
+        cfg = CnnTdnnConfig(
+            num_pdfs=corpus.tree.num_pdfs,
+            feat_dim=args.feat_dim,
+            hidden_dim=args.hidden_dim,
+            bottleneck_dim=args.bottleneck_dim,
+            num_tdnnf_layers=args.num_layers,
+        )
+        model = CNNTDNN(cfg)
     elif args.model == "tdnn-lstm":
         cfg = TdnnLstmConfig(
             num_pdfs=corpus.tree.num_pdfs,

@@ -86,6 +86,62 @@ class ChainBatchNorm(nn.Module):
         return y
 
 
+class FusedPostBN(nn.Module):
+    """The whole TDNN-F layer tail — relu(x + conv_bias) -> batchnorm
+    [-> + bypass_scale * bypass] — as ONE custom-VJP op
+    (ops.fused_bn.brb_train / brb_bypass_train): the separate bias+relu
+    and bypass passes were 0.40 + 0.17 ms/step of HBM traffic at the
+    trigram B=128 headline (device trace, BENCH_NOTES round 4); folding
+    them into the batchnorm's two passes recomputes relu(x+cb) on the fly
+    and never materializes the intermediate.  Parameters and batch_stats
+    are laid out identically to nn.BatchNorm (instantiate with
+    name="BatchNorm_0"), and the deferred conv bias stays a child param
+    of the producing _TapDot, so checkpoints interchange with every other
+    BN implementation."""
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, conv_bias, bypass=None, bypass_scale: float = 0.0):
+        from torchain_tpu.ops.fused_bn import brb_bypass_train, brb_train
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        if self.use_running_average:
+            h = jnp.maximum(x + conv_bias.astype(x.dtype), 0)
+            rstd = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = (rstd * scale).astype(x.dtype)
+            b = (bias - ra_mean.value * rstd * scale).astype(x.dtype)
+            y = h * a + b
+            if bypass is not None:
+                y = y + jnp.asarray(bypass_scale, y.dtype) * bypass.astype(
+                    y.dtype
+                )
+            return y
+        if bypass is not None:
+            y, mean, var = brb_bypass_train(
+                x, conv_bias, scale, bias, bypass,
+                self.epsilon, float(bypass_scale),
+            )
+        else:
+            y, mean, var = brb_train(x, conv_bias, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
 def batch_norm(*, train: bool, dtype, impl: str = "flax", name=None):
     """BatchNorm factory shared by the trunks: impl "fused" builds
     ChainBatchNorm, "flax" the stock nn.BatchNorm — numerically matched,
@@ -205,6 +261,10 @@ class _TapDot(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     time_axis: int = 1
+    #: declare the bias param but return it UNAPPLIED as (y, bias) so a
+    #: fused consumer (FusedPostBN) can fold it into its own passes; the
+    #: param path stays "<name>/bias" for checkpoint interchange
+    defer_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -248,6 +308,8 @@ class _TapDot(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
+            if self.defer_bias:
+                return y, bias
             y = y + bias.astype(self.dtype)
         return y
 
@@ -272,6 +334,10 @@ class TdnnfLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rate=None):
+        # "fused" post path (dot impl): the affine's bias is deferred into
+        # FusedPostBN, which runs bias+relu+batchnorm(+bypass) as one op
+        fuse_post = self.impl == "dot" and self.bn_impl == "fused"
+        cb = None
         if self.impl == "dot":
             # first factor: kernel covers (t - d, t); named linear_pre so
             # the periodic semi-orthogonal projection finds it
@@ -290,8 +356,11 @@ class TdnnfLayer(nn.Module):
                 dilation=self.dilation,
                 dtype=self.dtype,
                 time_axis=self.time_axis,
+                defer_bias=fuse_post,
                 name="affine",
             )(h)
+            if fuse_post:
+                h, cb = h
         else:
             h = nn.Conv(
                 self.bottleneck_dim,
@@ -311,23 +380,37 @@ class TdnnfLayer(nn.Module):
                 dtype=self.dtype,
                 name="affine",
             )(h)
-        h = nn.relu(h)
-        h = batch_norm(
-            train=train, dtype=self.dtype, impl=self.bn_impl,
-            name="BatchNorm_0",
-        )(h)
-        # Kaldi tdnnf-layer order: dropout after batchnorm, before the
-        # scaled bypass joins
+        # bypass source: crop x to align with h (d left from factor 1,
+        # d right from factor 2, then stride)
         ta = self.time_axis if self.impl == "dot" else 1
-        h = continuous_dropout(self, h, dropout_rate, train, time_axis=ta)
-        # bypass: crop x to align with h (d left from factor 1, d right from
-        # factor 2, then stride)
         d = self.dilation
         if ta == 0:
             crop = x[d :: self.stride][: h.shape[0]]
         else:
             crop = x[:, d :: self.stride, :][:, : h.shape[1], :]
-        if crop.shape[-1] == h.shape[-1]:
+        has_bypass = crop.shape[-1] == h.shape[-1]
+        if fuse_post:
+            post = FusedPostBN(
+                use_running_average=not train, dtype=self.dtype,
+                name="BatchNorm_0",
+            )
+            if has_bypass and dropout_rate is None:
+                return post(h, cb, crop, self.bypass_scale)
+            # Kaldi tdnnf-layer order: dropout after batchnorm, before the
+            # scaled bypass joins — so with dropout active the bypass add
+            # stays outside the fused op
+            h = post(h, cb)
+            h = continuous_dropout(self, h, dropout_rate, train, time_axis=ta)
+            if has_bypass:
+                h = h + self.bypass_scale * crop
+            return h
+        h = nn.relu(h)
+        h = batch_norm(
+            train=train, dtype=self.dtype, impl=self.bn_impl,
+            name="BatchNorm_0",
+        )(h)
+        h = continuous_dropout(self, h, dropout_rate, train, time_axis=ta)
+        if has_bypass:
             h = h + self.bypass_scale * crop
         return h
 
@@ -389,6 +472,12 @@ class TDNNF(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False, dropout_rate=None):
         cfg = self.config
+        # NOTE (negative result, r4 device A/B): transposing to time-major
+        # BEFORE input_proj (at the narrow 40-dim input, hoping to shrink
+        # the [B,T,768] entry copy) measured 6.18 vs 5.61 ms/step — the
+        # 40-lane f32 transpose + the batch=T conv layout cost MORE than
+        # the wide bf16 copy they replace.  The entry transpose stays after
+        # the projection.
         x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), dtype=cfg.dtype, name="input_proj")(
             feats.astype(cfg.dtype)
         )

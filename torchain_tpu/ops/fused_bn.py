@@ -97,3 +97,99 @@ def _bn_train_bwd(eps, res, cts):
 
 
 bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused  bias -> relu -> batchnorm [-> + bypass]  (the whole TDNN-F layer
+# tail as ONE custom-VJP op).  The device trace at the trigram B=128
+# headline shows the separate bias+relu pass at 0.40 ms/step and the
+# bypass add at ~0.17 (tdnn.py:251/:331, BENCH_NOTES round 4): both are
+# full HBM read+write passes over the [T, B, 768] activation that this
+# op folds into the batchnorm's two passes — relu(x + cb) is recomputed
+# on the fly inside both the stats reduce and the apply/backward passes
+# (compute-free next to the bandwidth), so the intermediate h tensor is
+# never materialized and only x is saved for the backward.
+# ---------------------------------------------------------------------------
+
+
+def _brb_moments_apply(x, cb, scale, bias, eps):
+    cbx = cb.astype(x.dtype)
+    h = jnp.maximum(x + cbx, 0)
+    mean, var, _n = _moments(h)
+    rstd = jax.lax.rsqrt(var + eps)
+    sf32 = scale.astype(jnp.float32)
+    a = (rstd * sf32).astype(x.dtype)
+    b = (bias.astype(jnp.float32) - mean * rstd * sf32).astype(x.dtype)
+    return h * a + b, mean, var, rstd, sf32
+
+
+def _brb_bwd_core(x, cb, mean, rstd, sf32, dy, eps):
+    """Shared backward: (dx, dcb, dscale, dbias)."""
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    xp = x + cb.astype(x.dtype)
+    h = jnp.maximum(xp, 0)
+    dyf = dy.astype(jnp.float32) if dy.dtype != jnp.float32 else dy
+    s_dy = jnp.sum(dy, axis=axes, dtype=jnp.float32)
+    s_dyh = jnp.sum(dyf * h.astype(jnp.float32), axis=axes, dtype=jnp.float32)
+    dbias = s_dy
+    dscale = (s_dyh - mean * s_dy) * rstd
+    g = sf32 * rstd
+    A = g
+    B = -g * rstd * dscale / n
+    C = g * (mean * rstd * dscale - s_dy) / n
+    dh = (
+        A.astype(x.dtype) * dy
+        + B.astype(x.dtype) * h
+        + C.astype(x.dtype)
+    )
+    dx = jnp.where(xp > 0, dh, jnp.zeros((), x.dtype))
+    dcb = jnp.sum(dx, axis=axes, dtype=jnp.float32)
+    return dx, dcb, dscale.astype(jnp.float32), dbias.astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def brb_train(x, cb, scale, bias, eps: float):
+    """y = batchnorm(relu(x + cb)); returns (y, mean, var) like bn_train."""
+    out, _ = _brb_train_fwd(x, cb, scale, bias, eps)
+    return out
+
+
+def _brb_train_fwd(x, cb, scale, bias, eps):
+    y, mean, var, rstd, sf32 = _brb_moments_apply(x, cb, scale, bias, eps)
+    return (y, mean, var), (x, cb, mean, rstd, sf32)
+
+
+def _brb_train_bwd(eps, res, cts):
+    x, cb, mean, rstd, sf32 = res
+    dy, _dm, _dv = cts
+    return _brb_bwd_core(x, cb, mean, rstd, sf32, dy, eps)
+
+
+brb_train.defvjp(_brb_train_fwd, _brb_train_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def brb_bypass_train(x, cb, scale, bias, byp, eps: float, bypass_scale: float):
+    """y = batchnorm(relu(x + cb)) + bypass_scale * byp; (y, mean, var)."""
+    out, _ = _brb_byp_fwd(x, cb, scale, bias, byp, eps, bypass_scale)
+    return out
+
+
+def _brb_byp_fwd(x, cb, scale, bias, byp, eps, bypass_scale):
+    y, mean, var, rstd, sf32 = _brb_moments_apply(x, cb, scale, bias, eps)
+    y = y + jnp.asarray(bypass_scale, y.dtype) * byp.astype(y.dtype)
+    return (y, mean, var), (x, cb, mean, rstd, sf32)
+
+
+def _brb_byp_bwd(eps, bypass_scale, res, cts):
+    x, cb, mean, rstd, sf32 = res
+    dy, _dm, _dv = cts
+    dx, dcb, dscale, dbias = _brb_bwd_core(x, cb, mean, rstd, sf32, dy, eps)
+    dbyp = jnp.asarray(bypass_scale, dy.dtype) * dy
+    return dx, dcb, dscale, dbias, dbyp
+
+
+brb_bypass_train.defvjp(_brb_byp_fwd, _brb_byp_bwd)
