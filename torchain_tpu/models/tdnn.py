@@ -472,12 +472,13 @@ class TDNNF(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False, dropout_rate=None):
         cfg = self.config
-        # NOTE (negative result, r4 device A/B): transposing to time-major
-        # BEFORE input_proj (at the narrow 40-dim input, hoping to shrink
-        # the [B,T,768] entry copy) measured 6.18 vs 5.61 ms/step — the
-        # 40-lane f32 transpose + the batch=T conv layout cost MORE than
-        # the wide bf16 copy they replace.  The entry transpose stays after
-        # the projection.
+        # NOTE — two r4 negative results on the ~83 us/step entry-transpose
+        # copy (trigram B=128 device A/B): (a) transposing the INPUT before
+        # a k=1 conv: 6.18 vs 5.59 ms/step — the 40-lane f32 transpose pads
+        # to 128 lanes and the batch=T conv layout costs more than the wide
+        # bf16 copy; (b) einsum('btf,fc->tbc') emitting time-major straight
+        # from the projection matmul: 5.69 vs 5.59 — XLA materializes the
+        # relayout anyway.  The explicit post-projection transpose stays.
         x = nn.Conv(cfg.hidden_dim, kernel_size=(1,), dtype=cfg.dtype, name="input_proj")(
             feats.astype(cfg.dtype)
         )

@@ -63,12 +63,24 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _frames_per_program(T: int) -> int:
+    """Frames handled by one grid step of the vocab kernels.  Each grid
+    step costs ~1-2 us of dispatch around ~1 us of VPU math at production
+    shapes, so batching frames amortizes the overhead (r4 device trace:
+    the 1-frame gather grid was 129 us/step at T=50).  Must divide T (the
+    blocks tile the time axis exactly)."""
+    for tb in (8, 5, 4, 2):
+        if T % tb == 0:
+            return tb
+    return 1
+
+
 def _gather_vocab(y: jnp.ndarray, sup: DeviceSupervision) -> jnp.ndarray:
     """The one real gather: y [B, T, P] -> ysmall [B, T, W] float32.
 
     XLA lowers the [B*T*W]-index take_along_axis at ~10 cycles/index
     (~1 ms/step at production scale); the Pallas kernel instead streams
-    one [B, P] frame at a time and selects each of the W vocabulary
+    [Tb, B, P] frame blocks and selects each of the W vocabulary
     entries with a one-hot lane comparison — pure VPU math, ~4x faster
     (BENCH_NOTES round 2)."""
     if not _use_pallas_vocab():
@@ -79,30 +91,32 @@ def _gather_vocab(y: jnp.ndarray, sup: DeviceSupervision) -> jnp.ndarray:
     W = sup.frame_vocab.shape[-1]
     # Mosaic block constraint: the last two dims of a block must be
     # divisible by (8, 128) or cover the array — so stream time-major
-    # [T, B, P] blocks of (1, B, P)
+    # [T, B, P] blocks of (Tb, B, P)
+    Tb = _frames_per_program(T)
     yt = jnp.swapaxes(y, 0, 1)  # [T, B, P]
     vt = jnp.swapaxes(sup.frame_vocab, 0, 1)  # [T, B, W]
 
     def kern(y_ref, v_ref, o_ref):
-        yb = y_ref[0].astype(jnp.float32)  # [B, P]
-        vv = v_ref[0]  # [B, W]
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        cols = []
-        for w in range(W):
-            hit = vv[:, w : w + 1] == iota  # [B, P]
-            cols.append(
-                jnp.sum(jnp.where(hit, yb, 0.0), axis=1, keepdims=True)
-            )
-        o_ref[0] = jnp.concatenate(cols, axis=1)
+        for tb in range(Tb):
+            yb = y_ref[tb].astype(jnp.float32)  # [B, P]
+            vv = v_ref[tb]  # [B, W]
+            cols = []
+            for w in range(W):
+                hit = vv[:, w : w + 1] == iota  # [B, P]
+                cols.append(
+                    jnp.sum(jnp.where(hit, yb, 0.0), axis=1, keepdims=True)
+                )
+            o_ref[tb] = jnp.concatenate(cols, axis=1)
 
     out = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(T // Tb,),
         in_specs=[
-            pl.BlockSpec((1, B, P), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+            pl.BlockSpec((Tb, B, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((Tb, B, W), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((Tb, B, W), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, B, W), jnp.float32),
         interpret=_interpret(),
     )(yt, vt)
@@ -120,26 +134,28 @@ def _scatter_vocab(
     one-hot accumulation over W is exact even where vocab rows repeat
     pdf 0 in their padding."""
     T, B, W = gsm_t.shape
+    Tb = _frames_per_program(T)
     vt = jnp.swapaxes(sup.frame_vocab, 0, 1)  # [T, B, W]
 
     def kern(g_ref, v_ref, o_ref):
-        g = g_ref[0]  # [B, W]
-        vv = v_ref[0]  # [B, W]
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        acc = jnp.zeros_like(o_ref[0])
-        for w in range(W):
-            hit = vv[:, w : w + 1] == iota  # [B, P]
-            acc = acc + jnp.where(hit, g[:, w : w + 1], 0.0)
-        o_ref[0] = acc
+        for tb in range(Tb):
+            g = g_ref[tb]  # [B, W]
+            vv = v_ref[tb]  # [B, W]
+            acc = jnp.zeros_like(o_ref[tb])
+            for w in range(W):
+                hit = vv[:, w : w + 1] == iota  # [B, P]
+                acc = acc + jnp.where(hit, g[:, w : w + 1], 0.0)
+            o_ref[tb] = acc
 
     gamma_t = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(T // Tb,),
         in_specs=[
-            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0)),
+            pl.BlockSpec((Tb, B, W), lambda t: (t, 0, 0)),
+            pl.BlockSpec((Tb, B, W), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B, P), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((Tb, B, P), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         interpret=_interpret(),
     )(gsm_t, vt)
