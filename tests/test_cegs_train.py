@@ -1,0 +1,136 @@
+"""Training DIRECTLY from a completed Kaldi chain prep (merged cegs
+archives + binary den.fst) through CegsDataset and the train CLI — the
+reference's own example workflow ([R] example/train.py + src/io.cc)."""
+
+import numpy as np
+import pytest
+
+from torchain_tpu.data import CegsDataset
+from torchain_tpu.data.cegs import make_chain_example, write_cegs_ark
+from torchain_tpu.fstkit.openfst_io import write_openfst
+
+from tests.test_cegs import setup_chunks
+
+
+def _kaldi_prep(tmp_path, n_archives=2, records_per=2, B=3, T=6, seed=0):
+    """Simulate the artifacts a Kaldi system ships: binary den.fst +
+    merged cegs archives.  Egs geometry matches TdnnfConfig(num_layers=2):
+    context (2, 4) at fsf 3."""
+    left, right, fsf = 2, 4, 3
+    t_in = T * fsf + left + right
+    rng = np.random.default_rng(seed)
+    graph = tree = None
+    paths = []
+    for a in range(n_archives):
+        egs = {}
+        for r in range(records_per):
+            chunks, tree, graph = setup_chunks(
+                num_chunks=B, T=T, seed=seed + 13 * a + r
+            )
+            feats = rng.standard_normal((B, t_in, 8)).astype(np.float32)
+            egs[f"eg-{a}-{r}"] = make_chain_example(
+                feats,
+                chunks,
+                label_dim=tree.num_pdfs,
+                frame_subsampling_factor=fsf,
+                left_context=left,
+            )
+        p = str(tmp_path / f"cegs.{a + 1}.ark")
+        write_cegs_ark(p, egs)
+        paths.append(p)
+    den_path = str(tmp_path / "den.fst")
+    # den.fst ships as a binary OpenFst acceptor over pdf+1 labels; our
+    # make_den_fst output has exactly that form
+    from torchain_tpu.graphs.den_graph import make_den_fst
+    from torchain_tpu.graphs.phone_lm import PhoneLmOptions, estimate_phone_lm
+
+    sents = [
+        [int(x) for x in rng.integers(1, 4, size=rng.integers(2, 6))]
+        for _ in range(30)
+    ]
+    lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+    den_fst = make_den_fst(lm, tree)
+    olab = [a.label for _s, a in den_fst.all_arcs()]
+    write_openfst(den_path, den_fst, olab, arctype="standard")
+    return paths, den_path, tree, graph
+
+
+class TestCegsDataset:
+    def test_peek_and_batches(self, tmp_path):
+        paths, _den, tree, _g = _kaldi_prep(tmp_path)
+        ds = CegsDataset(paths)
+        feat_dim, label_dim, bsz, t_out = ds.peek()
+        assert (feat_dim, label_dim, bsz, t_out) == (8, tree.num_pdfs, 3, 6)
+        batches = list(ds.batches(0, shuffle=False))
+        assert len(batches) == 4
+        for b in batches:
+            assert b.feats.shape == (3, 24, 8)
+            assert b.sup.num_frames == 6
+
+    def test_glob_and_comma_paths(self, tmp_path):
+        paths, _den, _t, _g = _kaldi_prep(tmp_path)
+        ds = CegsDataset(str(tmp_path / "cegs.*.ark"))
+        assert ds.paths == sorted(paths)
+        ds2 = CegsDataset(",".join(paths))
+        assert ds2.paths == paths
+        with pytest.raises(FileNotFoundError):
+            CegsDataset(str(tmp_path / "missing.ark"))
+
+    def test_epoch_shuffle_is_deterministic(self, tmp_path):
+        paths, *_ = _kaldi_prep(tmp_path)
+        ds = CegsDataset(paths, seed=3)
+        a = [b.feats.sum() for b in ds.batches(0, epoch=1)]
+        b = [b.feats.sum() for b in ds.batches(0, epoch=1)]
+        c = [b.feats.sum() for b in ds.batches(0, epoch=2)]
+        assert a == b
+        assert sorted(a) == sorted(c)
+
+    def test_process_sharding_partitions_records(self, tmp_path):
+        paths, *_ = _kaldi_prep(tmp_path)
+        ds = CegsDataset(paths)
+        caps = ds.estimate_sup_caps()
+        got = []
+        for pi in range(2):
+            got += [
+                float(b.feats.sum())
+                for b in ds.batches(
+                    0, shuffle=False, process_index=pi, process_count=2,
+                    sup_caps=caps,
+                )
+            ]
+        want = [float(b.feats.sum()) for b in ds.batches(0, shuffle=False)]
+        assert sorted(got) == sorted(want)
+
+    def test_sup_caps_fix_shapes(self, tmp_path):
+        paths, *_ = _kaldi_prep(tmp_path)
+        ds = CegsDataset(paths)
+        caps = ds.estimate_sup_caps()
+        shapes = {
+            b.sup.in_src.shape for b in ds.batches(0, sup_caps=caps)
+        }
+        assert len(shapes) == 1
+        s = shapes.pop()
+        assert s[2] == caps[0] and s[3] == caps[1]
+
+
+def test_cli_trains_from_kaldi_prep(tmp_path):
+    """The headline interchange gate: cli.train --cegs + --den-fst runs
+    the full trainer on foreign artifacts with zero corpus stages."""
+    from torchain_tpu.cli.train import main as train_main
+
+    paths, den_path, tree, _g = _kaldi_prep(
+        tmp_path, n_archives=2, records_per=3
+    )
+    res = train_main(
+        [
+            "--cegs", str(tmp_path / "cegs.*.ark"),
+            "--den-fst", den_path,
+            "--model", "tdnnf",
+            "--hidden-dim", "32",
+            "--bottleneck-dim", "8",
+            "--num-layers", "2",
+            "--epochs", "2",
+        ]
+    )
+    assert res["steps"] == 12  # 2 epochs x 6 records
+    assert np.isfinite(res["objf"])

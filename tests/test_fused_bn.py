@@ -323,3 +323,31 @@ class TestBrbFused:
         np.testing.assert_allclose(
             np.asarray(var), h.var((0, 1)), rtol=1e-4, atol=1e-6
         )
+
+    def test_tdnnf_fused_tail_eval_mode_matches_flax(self):
+        """FusedPostBN's running-average path (train=False) against the
+        flax BN composition, through the full TDNNF stack."""
+        import jax
+        from torchain_tpu.models import TDNNF, TdnnfConfig
+
+        rng = np.random.default_rng(9)
+        base = dict(
+            num_pdfs=30, hidden_dim=48, bottleneck_dim=8, prefinal_dim=16,
+            num_layers=3,
+        )
+        cfg_a = TdnnfConfig(**base, bn_impl="flax")
+        cfg_b = TdnnfConfig(**base, bn_impl="fused")
+        left, right = cfg_a.context
+        x = jnp.asarray(
+            rng.standard_normal((2, 8 * 3 + left + right, 10)), jnp.float32
+        )
+        ma, mb = TDNNF(cfg_a), TDNNF(cfg_b)
+        va = ma.init(jax.random.PRNGKey(1), x, train=True)
+        # accumulate a couple of train steps of running stats first
+        for _ in range(2):
+            (_, _), upd = ma.apply(va, x, train=True, mutable=["batch_stats"])
+            va = {**va, "batch_stats": upd["batch_stats"]}
+        ca, xa = ma.apply(va, x, train=False)
+        cb, xb = mb.apply(va, x, train=False)
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=2e-4)

@@ -36,6 +36,26 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=("tdnn", "tdnnf", "tdnn-lstm", "cnn-tdnn", "conformer"),
         default="tdnnf",
     )
+    p.add_argument(
+        "--cegs",
+        help="train DIRECTLY from merged Kaldi cegs archives (comma-"
+        "separated paths/globs) — the reference example workflow "
+        "(completed Kaldi chain prep; [R] example/train.py + src/io.cc); "
+        "requires --den-fst.  Normalization is already composed into the "
+        "egs by nnet3-chain-get-egs, so no corpus/tree stages run",
+    )
+    p.add_argument(
+        "--den-fst",
+        help="with --cegs: the denominator FST (binary OpenFst or text)",
+    )
+    p.add_argument(
+        "--num-pdfs", type=int, default=0,
+        help="with --cegs: output dim (default: the egs' label_dim)",
+    )
+    p.add_argument(
+        "--no-ivector", action="store_true",
+        help="with --cegs: ignore the egs' ivector io",
+    )
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--bottleneck-dim", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=5)
@@ -217,14 +237,159 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _train_from_cegs(args) -> dict:
+    """Train from a COMPLETED Kaldi chain prep: merged cegs archives +
+    den.fst — the reference's own example workflow ([R] example/train.py
+    iterating src/io.cc's ExampleReader over merged cegs; SURVEY.md §2.1
+    example-recipe row).  nnet3-chain-get-egs composed the normalization
+    FST into the egs' supervision weights, so den.fst + egs are the
+    complete training inputs; no corpus/tree/alignment stage runs."""
+    import json as _json
+
+    import numpy as np
+
+    from torchain_tpu.cli.graphs import _load_any_fst
+    from torchain_tpu.data import CegsDataset
+    from torchain_tpu.graphs.den_graph import compile_den_graph
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.parallel import MeshConfig
+    from torchain_tpu.train import Trainer, TrainerConfig
+
+    if not args.den_fst:
+        raise SystemExit("--cegs needs --den-fst")
+    t0 = time.time()
+    dataset = CegsDataset(
+        args.cegs, append_ivector=not args.no_ivector, seed=args.seed
+    )
+    feat_dim, label_dim, bsz, t_out = dataset.peek()
+    num_pdfs = args.num_pdfs or label_dim
+    den_fst, fmt, _arct = _load_any_fst(args.den_fst)
+    graph = compile_den_graph(den_fst, num_pdfs)
+    print(
+        f"[cegs] {len(dataset.paths)} archive(s); merged batch={bsz} "
+        f"t_out={t_out} feat_dim={feat_dim}; den.fst ({fmt}) "
+        f"S={graph.num_states} A={graph.num_arcs} P={num_pdfs}"
+    )
+    model, cfg = _build_model(args, num_pdfs, feat_dim)
+    den = auto_den_graph(graph)
+    print(f"[cegs] den path: {type(den).__name__}")
+
+    decay_steps = 0
+    if args.lr_final > 0:
+        if args.steps:
+            decay_steps = args.steps
+        else:
+            from torchain_tpu.data.cegs import iter_cegs_ark
+
+            n_records = sum(
+                1 for p in dataset.paths for _ in iter_cegs_ark(p)
+            )
+            decay_steps = max(1, args.epochs * n_records)
+        decay_steps = max(1, decay_steps // max(1, args.grad_accum_steps))
+    tcfg = TrainerConfig(
+        lr=args.lr,
+        lr_final=args.lr_final,
+        lr_decay_steps=decay_steps,
+        grad_accum_steps=args.grad_accum_steps,
+        optimizer=args.optimizer,
+        dropout_schedule=args.dropout_schedule,
+        max_param_change=args.max_param_change,
+        max_change_per_component=args.max_change_per_component,
+        backstitch_scale=args.backstitch_scale,
+        backstitch_interval=args.backstitch_interval,
+        batch_size=bsz,
+        num_epochs=args.epochs,
+        semi_ortho_every=(
+            args.semi_ortho_every
+            if args.model in ("tdnnf", "cnn-tdnn")
+            else 0
+        ),
+        checkpoint_dir=args.checkpoint_dir,
+        mesh=MeshConfig(data=args.data_parallel, model=args.model_parallel),
+        loss=ChainLossOptions(
+            l2_regularize=args.l2_regularize,
+            leaky_hmm_coefficient=args.leaky_hmm_coefficient,
+            xent_regularize=args.xent_regularize,
+        ),
+        log_every=20,
+    )
+    # T_in from the archives themselves (context is baked into the egs)
+    first = next(
+        dataset.batches(bsz, shuffle=False, epoch=0)
+    )
+    example = np.zeros((2,) + first.feats.shape[1:], np.float32)
+    trainer = Trainer(model, den, tcfg, example)
+    if args.checkpoint_dir and trainer.restore_checkpoint():
+        print(f"[cegs] resumed from step {int(trainer.state.step)}")
+    results = trainer.fit(dataset, log_fn=print)
+    print(
+        f"[cegs] done: chain objf/frame={results.objf:.4f} "
+        f"({time.time() - t0:.1f}s)"
+    )
+    out = dict(objf=results.objf, steps=int(trainer.state.step))
+    print(_json.dumps(out))
+    return out
+
+
+def _build_model(args, num_pdfs: int, feat_dim: int):
+    """Construct the --model family from CLI args; returns (model, cfg)."""
+    from torchain_tpu.models import (
+        CNNTDNN,
+        TDNN,
+        TDNNF,
+        TDNNLSTM,
+        CnnTdnnConfig,
+        Conformer,
+        ConformerConfig,
+        TdnnConfig,
+        TdnnfConfig,
+        TdnnLstmConfig,
+    )
+
+    if args.model == "tdnn":
+        cfg = TdnnConfig(num_pdfs=num_pdfs, hidden_dim=args.hidden_dim)
+        return TDNN(cfg), cfg
+    if args.model == "tdnnf":
+        cfg = TdnnfConfig(
+            num_pdfs=num_pdfs,
+            hidden_dim=args.hidden_dim,
+            bottleneck_dim=args.bottleneck_dim,
+            num_layers=args.num_layers,
+        )
+        return TDNNF(cfg), cfg
+    if args.model == "cnn-tdnn":
+        cfg = CnnTdnnConfig(
+            num_pdfs=num_pdfs,
+            feat_dim=feat_dim,
+            hidden_dim=args.hidden_dim,
+            bottleneck_dim=args.bottleneck_dim,
+            num_tdnnf_layers=args.num_layers,
+        )
+        return CNNTDNN(cfg), cfg
+    if args.model == "tdnn-lstm":
+        cfg = TdnnLstmConfig(
+            num_pdfs=num_pdfs,
+            hidden_dim=args.hidden_dim,
+            cell_dim=args.hidden_dim,
+            rec_proj_dim=max(8, args.hidden_dim // 4),
+            nonrec_proj_dim=max(8, args.hidden_dim // 4),
+        )
+        return TDNNLSTM(cfg), cfg
+    cfg = ConformerConfig(
+        num_pdfs=num_pdfs, dim=args.hidden_dim, num_layers=args.num_layers
+    )
+    return Conformer(cfg), cfg
+
+
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
     if args.synthetic_words:
         args.synthetic = True
-    if not args.synthetic and not args.wav_dir:
+    if not args.synthetic and not args.wav_dir and not args.cegs:
         print(
-            "Pass --synthetic for the built-in corpus or --wav-dir for a "
-            "raw-audio Kaldi data dir.",
+            "Pass --synthetic for the built-in corpus, --wav-dir for a "
+            "raw-audio Kaldi data dir, or --cegs + --den-fst for a "
+            "completed Kaldi chain prep.",
             file=sys.stderr,
         )
         sys.exit(2)
@@ -263,7 +428,10 @@ def main(argv=None) -> dict:
             f"[distributed] process {jax.process_index()}/{jax.process_count()} "
             f"local devices: {jax.local_device_count()}"
         )
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401 — backend initialized above
+
+    if args.cegs:
+        return _train_from_cegs(args)
 
     from torchain_tpu.data import ChainDataset, synthetic_dataset
     from torchain_tpu.eval import make_decoding_graph, viterbi_decode, wer
@@ -397,42 +565,7 @@ def main(argv=None) -> dict:
             f"S={graph.num_states} A={graph.num_arcs}"
         )
 
-    if args.model == "tdnn":
-        cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=args.hidden_dim)
-        model = TDNN(cfg)
-    elif args.model == "tdnnf":
-        cfg = TdnnfConfig(
-            num_pdfs=corpus.tree.num_pdfs,
-            hidden_dim=args.hidden_dim,
-            bottleneck_dim=args.bottleneck_dim,
-            num_layers=args.num_layers,
-        )
-        model = TDNNF(cfg)
-    elif args.model == "cnn-tdnn":
-        from torchain_tpu.models import CNNTDNN, CnnTdnnConfig
-
-        cfg = CnnTdnnConfig(
-            num_pdfs=corpus.tree.num_pdfs,
-            feat_dim=args.feat_dim,
-            hidden_dim=args.hidden_dim,
-            bottleneck_dim=args.bottleneck_dim,
-            num_tdnnf_layers=args.num_layers,
-        )
-        model = CNNTDNN(cfg)
-    elif args.model == "tdnn-lstm":
-        cfg = TdnnLstmConfig(
-            num_pdfs=corpus.tree.num_pdfs,
-            hidden_dim=args.hidden_dim,
-            cell_dim=args.hidden_dim,
-            rec_proj_dim=max(8, args.hidden_dim // 4),
-            nonrec_proj_dim=max(8, args.hidden_dim // 4),
-        )
-        model = TDNNLSTM(cfg)
-    else:
-        cfg = ConformerConfig(
-            num_pdfs=corpus.tree.num_pdfs, dim=args.hidden_dim, num_layers=args.num_layers
-        )
-        model = Conformer(cfg)
+    model, cfg = _build_model(args, corpus.tree.num_pdfs, args.feat_dim)
     left, right = cfg.context
     fsf = cfg.frame_subsampling_factor
 
@@ -512,7 +645,11 @@ def main(argv=None) -> dict:
         backstitch_interval=args.backstitch_interval,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
-        semi_ortho_every=args.semi_ortho_every if args.model == "tdnnf" else 0,
+        semi_ortho_every=(
+            args.semi_ortho_every
+            if args.model in ("tdnnf", "cnn-tdnn")
+            else 0
+        ),
         checkpoint_dir=args.checkpoint_dir,
         mesh=MeshConfig(data=args.data_parallel, model=args.model_parallel),
         loss=ChainLossOptions(

@@ -17,6 +17,7 @@ from torchain_tpu.data.ivector import (
     train_ivector_extractor,
 )
 from torchain_tpu.data.cegs import (
+    CegsDataset,
     KaldiSupervision,
     NnetChainExample,
     NnetChainSupervision,
@@ -94,6 +95,7 @@ __all__ = [
     "NnetChainExample",
     "NnetChainSupervision",
     "NnetIo",
+    "CegsDataset",
     "batches_from_cegs",
     "example_to_batch",
     "iter_cegs_ark",

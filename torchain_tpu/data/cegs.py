@@ -41,6 +41,7 @@ complete-bipartite path pairing of the merged FST exactly.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 from typing import BinaryIO, Iterator
 
@@ -554,6 +555,7 @@ def _rows_to_batch(indexes: list[tuple[int, int, int]], feats: np.ndarray) -> np
 def example_to_batch(
     eg: NnetChainExample,
     append_ivector: bool = True,
+    sup_caps: "tuple[int, ...] | None" = None,
 ):
     """Convert one (possibly merged) NnetChainExample into a ChainBatch:
     features reordered to [B, T_in, F] (ivector tiled and appended per
@@ -606,7 +608,17 @@ def example_to_batch(
     compiled = [
         compile_supervision(p, sup.label_dim, weight=sup.weight) for p in pieces
     ]
-    return ChainBatch(feats=feats, sup=pad_and_stack_supervisions(compiled))
+    pads = {}
+    if sup_caps:
+        pads = dict(
+            pad_states_to=sup_caps[0],
+            pad_arcs_to=sup_caps[1],
+            pad_vocab_to=sup_caps[2] if len(sup_caps) > 2 else None,
+            pad_steady_to=sup_caps[3] if len(sup_caps) > 3 else None,
+        )
+    return ChainBatch(
+        feats=feats, sup=pad_and_stack_supervisions(compiled, **pads)
+    )
 
 
 def make_chain_example(
@@ -672,6 +684,111 @@ def batches_from_cegs(path: str, append_ivector: bool = True):
     """Iterate training-ready ChainBatches straight off a cegs archive."""
     for key, eg in iter_cegs_ark(path):
         yield key, example_to_batch(eg, append_ivector=append_ivector)
+
+
+class CegsDataset:
+    """Train DIRECTLY from merged Kaldi cegs archives — the literal
+    torchain example workflow ([R] example/train.py + src/io.cc
+    ExampleReader, SURVEY.md §2.1 example-recipe row: a completed Kaldi
+    chain prep ships den.fst + merged cegs, and training iterates the
+    archives).  Duck-types the ChainDataset surface Trainer.fit consumes
+    (`batches`, `estimate_sup_caps`), so the whole trainer stack — LR
+    schedule, checkpoints, combine, multi-host sharding — runs unchanged
+    on foreign egs.
+
+    Each merged record IS one minibatch (its num_sequences is the batch
+    size chosen at merge time), so the `batch_size` argument of
+    `batches()` is ignored; archive order reshuffles per (seed, epoch)
+    like the recipe's per-iteration archive schedule, and records are
+    round-robin sharded across processes (multi-host runs additionally
+    need shape-uniform archives, which nnet3-chain-merge-egs's
+    equal-length grouping produces, plus sup_caps for fixed supervision
+    padding)."""
+
+    def __init__(
+        self,
+        paths: "list[str] | str",
+        append_ivector: bool = True,
+        seed: int = 0,
+    ):
+        import glob as _glob
+
+        if isinstance(paths, str):
+            expanded: list[str] = []
+            for part in paths.split(","):
+                hits = sorted(_glob.glob(part))
+                expanded.extend(hits if hits else [part])
+            paths = expanded
+        self.paths = list(paths)
+        if not self.paths:
+            raise ValueError("no cegs archives given")
+        for p in self.paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"cegs archive not found: {p}")
+        self.append_ivector = append_ivector
+        self.seed = seed
+
+    def peek(self):
+        """(feat_dim, num_pdfs, batch_size, frames_per_sequence) of the
+        first record — the model/den-graph construction inputs."""
+        for _key, eg in iter_cegs_ark(self.paths[0]):
+            b = example_to_batch(eg, append_ivector=self.append_ivector)
+            return (
+                int(b.feats.shape[2]),
+                int(b.sup.num_pdfs),
+                int(b.feats.shape[0]),
+                int(b.sup.num_frames),
+            )
+        raise ValueError(f"empty cegs archive: {self.paths[0]}")
+
+    def estimate_sup_caps(self) -> tuple[int, int, int, int]:
+        """Maxima of the per-record padded supervision dims (states, arcs,
+        frame vocab, steady arcs) over every archive — the fixed padding
+        multi-host runs need.  One full pass (compiles each record's
+        supervision once; O(egs))."""
+        ms = ma = mv = mst = 1
+        for p in self.paths:
+            for _key, b in batches_from_cegs(p, self.append_ivector):
+                s = b.sup
+                ms = max(ms, int(s.max_states))
+                ma = max(ma, int(s.in_src.shape[-1]))
+                if s.frame_vocab is not None:
+                    mv = max(mv, int(s.frame_vocab.shape[-1]))
+                if s.steady_need is not None:
+                    mst = max(mst, int(np.max(s.steady_need)))
+        r = lambda x, m: ((x + m - 1) // m) * m  # noqa: E731
+        return r(ms, 4), r(ma, 4), r(mv, 8), r(mst, 4)
+
+    def batches(
+        self,
+        batch_size: int,  # ignored: merged records fix the batch size
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epoch: "int | None" = None,
+        process_index: "int | None" = None,
+        process_count: "int | None" = None,
+        sup_caps: "tuple[int, ...] | None" = None,
+        num_threads: "int | None" = None,
+    ):
+        del batch_size, drop_last, num_threads
+        order = list(range(len(self.paths)))
+        if shuffle:
+            rng = np.random.default_rng(
+                [self.seed & 0x7FFFFFFF, int(epoch or 0)]
+            )
+            rng.shuffle(order)
+        pi = process_index or 0
+        pc = process_count or 1
+        rec = 0
+        for ai in order:
+            for _key, eg in iter_cegs_ark(self.paths[ai]):
+                take = rec % pc == pi
+                rec += 1
+                if not take:
+                    continue
+                yield example_to_batch(
+                    eg, append_ivector=self.append_ivector, sup_caps=sup_caps
+                )
 
 
 def dataset_to_cegs(
