@@ -134,3 +134,161 @@ def test_cli_trains_from_kaldi_prep(tmp_path):
     )
     assert res["steps"] == 12  # 2 epochs x 6 records
     assert np.isfinite(res["objf"])
+
+
+# ---------------------------------------------------------------------------
+# e2e (flat-start) cegs: records carrying per-sequence cyclic e2e_fsts
+# ---------------------------------------------------------------------------
+
+
+def _kaldi_e2e_prep(tmp_path, n_archives=2, records_per=2, B=3, T=6, seed=0):
+    """Simulate a flat-start Kaldi prep: binary den.fst + merged cegs
+    archives whose supervision is a counted list of cyclic e2e FSTs
+    ([K] nnet-chain-example.h e2e branch)."""
+    from torchain_tpu.graphs.den_graph import (
+        compile_den_graph,
+        make_den_fst,
+        make_normalization_fst,
+    )
+    from torchain_tpu.graphs.e2e import make_e2e_supervision_fst
+    from torchain_tpu.graphs.phone_lm import PhoneLmOptions, estimate_phone_lm
+    from torchain_tpu.graphs.topology import ContextTree
+    from torchain_tpu.data.cegs import make_e2e_chain_example
+
+    left, right, fsf = 2, 4, 3
+    t_in = T * fsf + left + right
+    rng = np.random.default_rng(seed)
+    num_phones = 3
+    sents = [
+        [int(x) for x in rng.integers(1, num_phones + 1, size=rng.integers(2, 6))]
+        for _ in range(30)
+    ]
+    lm = estimate_phone_lm(sents, PhoneLmOptions(ngram_order=2))
+    tree = ContextTree(num_phones, context_width=1)
+    den_fst = make_den_fst(lm, tree)
+    graph = compile_den_graph(den_fst, tree.num_pdfs)
+    norm = make_normalization_fst(den_fst, graph.initial_probs)
+    paths = []
+    for a in range(n_archives):
+        egs = {}
+        for r in range(records_per):
+            fsts = []
+            while len(fsts) < B:
+                n_seg = int(rng.integers(2, min(4, T)))
+                phones = [int(p) for p in rng.integers(1, num_phones + 1, size=n_seg)]
+                try:
+                    fsts.append(make_e2e_supervision_fst(phones, tree, norm))
+                except ValueError:
+                    continue
+            feats = rng.standard_normal((B, t_in, 8)).astype(np.float32)
+            egs[f"eg-{a}-{r}"] = make_e2e_chain_example(
+                feats,
+                fsts,
+                label_dim=tree.num_pdfs,
+                frames_per_sequence=T,
+                frame_subsampling_factor=fsf,
+                left_context=left,
+            )
+        p = str(tmp_path / f"cegs.{a + 1}.ark")
+        write_cegs_ark(p, egs)
+        paths.append(p)
+    den_path = str(tmp_path / "den.fst")
+    from torchain_tpu.graphs.den_graph import make_den_fst as _mdf  # noqa: F401
+
+    olab = [arc.label for _s, arc in den_fst.all_arcs()]
+    write_openfst(den_path, den_fst, olab, arctype="standard")
+    return paths, den_path, tree, graph
+
+
+class TestE2eCegs:
+    def test_roundtrip_batch(self, tmp_path):
+        """Written e2e records read back into E2eSupervision batches the
+        trainer dispatches on, byte-identical FST content."""
+        from torchain_tpu.graphs.e2e import E2eSupervision
+
+        paths, _den, tree, _g = _kaldi_e2e_prep(tmp_path, n_archives=1)
+        ds = CegsDataset(paths)
+        feat_dim, label_dim, bsz, t_out = ds.peek()
+        assert (feat_dim, label_dim, bsz, t_out) == (8, tree.num_pdfs, 3, 6)
+        batches = list(ds.batches(0, shuffle=False))
+        assert len(batches) == 2
+        for b in batches:
+            assert isinstance(b.sup, E2eSupervision)
+            assert b.sup.in_src.shape[0] == 3
+            assert b.sup.num_frames == 6
+
+    def test_e2e_loss_matches_in_process_pipeline(self, tmp_path):
+        """chain objf computed from a read-back e2e record equals the objf
+        of the directly-compiled supervision (write->read is lossless)."""
+        import jax.numpy as jnp
+
+        from torchain_tpu.graphs.e2e import (
+            compile_e2e_supervision,
+            pad_and_stack_e2e,
+        )
+        from torchain_tpu.data.cegs import example_to_batch, iter_cegs_ark
+        from torchain_tpu.graphs.den_graph import make_dense_den_graph
+        from torchain_tpu.ops import DeviceDenseDenGraph, chain_loss
+        from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
+
+        paths, _den, tree, graph = _kaldi_e2e_prep(tmp_path, n_archives=1, records_per=1)
+        key, eg = next(iter_cegs_ark(paths[0]))
+        b = example_to_batch(eg)
+        direct = pad_and_stack_e2e(
+            [
+                compile_e2e_supervision(f, 6, tree.num_pdfs)
+                for f in eg.outputs[0].supervision.e2e_fsts
+            ]
+        )
+        rng = np.random.default_rng(7)
+        y = jnp.asarray(rng.standard_normal((3, 6, tree.num_pdfs)), jnp.float32)
+        den = DeviceDenseDenGraph.from_host(make_dense_den_graph(graph, pad_to=8))
+        r1 = chain_loss(y, None, den, DeviceE2eSupervision.from_host(b.sup))[1]
+        r2 = chain_loss(y, None, den, DeviceE2eSupervision.from_host(direct))[1]
+        np.testing.assert_allclose(
+            float(r1["objf"]), float(r2["objf"]), rtol=1e-6
+        )
+
+    def test_cli_trains_from_e2e_prep(self, tmp_path):
+        from torchain_tpu.cli.train import main as train_main
+
+        paths, den_path, _tree, _g = _kaldi_e2e_prep(
+            tmp_path, n_archives=2, records_per=2
+        )
+        res = train_main(
+            [
+                "--cegs", str(tmp_path / "cegs.*.ark"),
+                "--den-fst", den_path,
+                "--model", "tdnnf",
+                "--hidden-dim", "32",
+                "--bottleneck-dim", "8",
+                "--num-layers", "2",
+                "--epochs", "2",
+            ]
+        )
+        assert res["steps"] == 8  # 2 epochs x 4 records
+        assert np.isfinite(res["objf"])
+
+
+def test_compute_prob_cli(tmp_path):
+    """nnet3-chain-compute-prob role: objf over cegs archives with no
+    updates; restores a trainer checkpoint when given one."""
+    from torchain_tpu.cli.compute_prob import main as cp_main
+    from torchain_tpu.cli.train import main as train_main
+
+    paths, den_path, tree, _g = _kaldi_prep(tmp_path, n_archives=1, records_per=2)
+    common = [
+        "--cegs", paths[0], "--den-fst", den_path,
+        "--model", "tdnnf", "--hidden-dim", "32",
+        "--bottleneck-dim", "8", "--num-layers", "2",
+    ]
+    r0 = cp_main(common)
+    assert np.isfinite(r0["objf"]) and not r0["restored"]
+    assert r0["frames"] == 2 * 3 * 6  # records x B x T
+
+    ck = str(tmp_path / "ck")
+    train_main(common + ["--epochs", "3", "--checkpoint-dir", ck])
+    r1 = cp_main(common + ["--checkpoint-dir", ck])
+    assert r1["restored"]
+    # the trained model must beat the random init it started from
+    assert r1["objf"] > r0["objf"]

@@ -575,11 +575,6 @@ def example_to_batch(
 
     out = eg.outputs[0]
     sup = out.supervision
-    if sup.is_e2e:
-        raise ValueError(
-            "e2e cegs records hold per-sequence e2e_fsts; feed them to the "
-            "flat-start pipeline (graphs.e2e) instead of example_to_batch"
-        )
     dw = out.deriv_weights
     if dw.size and not np.allclose(dw, 1.0, atol=1e-3):
         raise ValueError(
@@ -602,6 +597,35 @@ def example_to_batch(
         in_ts = np.array(sorted({i[1] for i in eg.io("input").indexes}))
         sel = np.abs(in_ts[:, None] - ivec_ts[None, :]).argmin(axis=1)
         feats = np.concatenate([feats, rows[:, sel, :]], axis=2)
+    if sup.is_e2e:
+        # flat-start records: per-sequence CYCLIC numerator FSTs
+        # (chain-generic-numerator path, [K] nnet-chain-example.h 'e2e').
+        # Compile straight into the e2e supervision packing the trainer
+        # already dispatches on (ops/num_e2e.DeviceE2eSupervision).
+        from torchain_tpu.graphs.e2e import (
+            compile_e2e_supervision,
+            pad_and_stack_e2e,
+        )
+
+        if len(sup.e2e_fsts) != B:
+            raise ValueError(
+                f"e2e record has {len(sup.e2e_fsts)} fsts but "
+                f"num_sequences={B}"
+            )
+        caps_s = sup_caps[0] if sup_caps else None
+        caps_a = sup_caps[1] if sup_caps and len(sup_caps) > 1 else None
+        compiled_e2e = [
+            compile_e2e_supervision(
+                f,
+                sup.frames_per_sequence,
+                sup.label_dim,
+                weight=sup.weight,
+                max_states=caps_s,
+                max_arcs=caps_a,
+            )
+            for f in sup.e2e_fsts
+        ]
+        return ChainBatch(feats=feats, sup=pad_and_stack_e2e(compiled_e2e))
     pieces = split_merged_supervision_fst(
         sup.fst, B, sup.frames_per_sequence
     )
@@ -653,6 +677,64 @@ def make_chain_example(
         frames_per_sequence=T_out,
         label_dim=label_dim,
         fst=merged,
+    )
+    inputs = [
+        NnetIo(
+            name="input",
+            indexes=in_indexes,
+            features=feats.reshape(B * T_in, -1).astype(np.float32),
+        )
+    ]
+    if ivectors is not None:
+        inputs.append(
+            NnetIo(
+                name="ivector",
+                indexes=[(n, 0, 0) for n in range(B)],
+                features=np.asarray(ivectors, dtype=np.float32),
+            )
+        )
+    outputs = [
+        NnetChainSupervision(
+            name="output",
+            indexes=out_indexes,
+            supervision=sup,
+            deriv_weights=np.ones(B * T_out, dtype=np.float32),
+        )
+    ]
+    return NnetChainExample(inputs=inputs, outputs=outputs)
+
+
+def make_e2e_chain_example(
+    feats: np.ndarray,  # [B, T_in, F] input-rate features (context included)
+    e2e_fsts: list[Fst],  # per-sequence CYCLIC supervision FSTs (pdf_id+1)
+    label_dim: int,
+    frames_per_sequence: int,
+    frame_subsampling_factor: int = 3,
+    weight: float = 1.0,
+    left_context: int = 0,
+    ivectors: np.ndarray | None = None,  # [B, D]
+) -> NnetChainExample:
+    """Flat-start counterpart of make_chain_example: the supervision is a
+    counted list of per-sequence cyclic FSTs (`e2e_fsts`), as
+    nnet3-chain-get-egs writes for e2e/flat-start preps ([K]
+    nnet-chain-example.h e2e branch).  frames_per_sequence must be passed
+    explicitly — cyclic FSTs carry no time structure."""
+    B, T_in, _F = feats.shape
+    if len(e2e_fsts) != B:
+        raise ValueError(f"{len(e2e_fsts)} fsts for batch {B}")
+    fsf = frame_subsampling_factor
+    T_out = frames_per_sequence
+    in_indexes = [
+        (n, t - left_context, 0) for n in range(B) for t in range(T_in)
+    ]
+    out_indexes = [(n, t * fsf, 0) for n in range(B) for t in range(T_out)]
+    sup = KaldiSupervision(
+        weight=weight,
+        num_sequences=B,
+        frames_per_sequence=T_out,
+        label_dim=label_dim,
+        fst=None,
+        e2e_fsts=list(e2e_fsts),
     )
     inputs = [
         NnetIo(
@@ -752,10 +834,14 @@ class CegsDataset:
                 s = b.sup
                 ms = max(ms, int(s.max_states))
                 ma = max(ma, int(s.in_src.shape[-1]))
-                if s.frame_vocab is not None:
-                    mv = max(mv, int(s.frame_vocab.shape[-1]))
-                if s.steady_need is not None:
-                    mst = max(mst, int(np.max(s.steady_need)))
+                # e2e supervisions have no frame-vocab/steady packing;
+                # their caps are just (states, arcs)
+                fv = getattr(s, "frame_vocab", None)
+                if fv is not None:
+                    mv = max(mv, int(fv.shape[-1]))
+                sn = getattr(s, "steady_need", None)
+                if sn is not None:
+                    mst = max(mst, int(np.max(sn)))
         r = lambda x, m: ((x + m - 1) // m) * m  # noqa: E731
         return r(ms, 4), r(ma, 4), r(mv, 8), r(mst, 4)
 
