@@ -331,3 +331,63 @@ class TestPallasVocabKernels:
             np.asarray(g_pl), np.asarray(g_ref), atol=1e-6,
             err_msg="Pallas vocab scatter must match the unique-index scatter",
         )
+
+
+class TestResidentNumKernels:
+    """The steady-frame resident Pallas kernels (ops/num_resident) must
+    match the lax.scan path bit-for-bit in math (same formulation, f32).
+    On CPU they run in interpret mode (TORCHAIN_NUM_RESIDENT=force)."""
+
+    def _both(self, sup, yj, monkeypatch):
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "0")
+        lp0, al0 = num_scan.num_forward(yj, sup)
+        g0 = num_scan.num_backward(yj, sup, lp0, al0)
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        lp1, al1 = num_scan.num_forward(yj, sup)
+        g1 = num_scan.num_backward(yj, sup, lp1, al1)
+        return (lp0, al0, g0), (lp1, al1, g1)
+
+    def test_matches_scan(self, setup, monkeypatch):
+        sup = DeviceSupervision.from_host(setup["batch"])
+        yj = jnp.asarray(setup["y"])
+        (lp0, al0, g0), (lp1, al1, g1) = self._both(sup, yj, monkeypatch)
+        np.testing.assert_allclose(
+            np.asarray(lp1), np.asarray(lp0), atol=1e-5
+        )
+        a0, a1 = np.asarray(al0), np.asarray(al1)
+        assert (np.isfinite(a0) == np.isfinite(a1)).all()
+        fin = np.isfinite(a0)
+        np.testing.assert_allclose(a1[fin], a0[fin], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+    def test_invalid_sequence_zeroes_gamma(self, setup, monkeypatch):
+        """A sequence whose supervision rejects the outputs (log_p = -inf)
+        must produce exactly zero occupancies, matching the scan path's
+        numeric-failure containment."""
+        sup = DeviceSupervision.from_host(setup["batch"])
+        yj = jnp.asarray(setup["y"])
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        lp, al = num_scan.num_forward(yj, sup)
+        bad_lp = lp.at[1].set(jnp.nan)
+        g = num_scan.num_backward(yj, sup, bad_lp, al)
+        assert np.all(np.asarray(g)[1] == 0.0)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_single_frame_skips_kernel(self, setup, monkeypatch):
+        """T=1 has no steady frames; the resident path must not be hit."""
+        sup_full = DeviceSupervision.from_host(setup["batch"])
+        yj = jnp.asarray(setup["y"][:, :1])
+        import dataclasses as _dc
+
+        sup1 = _dc.replace(
+            sup_full,
+            in_src=sup_full.in_src[:, :1],
+            in_logw=sup_full.in_logw[:, :1],
+            frame_vocab=sup_full.frame_vocab[:, :1],
+            pdf_local=sup_full.pdf_local[:, :1],
+            num_frames=1,
+        )
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        lp, al = num_scan.num_forward(yj, sup1)
+        g = num_scan.num_backward(yj, sup1, lp, al)
+        assert np.asarray(g).shape == yj.shape

@@ -1,0 +1,209 @@
+"""Numerator steady-frame recursions as single Pallas kernels.
+
+Behavioral reference: kaldi/src/chain/chain-numerator.cc
+(`NumeratorComputation`) — same math as the `lax.scan` path in
+ops/num_scan.py (log-semiring alpha/beta over the packed per-frame arc
+tensors, comparison-mask selects, per-src-slot stabilization), different
+execution strategy: the whole steady-frame T-loop runs INSIDE one kernel
+(grid=(T-1,), sequential on TPU) with the alpha/beta carry in VMEM
+scratch, so the ~10 us/frame of XLA while-loop dispatch that made the
+numerator ~540 us/step at the trigram headline (BENCH_NOTES round 4
+"TDNN-F remaining fat") disappears.
+
+Layout: lanes = B (the batch is 128 at the headline), sublanes = states;
+per-frame arc tables stream as [1, Kr, S, B] blocks (steady arc width
+Kr ~ 12 « K), emissions as [1, W, B].  All selects are static python
+loops over S (~20) and W (~16) — pure VPU comparison math on
+[Kr, S, B] tiles, exactly the num_scan formulation with the batch moved
+to the minor axis.  Frame 0 (the normalization FST's wide initial
+fan-in) stays outside in XLA at full K, as before.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -jnp.inf
+
+
+def _masked_lse(vals: jnp.ndarray, axes: tuple[int, ...]) -> jnp.ndarray:
+    """logsumexp over `axes` tolerating all--inf slices (-> -inf, no nan)."""
+    m = jnp.max(vals, axis=axes)
+    msafe = jnp.where(m == NEG_INF, 0.0, m)
+    expand = msafe
+    for a in sorted(axes):
+        expand = jnp.expand_dims(expand, a)
+    s = jnp.sum(jnp.exp(vals - expand), axis=axes)
+    return jnp.where(m == NEG_INF, NEG_INF, msafe + jnp.log(s))
+
+
+def _fwd_kernel(
+    S: int,
+    W: int,
+    src_ref,  # [1, Kr, S, B] int32 (arc source state, -1 = pad)
+    lpdf_ref,  # [1, Kr, S, B] int32 (index into the frame vocab)
+    logw_ref,  # [1, Kr, S, B] f32 (arc log-weight)
+    ysm_ref,  # [1, W, B] f32 (frame emission log-probs per vocab slot)
+    alpha1_ref,  # [S, B] f32 (alpha after the wide frame-0 step)
+    out_ref,  # [1, S, B] f32 out: alpha of frame t+1
+    carry_ref,  # scratch [S, B] f32
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[...] = alpha1_ref[...]
+
+    alpha = carry_ref[...]  # [S, B]
+    src = src_ref[0]  # [Kr, S, B]
+    lpdf = lpdf_ref[0]
+    logw = logw_ref[0]
+    ysm = ysm_ref[0]  # [W, B]
+    emit = jnp.zeros_like(logw)
+    for w in range(W):
+        emit += jnp.where(lpdf == w, ysm[w][None, None, :], 0.0)
+    sel = jnp.full_like(logw, NEG_INF)
+    for sp in range(S):
+        sel = jnp.where(src == sp, alpha[sp][None, None, :], sel)
+    vals = jnp.where(src >= 0, sel + logw + emit, NEG_INF)  # [Kr, S, B]
+    nxt = _masked_lse(vals, (0,))  # [S, B]
+    out_ref[0] = nxt
+    carry_ref[...] = nxt
+
+
+def _bwd_kernel(
+    S: int,
+    W: int,
+    src_ref,  # [1, Kr, S, B] int32 (REVERSED t: block i is frame T-1-i)
+    lpdf_ref,  # [1, Kr, S, B] int32
+    logw_ref,  # [1, Kr, S, B] f32
+    ysm_ref,  # [1, W, B] f32
+    alpha_ref,  # [1, S, B] f32: alpha of the SOURCE frame of this step
+    final_ref,  # [S, B] f32: final log-weights (beta at frame T)
+    logp_ref,  # [1, B] f32: per-sequence log-prob, +inf where invalid
+    gsm_ref,  # [1, W, B] f32 out: vocab-space occupancies of this frame
+    beta1_ref,  # [S, B] f32 out: beta after the last (earliest) step
+    carry_ref,  # scratch [S, B] f32
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = final_ref[...]
+
+    beta = carry_ref[...]  # [S, B] betas of this frame's DST states
+    src = src_ref[0]
+    lpdf = lpdf_ref[0]
+    logw = logw_ref[0]
+    ysm = ysm_ref[0]
+    alpha = alpha_ref[0]  # [S, B]
+    emit = jnp.zeros_like(logw)
+    for w in range(W):
+        emit += jnp.where(lpdf == w, ysm[w][None, None, :], 0.0)
+    arc_w = jnp.where(src >= 0, logw + emit, NEG_INF) + beta[None, :, :]
+    sel_alpha = jnp.full_like(logw, NEG_INF)
+    prev_rows = []
+    for sp in range(S):
+        hit = src == sp
+        sel_alpha = jnp.where(hit, alpha[sp][None, None, :], sel_alpha)
+        prev_rows.append(
+            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1))[None]
+        )
+    # per-arc occupancies; logp is +inf for invalid sequences, so the
+    # exp() underflows to exactly 0 there (numeric-failure containment)
+    post = jnp.exp(sel_alpha + arc_w - logp_ref[0][None, None, :])
+    for w in range(W):
+        gsm_ref[0, w] = jnp.sum(jnp.where(lpdf == w, post, 0.0), axis=(0, 1))
+    prev = jnp.concatenate(prev_rows, axis=0)  # [S, B]
+    carry_ref[...] = prev
+    beta1_ref[...] = prev
+
+
+def steady_forward(
+    alpha1: jnp.ndarray,  # [B, S] alpha after the frame-0 step
+    src: jnp.ndarray,  # [B, T-1, S, Kr] (steady slice, any int dtype)
+    lpdf: jnp.ndarray,  # [B, T-1, S, Kr]
+    logw: jnp.ndarray,  # [B, T-1, S, Kr] f32
+    ysm: jnp.ndarray,  # [B, T-1, W] f32
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Replaces the forward lax.scan over frames 1..T-1.
+    Returns (aT [B, S], alphas_rest [T-1, B, S])."""
+    B, Tm1, S, Kr = src.shape
+    W = ysm.shape[-1]
+    kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))  # [T-1, Kr, S, B]
+    pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
+    wl = jnp.transpose(logw, (1, 3, 2, 0))
+    yl = jnp.transpose(ysm, (1, 2, 0))  # [T-1, W, B]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, S, W),
+        grid=(Tm1,),
+        in_specs=[
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, W, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, B), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tm1, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(kl, pl_, wl, yl, jnp.transpose(alpha1, (1, 0)))
+    alphas_rest = jnp.transpose(out, (0, 2, 1))  # [T-1, B, S]
+    return alphas_rest[-1], alphas_rest
+
+
+def steady_backward(
+    src: jnp.ndarray,  # [B, T-1, S, Kr] steady slice (frames 1..T-1)
+    lpdf: jnp.ndarray,
+    logw: jnp.ndarray,
+    ysm: jnp.ndarray,  # [B, T-1, W] emissions of frames 1..T-1
+    alphas: jnp.ndarray,  # [T-1, B, S] alphas of frames 1..T-1 (sources)
+    final_logw: jnp.ndarray,  # [B, S]
+    log_p: jnp.ndarray,  # [B] (may be non-finite)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Replaces the reverse lax.scan over frames T-1..1.
+    Returns (beta1 [B, S], gsm_rest [T-1, B, W])."""
+    B, Tm1, S, Kr = src.shape
+    W = ysm.shape[-1]
+    # reversed-t streams: block i is frame T-1-i
+    rev = slice(None, None, -1)
+    kl = jnp.transpose(src.astype(jnp.int32)[:, rev], (1, 3, 2, 0))
+    pl_ = jnp.transpose(lpdf.astype(jnp.int32)[:, rev], (1, 3, 2, 0))
+    wl = jnp.transpose(logw[:, rev], (1, 3, 2, 0))
+    yl = jnp.transpose(ysm[:, rev], (1, 2, 0))
+    al = jnp.transpose(alphas[rev], (0, 2, 1))  # [T-1, S, B]
+    logp_adj = jnp.where(jnp.isfinite(log_p), log_p, jnp.inf)[None, :]
+    gsm_rev, beta1 = pl.pallas_call(
+        functools.partial(_bwd_kernel, S, W),
+        grid=(Tm1,),
+        in_specs=[
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, W, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, B), lambda t: (0, 0)),
+            pl.BlockSpec((1, B), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, B), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm1, W, B), jnp.float32),
+            jax.ShapeDtypeStruct((S, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(kl, pl_, wl, yl, al, jnp.transpose(final_logw, (1, 0)), logp_adj)
+    # un-reverse to frame order 1..T-1 and restore [T-1, B, W]
+    gsm_rest = jnp.transpose(gsm_rev[rev], (0, 2, 1))
+    return jnp.transpose(beta1, (1, 0)), gsm_rest

@@ -63,6 +63,22 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _use_resident() -> bool:
+    """Steady-frame recursions as single Pallas kernels (ops/num_resident):
+    kills the per-frame XLA while-loop dispatch (~10 us/frame at the
+    trigram headline).  TPU only by default; TORCHAIN_NUM_RESIDENT=force
+    enables interpret mode for equivalence tests; =0 disables.
+    Default OFF until the Mosaic lowering is validated on hardware (the
+    relay was down when this landed) — flip to "1" once tools/ab_num_resident
+    confirms compile + parity on the chip."""
+    mode = _os.environ.get("TORCHAIN_NUM_RESIDENT", "0")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _frames_per_program(T: int) -> int:
     """Frames handled by one grid step of the vocab kernels.  Each grid
     step costs ~1-2 us of dispatch around ~1 us of VPU math at production
@@ -215,13 +231,25 @@ def num_forward(
         (ysmall[:, 0], sup.in_src[:, 0], sup.pdf_local[:, 0], sup.in_logw[:, 0]),
     )
     if T > 1:
-        xs = (
-            jnp.swapaxes(ysmall[:, 1:], 0, 1),  # [T-1, B, W]
-            jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),  # [T-1, B, S, Kr]
-            jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
-            jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
-        )
-        aT, rest = jax.lax.scan(step, alpha1, xs, unroll=UNROLL)
+        if _use_resident():
+            from torchain_tpu.ops import num_resident
+
+            aT, rest = num_resident.steady_forward(
+                alpha1,
+                sup.in_src[:, 1:, :, :Kr],
+                sup.pdf_local[:, 1:, :, :Kr],
+                sup.in_logw[:, 1:, :, :Kr],
+                ysmall[:, 1:],
+                interpret=_interpret(),
+            )
+        else:
+            xs = (
+                jnp.swapaxes(ysmall[:, 1:], 0, 1),  # [T-1, B, W]
+                jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),  # [T-1, B, S, Kr]
+                jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
+                jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+            )
+            aT, rest = jax.lax.scan(step, alpha1, xs, unroll=UNROLL)
         alphas = jnp.concatenate([a0[None], alpha1[None], rest], axis=0)
     else:
         aT = alpha1
@@ -282,16 +310,30 @@ def num_backward(
     # (normalization initial fan-in) runs once outside (mirrors num_forward)
     Kr = _steady(sup)
     if T > 1:
-        xs = (
-            jnp.swapaxes(ysmall[:, 1:], 0, 1),
-            jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),
-            jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
-            jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
-            alphas[1:-1],
-        )
-        beta1, gsm_rest = jax.lax.scan(
-            step, sup.final_logw, xs, reverse=True, unroll=UNROLL
-        )
+        if _use_resident():
+            from torchain_tpu.ops import num_resident
+
+            beta1, gsm_rest = num_resident.steady_backward(
+                sup.in_src[:, 1:, :, :Kr],
+                sup.pdf_local[:, 1:, :, :Kr],
+                sup.in_logw[:, 1:, :, :Kr],
+                ysmall[:, 1:],
+                alphas[1:-1],
+                sup.final_logw,
+                log_p,
+                interpret=_interpret(),
+            )
+        else:
+            xs = (
+                jnp.swapaxes(ysmall[:, 1:], 0, 1),
+                jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),
+                jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
+                jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+                alphas[1:-1],
+            )
+            beta1, gsm_rest = jax.lax.scan(
+                step, sup.final_logw, xs, reverse=True, unroll=UNROLL
+            )
     else:
         beta1, gsm_rest = sup.final_logw, None
     _, gsm0 = step(
