@@ -292,3 +292,33 @@ def test_compute_prob_cli(tmp_path):
     assert r1["restored"]
     # the trained model must beat the random init it started from
     assert r1["objf"] > r0["objf"]
+
+
+def test_ignore_deriv_weights(tmp_path):
+    """Non-uniform deriv_weights raise loudly by default and train as 1.0
+    under --ignore-deriv-weights (the day-1 escape hatch for real preps
+    made with --deriv-weights)."""
+    from torchain_tpu.cli.train import main as train_main
+    from torchain_tpu.data.cegs import iter_cegs_ark, example_to_batch
+
+    paths, den_path, tree, _g = _kaldi_prep(tmp_path, n_archives=1, records_per=1)
+    # rewrite the archive with ramped deriv_weights
+    _key, eg = next(iter_cegs_ark(paths[0]))
+    dw = eg.outputs[0].deriv_weights
+    eg.outputs[0].deriv_weights = np.linspace(0.5, 1.0, dw.size).astype(np.float32)
+    write_cegs_ark(paths[0], {"eg-0": eg})
+
+    with pytest.raises(ValueError, match="deriv_weights"):
+        example_to_batch(eg)
+    b = example_to_batch(eg, ignore_deriv_weights=True)
+    assert b.feats.shape[0] == 3
+
+    args = [
+        "--cegs", paths[0], "--den-fst", den_path,
+        "--model", "tdnnf", "--hidden-dim", "32",
+        "--bottleneck-dim", "8", "--num-layers", "2", "--epochs", "1",
+    ]
+    with pytest.raises(ValueError, match="deriv_weights"):
+        train_main(args)
+    res = train_main(args + ["--ignore-deriv-weights"])
+    assert res["steps"] == 1 and np.isfinite(res["objf"])

@@ -56,6 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--no-ivector", action="store_true",
         help="with --cegs: ignore the egs' ivector io",
     )
+    p.add_argument(
+        "--ignore-deriv-weights",
+        action="store_true",
+        help="with --cegs: train on records whose deriv_weights are "
+        "non-uniform, treating them as 1.0 (per-frame derivative "
+        "weighting is not applied)",
+    )
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--bottleneck-dim", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=5)
@@ -259,7 +266,10 @@ def _train_from_cegs(args) -> dict:
         raise SystemExit("--cegs needs --den-fst")
     t0 = time.time()
     dataset = CegsDataset(
-        args.cegs, append_ivector=not args.no_ivector, seed=args.seed
+        args.cegs,
+        append_ivector=not args.no_ivector,
+        seed=args.seed,
+        ignore_deriv_weights=args.ignore_deriv_weights,
     )
     feat_dim, label_dim, bsz, t_out = dataset.peek()
     num_pdfs = args.num_pdfs or label_dim

@@ -556,6 +556,7 @@ def example_to_batch(
     eg: NnetChainExample,
     append_ivector: bool = True,
     sup_caps: "tuple[int, ...] | None" = None,
+    ignore_deriv_weights: bool = False,
 ):
     """Convert one (possibly merged) NnetChainExample into a ChainBatch:
     features reordered to [B, T_in, F] (ivector tiled and appended per
@@ -576,10 +577,16 @@ def example_to_batch(
     out = eg.outputs[0]
     sup = out.supervision
     dw = out.deriv_weights
-    if dw.size and not np.allclose(dw, 1.0, atol=1e-3):
+    if (
+        not ignore_deriv_weights
+        and dw.size
+        and not np.allclose(dw, 1.0, atol=1e-3)
+    ):
         raise ValueError(
             "non-uniform deriv_weights are not supported by the training "
-            "pipeline; regenerate egs without --deriv-weights"
+            "pipeline; regenerate egs without --deriv-weights, or pass "
+            "ignore_deriv_weights=True (cli.train --ignore-deriv-weights) "
+            "to train with them treated as 1.0"
         )
     feats = _rows_to_batch(eg.io("input").indexes, eg.io("input").features)
     B = sup.num_sequences
@@ -762,10 +769,16 @@ def make_e2e_chain_example(
     return NnetChainExample(inputs=inputs, outputs=outputs)
 
 
-def batches_from_cegs(path: str, append_ivector: bool = True):
+def batches_from_cegs(
+    path: str, append_ivector: bool = True, ignore_deriv_weights: bool = False
+):
     """Iterate training-ready ChainBatches straight off a cegs archive."""
     for key, eg in iter_cegs_ark(path):
-        yield key, example_to_batch(eg, append_ivector=append_ivector)
+        yield key, example_to_batch(
+            eg,
+            append_ivector=append_ivector,
+            ignore_deriv_weights=ignore_deriv_weights,
+        )
 
 
 class CegsDataset:
@@ -792,6 +805,7 @@ class CegsDataset:
         paths: "list[str] | str",
         append_ivector: bool = True,
         seed: int = 0,
+        ignore_deriv_weights: bool = False,
     ):
         import glob as _glob
 
@@ -809,12 +823,17 @@ class CegsDataset:
                 raise FileNotFoundError(f"cegs archive not found: {p}")
         self.append_ivector = append_ivector
         self.seed = seed
+        self.ignore_deriv_weights = ignore_deriv_weights
 
     def peek(self):
         """(feat_dim, num_pdfs, batch_size, frames_per_sequence) of the
         first record — the model/den-graph construction inputs."""
         for _key, eg in iter_cegs_ark(self.paths[0]):
-            b = example_to_batch(eg, append_ivector=self.append_ivector)
+            b = example_to_batch(
+                eg,
+                append_ivector=self.append_ivector,
+                ignore_deriv_weights=self.ignore_deriv_weights,
+            )
             return (
                 int(b.feats.shape[2]),
                 int(b.sup.num_pdfs),
@@ -830,7 +849,9 @@ class CegsDataset:
         supervision once; O(egs))."""
         ms = ma = mv = mst = 1
         for p in self.paths:
-            for _key, b in batches_from_cegs(p, self.append_ivector):
+            for _key, b in batches_from_cegs(
+                p, self.append_ivector, self.ignore_deriv_weights
+            ):
                 s = b.sup
                 ms = max(ms, int(s.max_states))
                 ma = max(ma, int(s.in_src.shape[-1]))
@@ -873,7 +894,10 @@ class CegsDataset:
                 if not take:
                     continue
                 yield example_to_batch(
-                    eg, append_ivector=self.append_ivector, sup_caps=sup_caps
+                    eg,
+                    append_ivector=self.append_ivector,
+                    sup_caps=sup_caps,
+                    ignore_deriv_weights=self.ignore_deriv_weights,
                 )
 
 
