@@ -294,31 +294,67 @@ def test_compute_prob_cli(tmp_path):
     assert r1["objf"] > r0["objf"]
 
 
-def test_ignore_deriv_weights(tmp_path):
-    """Non-uniform deriv_weights raise loudly by default and train as 1.0
-    under --ignore-deriv-weights (the day-1 escape hatch for real preps
-    made with --deriv-weights)."""
+def test_deriv_weights_applied_and_ignorable(tmp_path):
+    """Non-uniform deriv_weights now have real parity: they scale the
+    chain-derivative rows exactly ([K] nnet-chain-training.cc
+    ApplyDerivWeights), and --ignore-deriv-weights forces 1.0."""
+    import jax
+    import jax.numpy as jnp
+
     from torchain_tpu.cli.train import main as train_main
     from torchain_tpu.data.cegs import iter_cegs_ark, example_to_batch
+    from torchain_tpu.graphs.den_graph import make_dense_den_graph
+    from torchain_tpu.ops import (
+        ChainLossOptions,
+        DeviceDenseDenGraph,
+        DeviceSupervision,
+        chain_loss,
+    )
 
-    paths, den_path, tree, _g = _kaldi_prep(tmp_path, n_archives=1, records_per=1)
-    # rewrite the archive with ramped deriv_weights
+    paths, den_path, tree, graph = _kaldi_prep(tmp_path, n_archives=1, records_per=1)
     _key, eg = next(iter_cegs_ark(paths[0]))
     dw = eg.outputs[0].deriv_weights
-    eg.outputs[0].deriv_weights = np.linspace(0.5, 1.0, dw.size).astype(np.float32)
+    ramp = np.linspace(0.5, 1.0, dw.size).astype(np.float32)
+    eg.outputs[0].deriv_weights = ramp
     write_cegs_ark(paths[0], {"eg-0": eg})
 
-    with pytest.raises(ValueError, match="deriv_weights"):
-        example_to_batch(eg)
-    b = example_to_batch(eg, ignore_deriv_weights=True)
-    assert b.feats.shape[0] == 3
+    b_w = example_to_batch(eg)
+    assert b_w.sup.frame_weights is not None
+    np.testing.assert_allclose(
+        b_w.sup.frame_weights.reshape(-1), ramp, atol=1e-6
+    )
+    b_i = example_to_batch(eg, ignore_deriv_weights=True)
+    assert b_i.sup.frame_weights is None
+
+    # gradient parity: dy rows scale by exactly the frame weights
+    # (chain term only: l2/oor off, no xent head)
+    opts = ChainLossOptions(
+        l2_regularize=0.0, out_of_range_regularize=0.0, xent_regularize=0.0
+    )
+    den = DeviceDenseDenGraph.from_host(make_dense_den_graph(graph, pad_to=8))
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.standard_normal((3, 6, tree.num_pdfs)), jnp.float32)
+    g_w = jax.grad(
+        lambda yy: chain_loss(
+            yy, None, den, DeviceSupervision.from_host(b_w.sup), opts
+        )[0]
+    )(y)
+    g_p = jax.grad(
+        lambda yy: chain_loss(
+            yy, None, den, DeviceSupervision.from_host(b_i.sup), opts
+        )[0]
+    )(y)
+    fw = b_w.sup.frame_weights[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(g_w), np.asarray(g_p) * fw, atol=1e-6
+    )
 
     args = [
         "--cegs", paths[0], "--den-fst", den_path,
         "--model", "tdnnf", "--hidden-dim", "32",
         "--bottleneck-dim", "8", "--num-layers", "2", "--epochs", "1",
     ]
-    with pytest.raises(ValueError, match="deriv_weights"):
-        train_main(args)
+    res = train_main(args)
+    assert res["steps"] == 1 and np.isfinite(res["objf"])
     res = train_main(args + ["--ignore-deriv-weights"])
     assert res["steps"] == 1 and np.isfinite(res["objf"])

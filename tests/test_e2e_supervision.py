@@ -163,3 +163,51 @@ def test_e2e_supervision_cached_across_epochs(monkeypatch):
 
         np.testing.assert_array_equal(x.feats, y.feats)
         np.testing.assert_array_equal(x.sup.in_src, y.sup.in_src)
+
+
+class TestResidentE2eKernels:
+    """The e2e resident Pallas kernels (ops/num_resident e2e variants)
+    must match the lax.scan path; interpret mode on CPU."""
+
+    def test_matches_scan(self, setup, monkeypatch):
+        tree, norm, rng = setup["tree"], setup["norm"], setup["rng"]
+        T = 8
+        sups = []
+        for b in range(3):
+            phones = setup["sents"][b][:3]
+            fst = make_e2e_supervision_fst(phones, tree, norm)
+            sups.append(compile_e2e_supervision(fst, T, tree.num_pdfs))
+        batch = pad_and_stack_e2e(sups)
+        dsup = DeviceE2eSupervision.from_host(batch)
+        y = jnp.asarray(
+            rng.normal(size=(3, T, tree.num_pdfs)).astype(np.float32)
+        )
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "0")
+        lp0, al0 = e2e_forward(y, dsup)
+        g0 = e2e_backward(y, dsup, lp0, al0)
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        lp1, al1 = e2e_forward(y, dsup)
+        g1 = e2e_backward(y, dsup, lp1, al1)
+        np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0), atol=1e-5)
+        a0_, a1_ = np.asarray(al0), np.asarray(al1)
+        assert (np.isfinite(a0_) == np.isfinite(a1_)).all()
+        fin = np.isfinite(a0_)
+        np.testing.assert_allclose(a1_[fin], a0_[fin], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+    def test_invalid_sequence_zeroes_gamma(self, setup, monkeypatch):
+        tree, norm, rng = setup["tree"], setup["norm"], setup["rng"]
+        T = 6
+        fst = make_e2e_supervision_fst(setup["sents"][0][:2], tree, norm)
+        sup = compile_e2e_supervision(fst, T, tree.num_pdfs)
+        batch = pad_and_stack_e2e([sup, sup])
+        dsup = DeviceE2eSupervision.from_host(batch)
+        y = jnp.asarray(
+            rng.normal(size=(2, T, tree.num_pdfs)).astype(np.float32)
+        )
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        lp, al = e2e_forward(y, dsup)
+        bad = lp.at[0].set(-jnp.inf)
+        g = e2e_backward(y, dsup, bad, al)
+        assert np.all(np.asarray(g)[0] == 0.0)
+        assert np.isfinite(np.asarray(g)).all()

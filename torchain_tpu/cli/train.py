@@ -59,9 +59,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--ignore-deriv-weights",
         action="store_true",
-        help="with --cegs: train on records whose deriv_weights are "
-        "non-uniform, treating them as 1.0 (per-frame derivative "
-        "weighting is not applied)",
+        help="with --cegs: treat non-uniform deriv_weights as 1.0 "
+        "(default: apply them as per-frame derivative row scales, "
+        "Kaldi ApplyDerivWeights semantics)",
     )
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--bottleneck-dim", type=int, default=64)

@@ -577,17 +577,18 @@ def example_to_batch(
     out = eg.outputs[0]
     sup = out.supervision
     dw = out.deriv_weights
+    fw = None  # per-frame derivative weights [B, T_out], or None = all-ones
     if (
         not ignore_deriv_weights
         and dw.size
         and not np.allclose(dw, 1.0, atol=1e-3)
     ):
-        raise ValueError(
-            "non-uniform deriv_weights are not supported by the training "
-            "pipeline; regenerate egs without --deriv-weights, or pass "
-            "ignore_deriv_weights=True (cli.train --ignore-deriv-weights) "
-            "to train with them treated as 1.0"
-        )
+        # reorder rows onto the dense (n, t) grid exactly as the features
+        # are; applied by the loss as derivative row scales
+        # ([K] nnet-chain-training.cc ApplyDerivWeights)
+        fw = _rows_to_batch(
+            out.indexes, np.asarray(dw, np.float32)[:, None]
+        )[..., 0]
     feats = _rows_to_batch(eg.io("input").indexes, eg.io("input").features)
     B = sup.num_sequences
     if feats.shape[0] != B:
@@ -632,7 +633,9 @@ def example_to_batch(
             )
             for f in sup.e2e_fsts
         ]
-        return ChainBatch(feats=feats, sup=pad_and_stack_e2e(compiled_e2e))
+        stacked_e2e = pad_and_stack_e2e(compiled_e2e)
+        stacked_e2e.frame_weights = fw
+        return ChainBatch(feats=feats, sup=stacked_e2e)
     pieces = split_merged_supervision_fst(
         sup.fst, B, sup.frames_per_sequence
     )
@@ -647,9 +650,9 @@ def example_to_batch(
             pad_vocab_to=sup_caps[2] if len(sup_caps) > 2 else None,
             pad_steady_to=sup_caps[3] if len(sup_caps) > 3 else None,
         )
-    return ChainBatch(
-        feats=feats, sup=pad_and_stack_supervisions(compiled, **pads)
-    )
+    stacked = pad_and_stack_supervisions(compiled, **pads)
+    stacked.frame_weights = fw
+    return ChainBatch(feats=feats, sup=stacked)
 
 
 def make_chain_example(

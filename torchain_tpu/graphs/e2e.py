@@ -93,6 +93,9 @@ class E2eSupervision:
     in_pdf: np.ndarray
     in_logw: np.ndarray
     final_logw: np.ndarray
+    #: optional per-frame derivative weights ([B, T] batched); cegs
+    #: interchange only (deriv_weights semantics)
+    frame_weights: "np.ndarray | None" = None
 
 
 def compile_e2e_supervision(

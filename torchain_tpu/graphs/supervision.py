@@ -268,6 +268,13 @@ class Supervision:
     #: pad_and_stack.  Frame 0 concentrates the normalization FST's initial
     #: fan-in, so the scans run frames >= 1 at this narrower width.
     steady_need: "int | None" = None
+    #: optional per-frame DERIVATIVE weights ([T] per chunk; [B, T] after
+    #: pad_and_stack): NnetChainSupervision.deriv_weights semantics ([K]
+    #: nnet-chain-training.cc ApplyDerivWeights) — they scale the rows of
+    #: the output derivative (and the xent term), NOT the objf.  None =
+    #: all-ones (the in-process pipeline never generates them; they arrive
+    #: via cegs interchange).
+    frame_weights: "np.ndarray | None" = None
 
 
 def compile_supervision(
@@ -460,6 +467,12 @@ def pad_and_stack_supervisions(
             frame_vocab[b, :, : s.frame_vocab.shape[1]] = s.frame_vocab
             pdf_local[b, :, : s.max_states, : s.max_arcs] = s.pdf_local
         steady_need = max(int(s.steady_need or 1) for s in sups)
+    frame_weights = None
+    if any(s.frame_weights is not None for s in sups):
+        frame_weights = np.ones((B, T), dtype=np.float32)
+        for b, s in enumerate(sups):
+            if s.frame_weights is not None:
+                frame_weights[b] = s.frame_weights
     return Supervision(
         num_frames=T,
         num_pdfs=P,
@@ -476,4 +489,5 @@ def pad_and_stack_supervisions(
         frame_vocab=frame_vocab,
         pdf_local=pdf_local,
         steady_need=steady_need,
+        frame_weights=frame_weights,
     )

@@ -198,6 +198,11 @@ def _chain_logprobs_bwd(leaky, residuals, cts):
         g_num[:, None, None] * gamma_num + g_den[:, None, None] * gamma_den,
         0.0,
     )
+    # deriv_weights parity ([K] nnet-chain-training.cc ApplyDerivWeights):
+    # per-frame weights scale the derivative rows, never the objf
+    fw = getattr(sup, "frame_weights", None)
+    if fw is not None:
+        dy = dy * fw[:, :, None]
     return dy.astype(y.dtype), _tree_zero(den), _tree_zero(sup)
 
 
@@ -239,7 +244,11 @@ def chain_loss(
 
     if xent_output is not None:
         xent_lp = jax.nn.log_softmax(xent_output, axis=-1)
-        xent_objf = jnp.sum(gamma_num * xent_lp * seq_w[:, None, None])
+        xent_tgt = gamma_num * seq_w[:, None, None]
+        fw = getattr(sup, "frame_weights", None)
+        if fw is not None:  # deriv_weights also scale the xent head
+            xent_tgt = xent_tgt * fw[:, :, None]
+        xent_objf = jnp.sum(xent_tgt * xent_lp)
     else:
         xent_objf = jnp.zeros(())
 

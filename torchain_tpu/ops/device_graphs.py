@@ -292,6 +292,11 @@ class DeviceSupervision:
     #: 4x less numerator work at trigram scale).  Arcs are left-packed per
     #: (b, t, s) row, so the static slice is exact.
     steady_arcs: int = dataclasses.field(default=0, metadata=dict(static=True))
+    #: optional per-frame DERIVATIVE weights [B, T] (deriv_weights
+    #: semantics, [K] nnet-chain-training.cc ApplyDerivWeights): scale the
+    #: output-derivative rows and the xent term, not the objf.  None =
+    #: all-ones; only cegs interchange sets them.
+    frame_weights: "jnp.ndarray | None" = None
 
     @staticmethod
     def from_host(s: Supervision) -> "DeviceSupervision":
@@ -365,4 +370,9 @@ class DeviceSupervision:
             max_arcs=int(s.max_arcs),
             num_pdfs=int(s.num_pdfs),
             steady_arcs=steady,
+            frame_weights=(
+                None
+                if getattr(s, "frame_weights", None) is None
+                else jnp.asarray(s.frame_weights, dtype=jnp.float32)
+            ),
         )

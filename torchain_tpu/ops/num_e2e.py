@@ -93,6 +93,9 @@ class DeviceE2eSupervision:
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
     num_pdfs: int = dataclasses.field(metadata=dict(static=True))
+    #: optional per-frame derivative weights [B, T] (deriv_weights
+    #: semantics; applied by the chain_loss VJP, not here)
+    frame_weights: "jnp.ndarray | None" = None
 
     @staticmethod
     def from_host(s: E2eSupervision) -> "DeviceE2eSupervision":
@@ -118,6 +121,11 @@ class DeviceE2eSupervision:
             max_states=int(s.max_states),
             max_arcs=int(s.max_arcs),
             num_pdfs=int(s.num_pdfs),
+            frame_weights=(
+                None
+                if getattr(s, "frame_weights", None) is None
+                else jnp.asarray(s.frame_weights, dtype=jnp.float32)
+            ),
         )
 
 
@@ -162,23 +170,34 @@ def e2e_forward(
     a0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
     if ylocal is None:
         ylocal = _arc_emissions(y, sup)  # [B, T, S, K] f32
-    mask = sup.in_src >= 0
-    warc = jnp.where(mask, sup.in_logw, 0.0)  # [B, S, K]
-    # loop-invariant selection mask, built once outside the scan body
-    hit = sup.in_src[..., None] == jnp.arange(S, dtype=sup.in_src.dtype)
+    from torchain_tpu.ops.num_scan import _interpret, _use_resident
 
-    def step(alpha, yl):
-        sel = jnp.max(
-            jnp.where(hit, alpha[:, None, None, :], NEG_INF), axis=-1
+    if _use_resident():
+        from torchain_tpu.ops import num_resident
+
+        rest = num_resident.e2e_forward_resident(
+            ylocal, sup.in_src, sup.in_logw, interpret=_interpret()
         )
-        vals = sel + warc + jnp.where(mask, yl, 0.0)
-        nxt = jax.nn.logsumexp(vals, axis=-1)
-        return nxt, nxt
+        aT = rest[-1]
+        alphas = jnp.concatenate([a0[None], rest], axis=0)
+    else:
+        mask = sup.in_src >= 0
+        warc = jnp.where(mask, sup.in_logw, 0.0)  # [B, S, K]
+        # loop-invariant selection mask, built once outside the scan body
+        hit = sup.in_src[..., None] == jnp.arange(S, dtype=sup.in_src.dtype)
 
-    aT, alphas = jax.lax.scan(
-        step, a0, jnp.swapaxes(ylocal, 0, 1), unroll=UNROLL
-    )
-    alphas = jnp.concatenate([a0[None], alphas], axis=0)
+        def step(alpha, yl):
+            sel = jnp.max(
+                jnp.where(hit, alpha[:, None, None, :], NEG_INF), axis=-1
+            )
+            vals = sel + warc + jnp.where(mask, yl, 0.0)
+            nxt = jax.nn.logsumexp(vals, axis=-1)
+            return nxt, nxt
+
+        aT, alphas = jax.lax.scan(
+            step, a0, jnp.swapaxes(ylocal, 0, 1), unroll=UNROLL
+        )
+        alphas = jnp.concatenate([a0[None], alphas], axis=0)
     log_p = jax.nn.logsumexp(aT + sup.final_logw, axis=-1)
     return log_p, alphas
 
@@ -219,14 +238,29 @@ def e2e_backward(
         )  # [B, S, K]
         return prev, post
 
-    _, posts = jax.lax.scan(
-        step,
-        sup.final_logw,
-        (jnp.swapaxes(ylocal, 0, 1), alphas[:-1]),
-        reverse=True,
-        unroll=UNROLL,
-    )
-    post = jnp.swapaxes(posts, 0, 1)  # [B, T, S, K]
+    from torchain_tpu.ops.num_scan import _interpret, _use_resident
+
+    if _use_resident():
+        from torchain_tpu.ops import num_resident
+
+        post = num_resident.e2e_backward_resident(
+            ylocal,
+            alphas[:-1],
+            sup.in_src,
+            sup.in_logw,
+            sup.final_logw,
+            log_p,
+            interpret=_interpret(),
+        )  # [B, T, S, K]
+    else:
+        _, posts = jax.lax.scan(
+            step,
+            sup.final_logw,
+            (jnp.swapaxes(ylocal, 0, 1), alphas[:-1]),
+            reverse=True,
+            unroll=UNROLL,
+        )
+        post = jnp.swapaxes(posts, 0, 1)  # [B, T, S, K]
 
     # reduce to vocabulary space and re-expand to pdf space: two matmuls,
     # no scatter

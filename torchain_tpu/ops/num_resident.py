@@ -207,3 +207,141 @@ def steady_backward(
     # un-reverse to frame order 1..T-1 and restore [T-1, B, W]
     gsm_rest = jnp.transpose(gsm_rev[rev], (0, 2, 1))
     return jnp.transpose(beta1, (1, 0)), gsm_rest
+
+
+# ---------------------------------------------------------------------------
+# e2e (flat-start) variants: cyclic graphs, tables CONSTANT over time —
+# they stream once (index_map 0) and stay resident across all grid steps.
+# Emissions arrive precomputed per arc (num_e2e._arc_emissions).
+# ---------------------------------------------------------------------------
+
+
+def _e2e_fwd_kernel(
+    S: int,
+    yl_ref,  # [1, K, S, B] f32 per-arc emission log-probs of frame t
+    src_ref,  # [K, S, B] int32 (constant over t)
+    logw_ref,  # [K, S, B] f32 (constant over t)
+    out_ref,  # [1, S, B] f32 out: alpha of frame t+1
+    carry_ref,  # scratch [S, B] f32
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        # a0: state 0 = 0.0, others -inf
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, carry_ref.shape, dimension=0
+        )
+        carry_ref[...] = jnp.where(iota == 0, 0.0, NEG_INF)
+
+    alpha = carry_ref[...]
+    src = src_ref[...]
+    logw = logw_ref[...]
+    yl = yl_ref[0]
+    sel = jnp.full_like(logw, NEG_INF)
+    for sp in range(S):
+        sel = jnp.where(src == sp, alpha[sp][None, None, :], sel)
+    vals = jnp.where(src >= 0, sel + logw + yl, NEG_INF)  # [K, S, B]
+    nxt = _masked_lse(vals, (0,))
+    out_ref[0] = nxt
+    carry_ref[...] = nxt
+
+
+def _e2e_bwd_kernel(
+    S: int,
+    yl_ref,  # [1, K, S, B] f32 (REVERSED t)
+    alpha_ref,  # [1, S, B] f32: alpha of this step's SOURCE frame (reversed)
+    src_ref,  # [K, S, B] int32 (constant)
+    logw_ref,  # [K, S, B] f32 (constant)
+    final_ref,  # [S, B] f32
+    logp_ref,  # [1, B] f32 (+inf where invalid)
+    post_ref,  # [1, K, S, B] f32 out: per-arc posteriors (reversed t)
+    carry_ref,  # scratch [S, B] f32
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = final_ref[...]
+
+    beta = carry_ref[...]
+    src = src_ref[...]
+    logw = logw_ref[...]
+    yl = yl_ref[0]
+    alpha = alpha_ref[0]
+    arc_w = jnp.where(src >= 0, logw + yl, NEG_INF) + beta[None, :, :]
+    sel_alpha = jnp.full_like(logw, NEG_INF)
+    prev_rows = []
+    for sp in range(S):
+        hit = src == sp
+        sel_alpha = jnp.where(hit, alpha[sp][None, None, :], sel_alpha)
+        prev_rows.append(
+            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1))[None]
+        )
+    post_ref[0] = jnp.exp(sel_alpha + arc_w - logp_ref[0][None, None, :])
+    carry_ref[...] = jnp.concatenate(prev_rows, axis=0)
+
+
+def e2e_forward_resident(
+    ylocal: jnp.ndarray,  # [B, T, S, K] per-arc emission log-probs
+    src: jnp.ndarray,  # [B, S, K]
+    logw: jnp.ndarray,  # [B, S, K]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Replaces the e2e forward lax.scan.  Returns alphas [T, B, S]
+    (alpha after steps 1..T; frame-0 init happens in-kernel)."""
+    B, T, S, K = ylocal.shape
+    yl = jnp.transpose(ylocal, (1, 3, 2, 0))  # [T, K, S, B]
+    kl = jnp.transpose(src.astype(jnp.int32), (2, 1, 0))  # [K, S, B]
+    wl = jnp.transpose(logw, (2, 1, 0))
+    out = pl.pallas_call(
+        functools.partial(_e2e_fwd_kernel, S),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
+            pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(yl, kl, wl)
+    return jnp.transpose(out, (0, 2, 1))  # [T, B, S]
+
+
+def e2e_backward_resident(
+    ylocal: jnp.ndarray,  # [B, T, S, K]
+    alphas: jnp.ndarray,  # [T, B, S] alphas of frames 0..T-1 (sources)
+    src: jnp.ndarray,  # [B, S, K]
+    logw: jnp.ndarray,  # [B, S, K]
+    final_logw: jnp.ndarray,  # [B, S]
+    log_p: jnp.ndarray,  # [B] (may be non-finite)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Replaces the e2e reverse lax.scan.  Returns per-arc posteriors
+    [B, T, S, K] (zero rows for invalid sequences)."""
+    B, T, S, K = ylocal.shape
+    rev = slice(None, None, -1)
+    yl = jnp.transpose(ylocal, (1, 3, 2, 0))[rev]  # [T, K, S, B] reversed
+    al = jnp.transpose(alphas, (0, 2, 1))[rev]  # [T, S, B] reversed
+    kl = jnp.transpose(src.astype(jnp.int32), (2, 1, 0))
+    wl = jnp.transpose(logw, (2, 1, 0))
+    logp_adj = jnp.where(jnp.isfinite(log_p), log_p, jnp.inf)[None, :]
+    post_rev = pl.pallas_call(
+        functools.partial(_e2e_bwd_kernel, S),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, S, B), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
+            pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
+            pl.BlockSpec((S, B), lambda t: (0, 0)),
+            pl.BlockSpec((1, B), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, S, B), lambda t: (t, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, K, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(yl, al, kl, wl, jnp.transpose(final_logw, (1, 0)), logp_adj)
+    return jnp.transpose(post_rev[rev], (3, 0, 2, 1))  # [B, T, S, K]
