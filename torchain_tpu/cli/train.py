@@ -281,7 +281,9 @@ def _train_from_cegs(args) -> dict:
         f"S={graph.num_states} A={graph.num_arcs} P={num_pdfs}"
     )
     model, cfg = _build_model(args, num_pdfs, feat_dim)
-    den = auto_den_graph(graph)
+    den = auto_den_graph(
+        graph, batch_hint=bsz, data_shards=args.data_parallel
+    )
     print(f"[cegs] den path: {type(den).__name__}")
 
     decay_steps = 0
@@ -629,7 +631,11 @@ def main(argv=None) -> dict:
         )
 
     den = auto_den_graph(
-        corpus.den_graph, phone_lm=corpus.phone_lm, tree=corpus.tree
+        corpus.den_graph,
+        phone_lm=corpus.phone_lm,
+        tree=corpus.tree,
+        batch_hint=args.batch_size,
+        data_shards=args.data_parallel,
     )
     print(f"[stage 1] den path: {type(den).__name__}")
     # Kaldi-style exponential decay reaches --lr-final exactly at the last

@@ -135,6 +135,7 @@ def auto_den_graph(
     topo=None,
     max_contexts: int | None = None,
     batch_hint: int = 64,
+    data_shards: int = 1,
 ):
     """Pick the TPU-appropriate denominator representation.
 
@@ -149,10 +150,20 @@ def auto_den_graph(
          estimated, and the context space fits the budget.
       3. dense Moore factorization (MXU matmuls) while V fits on chip.
       4. sparse CSR log-semiring scan (fully general fallback).
+
+    `data_shards > 1` (data-parallel training over a mesh) skips the
+    Pallas path: XLA has no partitioning rule for the custom call, so
+    GSPMD would all-gather the sharded batch and run the full kernel on
+    every chip — correct but scaling-destroying.  The dense Moore path
+    is einsum-based and partitions cleanly on the batch axis.
     """
     import jax as _jax
 
-    if _jax.default_backend() == "tpu":
+    if (
+        _jax.default_backend() == "tpu"
+        and data_shards <= 1
+        and len(_jax.devices()) == 1
+    ):
         from torchain_tpu.ops import den_resident
 
         try:

@@ -76,7 +76,10 @@ def _use_resident() -> bool:
         return False
     if mode == "force":
         return True
-    return jax.default_backend() == "tpu"
+    # single-chip only: GSPMD has no partitioning rule for the custom
+    # call, so a data-sharded batch would be all-gathered and the kernel
+    # replicated on every chip (see auto_den_graph's data_shards note)
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
 
 
 def _frames_per_program(T: int) -> int:
