@@ -326,11 +326,10 @@ def test_deriv_weights_applied_and_ignorable(tmp_path):
     b_i = example_to_batch(eg, ignore_deriv_weights=True)
     assert b_i.sup.frame_weights is None
 
-    # gradient parity: dy rows scale by exactly the frame weights
-    # (chain term only: l2/oor off, no xent head)
-    opts = ChainLossOptions(
-        l2_regularize=0.0, out_of_range_regularize=0.0, xent_regularize=0.0
-    )
+    # gradient parity: dy rows scale by exactly the frame weights —
+    # including the l2/oor regularizer components, which Kaldi adds into
+    # nnet_output_deriv BEFORE ApplyDerivWeights scales the rows
+    opts = ChainLossOptions(l2_regularize=1e-3)
     den = DeviceDenseDenGraph.from_host(make_dense_den_graph(graph, pad_to=8))
     rng = np.random.default_rng(5)
     y = jnp.asarray(rng.standard_normal((3, 6, tree.num_pdfs)), jnp.float32)

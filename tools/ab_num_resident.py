@@ -79,16 +79,23 @@ def main():
     feats = jnp.asarray(batch.feats)
     den = auto_den_graph(corpus.den_graph, batch_hint=B)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
-    step_fn = make_train_step(
-        ChainLossOptions(
-            l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
-        )
-    )
     print(f"backend={jax.default_backend()} den={type(den).__name__}", flush=True)
 
     results = {}
     for mode in ("0", "1"):
         os.environ["TORCHAIN_NUM_RESIDENT"] = mode
+        # rebuild the jitted step PER MODE: the env flag is read at trace
+        # time, so reusing one jit wrapper would replay the first mode's
+        # cached executable; donate=False because the parity probe and
+        # bench._measure replay the same state object
+        step_fn = make_train_step(
+            ChainLossOptions(
+                l2_regularize=5e-4,
+                leaky_hmm_coefficient=0.1,
+                xent_regularize=0.1,
+            ),
+            donate=False,
+        )
         state = create_train_state(TDNNF(cfg), feats, tx)
         # first-step objf from the identical fresh init = the parity probe
         _, m0 = step_fn(state, feats, den, sup)

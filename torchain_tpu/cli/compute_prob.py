@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=("tdnn", "tdnnf", "cnn-tdnn", "tdnn-lstm", "conformer"),
         default="tdnnf",
     )
+    p.add_argument(
+        "--ignore-deriv-weights",
+        action="store_true",
+        help="treat non-uniform deriv_weights as 1.0",
+    )
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--bottleneck-dim", type=int, default=64)
     p.add_argument("--num-layers", type=int, default=5)
@@ -49,26 +54,14 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
-    import numpy as np
-
-    from torchain_tpu.cli.graphs import _load_any_fst
-    from torchain_tpu.cli.train import _build_model
-    from torchain_tpu.data import CegsDataset
-    from torchain_tpu.graphs.den_graph import compile_den_graph
-    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.cli.train import cegs_setup
+    from torchain_tpu.ops import ChainLossOptions
     from torchain_tpu.train import Trainer, TrainerConfig
 
-    dataset = CegsDataset(
-        args.cegs, append_ivector=not args.no_ivector, seed=args.seed
-    )
-    feat_dim, label_dim, bsz, t_out = dataset.peek()
-    num_pdfs = args.num_pdfs or label_dim
-    den_fst, fmt, _arct = _load_any_fst(args.den_fst)
-    graph = compile_den_graph(den_fst, num_pdfs)
-    model, _cfg = _build_model(args, num_pdfs, feat_dim)
-    den = auto_den_graph(graph)
+    setup = cegs_setup(args, tag="compute-prob")
+    dataset = setup["dataset"]
     tcfg = TrainerConfig(
-        batch_size=bsz,
+        batch_size=setup["bsz"],
         checkpoint_dir=args.checkpoint_dir,
         loss=ChainLossOptions(
             l2_regularize=args.l2_regularize,
@@ -76,9 +69,7 @@ def main(argv=None) -> dict:
             xent_regularize=args.xent_regularize,
         ),
     )
-    first = next(dataset.batches(bsz, shuffle=False, epoch=0))
-    example = np.zeros((2,) + first.feats.shape[1:], np.float32)
-    trainer = Trainer(model, den, tcfg, example)
+    trainer = Trainer(setup["model"], setup["den"], tcfg, setup["example"])
     restored = False
     if args.checkpoint_dir:
         restored = trainer.restore_checkpoint()

@@ -244,6 +244,57 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def cegs_setup(args, tag: str = "cegs"):
+    """Shared --cegs setup (also used by cli.compute_prob): dataset,
+    compiled den graph, model, den device form, and the trainer example
+    input — one source of truth for the train/score pairing."""
+    import numpy as np
+
+    from torchain_tpu.cli.graphs import _load_any_fst
+    from torchain_tpu.data import CegsDataset
+    from torchain_tpu.graphs.den_graph import compile_den_graph
+    from torchain_tpu.ops import auto_den_graph
+
+    if not args.den_fst:
+        raise SystemExit("--cegs needs --den-fst")
+    dataset = CegsDataset(
+        args.cegs,
+        append_ivector=not args.no_ivector,
+        seed=args.seed,
+        ignore_deriv_weights=getattr(args, "ignore_deriv_weights", False),
+    )
+    feat_dim, label_dim, bsz, t_out = dataset.peek()
+    num_pdfs = args.num_pdfs or label_dim
+    den_fst, fmt, _arct = _load_any_fst(args.den_fst)
+    graph = compile_den_graph(den_fst, num_pdfs)
+    print(
+        f"[{tag}] {len(dataset.paths)} archive(s); merged batch={bsz} "
+        f"t_out={t_out} feat_dim={feat_dim}; den.fst ({fmt}) "
+        f"S={graph.num_states} A={graph.num_arcs} P={num_pdfs}"
+    )
+    model, _cfg = _build_model(args, num_pdfs, feat_dim)
+    den = auto_den_graph(
+        graph,
+        batch_hint=bsz,
+        data_shards=getattr(args, "data_parallel", 1),
+    )
+    print(f"[{tag}] den path: {type(den).__name__}")
+    # T_in from the archives themselves (context is baked into the egs)
+    first = next(dataset.batches(bsz, shuffle=False, epoch=0))
+    example = np.zeros((2,) + first.feats.shape[1:], np.float32)
+    return dict(
+        dataset=dataset,
+        graph=graph,
+        model=model,
+        den=den,
+        example=example,
+        bsz=bsz,
+        t_out=t_out,
+        feat_dim=feat_dim,
+        num_pdfs=num_pdfs,
+    )
+
+
 def _train_from_cegs(args) -> dict:
     """Train from a COMPLETED Kaldi chain prep: merged cegs archives +
     den.fst — the reference's own example workflow ([R] example/train.py
@@ -253,38 +304,14 @@ def _train_from_cegs(args) -> dict:
     complete training inputs; no corpus/tree/alignment stage runs."""
     import json as _json
 
-    import numpy as np
-
-    from torchain_tpu.cli.graphs import _load_any_fst
-    from torchain_tpu.data import CegsDataset
-    from torchain_tpu.graphs.den_graph import compile_den_graph
-    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.ops import ChainLossOptions
     from torchain_tpu.parallel import MeshConfig
     from torchain_tpu.train import Trainer, TrainerConfig
 
-    if not args.den_fst:
-        raise SystemExit("--cegs needs --den-fst")
     t0 = time.time()
-    dataset = CegsDataset(
-        args.cegs,
-        append_ivector=not args.no_ivector,
-        seed=args.seed,
-        ignore_deriv_weights=args.ignore_deriv_weights,
-    )
-    feat_dim, label_dim, bsz, t_out = dataset.peek()
-    num_pdfs = args.num_pdfs or label_dim
-    den_fst, fmt, _arct = _load_any_fst(args.den_fst)
-    graph = compile_den_graph(den_fst, num_pdfs)
-    print(
-        f"[cegs] {len(dataset.paths)} archive(s); merged batch={bsz} "
-        f"t_out={t_out} feat_dim={feat_dim}; den.fst ({fmt}) "
-        f"S={graph.num_states} A={graph.num_arcs} P={num_pdfs}"
-    )
-    model, cfg = _build_model(args, num_pdfs, feat_dim)
-    den = auto_den_graph(
-        graph, batch_hint=bsz, data_shards=args.data_parallel
-    )
-    print(f"[cegs] den path: {type(den).__name__}")
+    setup = cegs_setup(args)
+    dataset, model, den = setup["dataset"], setup["model"], setup["den"]
+    bsz = setup["bsz"]
 
     decay_steps = 0
     if args.lr_final > 0:
@@ -325,12 +352,7 @@ def _train_from_cegs(args) -> dict:
         ),
         log_every=20,
     )
-    # T_in from the archives themselves (context is baked into the egs)
-    first = next(
-        dataset.batches(bsz, shuffle=False, epoch=0)
-    )
-    example = np.zeros((2,) + first.feats.shape[1:], np.float32)
-    trainer = Trainer(model, den, tcfg, example)
+    trainer = Trainer(model, den, tcfg, setup["example"])
     if args.checkpoint_dir and trainer.restore_checkpoint():
         print(f"[cegs] resumed from step {int(trainer.state.step)}")
     results = trainer.fit(dataset, log_fn=print)

@@ -655,39 +655,24 @@ def example_to_batch(
     return ChainBatch(feats=feats, sup=stacked)
 
 
-def make_chain_example(
-    feats: np.ndarray,  # [B, T_in, F] input-rate features (context included)
-    sup_fsts: list[Fst],  # per-sequence supervision FSTs (pdf_id+1 labels)
-    label_dim: int,
-    frame_subsampling_factor: int = 3,
-    weight: float = 1.0,
-    left_context: int = 0,
-    ivectors: np.ndarray | None = None,  # [B, D]
+def _assemble_example(
+    feats: np.ndarray,  # [B, T_in, F]
+    sup: KaldiSupervision,
+    frame_subsampling_factor: int,
+    left_context: int,
+    ivectors: "np.ndarray | None",
 ) -> NnetChainExample:
-    """Build a (merged) NnetChainExample from in-process pipeline pieces —
-    the export direction of the interchange: write egs a Kaldi system can
-    train on.  Index layout is example-major with input t starting at
-    -left_context and output t on the frame_subsampling_factor grid, as
-    nnet3-chain-get-egs + merge-egs produce."""
+    """Shared NnetChainExample assembly: example-major index grids with
+    input t starting at -left_context and output t on the
+    frame_subsampling_factor grid, as nnet3-chain-get-egs + merge-egs
+    produce."""
     B, T_in, _F = feats.shape
     fsf = frame_subsampling_factor
-    depths = [_state_depths(f) for f in sup_fsts]
-    T_out = max(depths[0]) if depths else 0
-    for d in depths:
-        if max(d) != T_out:
-            raise ValueError("all sequences must share frames_per_sequence")
+    T_out = sup.frames_per_sequence
     in_indexes = [
         (n, t - left_context, 0) for n in range(B) for t in range(T_in)
     ]
     out_indexes = [(n, t * fsf, 0) for n in range(B) for t in range(T_out)]
-    merged = merge_supervision_fsts(sup_fsts, T_out) if len(sup_fsts) > 1 else sup_fsts[0]
-    sup = KaldiSupervision(
-        weight=weight,
-        num_sequences=B,
-        frames_per_sequence=T_out,
-        label_dim=label_dim,
-        fst=merged,
-    )
     inputs = [
         NnetIo(
             name="input",
@@ -712,6 +697,37 @@ def make_chain_example(
         )
     ]
     return NnetChainExample(inputs=inputs, outputs=outputs)
+
+
+def make_chain_example(
+    feats: np.ndarray,  # [B, T_in, F] input-rate features (context included)
+    sup_fsts: list[Fst],  # per-sequence supervision FSTs (pdf_id+1 labels)
+    label_dim: int,
+    frame_subsampling_factor: int = 3,
+    weight: float = 1.0,
+    left_context: int = 0,
+    ivectors: np.ndarray | None = None,  # [B, D]
+) -> NnetChainExample:
+    """Build a (merged) NnetChainExample from in-process pipeline pieces —
+    the export direction of the interchange: write egs a Kaldi system can
+    train on."""
+    B = feats.shape[0]
+    depths = [_state_depths(f) for f in sup_fsts]
+    T_out = max(depths[0]) if depths else 0
+    for d in depths:
+        if max(d) != T_out:
+            raise ValueError("all sequences must share frames_per_sequence")
+    merged = merge_supervision_fsts(sup_fsts, T_out) if len(sup_fsts) > 1 else sup_fsts[0]
+    sup = KaldiSupervision(
+        weight=weight,
+        num_sequences=B,
+        frames_per_sequence=T_out,
+        label_dim=label_dim,
+        fst=merged,
+    )
+    return _assemble_example(
+        feats, sup, frame_subsampling_factor, left_context, ivectors
+    )
 
 
 def make_e2e_chain_example(
@@ -729,47 +745,20 @@ def make_e2e_chain_example(
     nnet3-chain-get-egs writes for e2e/flat-start preps ([K]
     nnet-chain-example.h e2e branch).  frames_per_sequence must be passed
     explicitly — cyclic FSTs carry no time structure."""
-    B, T_in, _F = feats.shape
+    B = feats.shape[0]
     if len(e2e_fsts) != B:
         raise ValueError(f"{len(e2e_fsts)} fsts for batch {B}")
-    fsf = frame_subsampling_factor
-    T_out = frames_per_sequence
-    in_indexes = [
-        (n, t - left_context, 0) for n in range(B) for t in range(T_in)
-    ]
-    out_indexes = [(n, t * fsf, 0) for n in range(B) for t in range(T_out)]
     sup = KaldiSupervision(
         weight=weight,
         num_sequences=B,
-        frames_per_sequence=T_out,
+        frames_per_sequence=frames_per_sequence,
         label_dim=label_dim,
         fst=None,
         e2e_fsts=list(e2e_fsts),
     )
-    inputs = [
-        NnetIo(
-            name="input",
-            indexes=in_indexes,
-            features=feats.reshape(B * T_in, -1).astype(np.float32),
-        )
-    ]
-    if ivectors is not None:
-        inputs.append(
-            NnetIo(
-                name="ivector",
-                indexes=[(n, 0, 0) for n in range(B)],
-                features=np.asarray(ivectors, dtype=np.float32),
-            )
-        )
-    outputs = [
-        NnetChainSupervision(
-            name="output",
-            indexes=out_indexes,
-            supervision=sup,
-            deriv_weights=np.ones(B * T_out, dtype=np.float32),
-        )
-    ]
-    return NnetChainExample(inputs=inputs, outputs=outputs)
+    return _assemble_example(
+        feats, sup, frame_subsampling_factor, left_context, ivectors
+    )
 
 
 def batches_from_cegs(

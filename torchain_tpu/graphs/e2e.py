@@ -163,6 +163,12 @@ def pad_and_stack_e2e(sups: list[E2eSupervision]) -> E2eSupervision:
         in_pdf[b, : s.max_states, : s.max_arcs] = s.in_pdf
         in_logw[b, : s.max_states, : s.max_arcs] = s.in_logw
         final_logw[b, : s.max_states] = s.final_logw
+    frame_weights = None
+    if any(s.frame_weights is not None for s in sups):
+        frame_weights = np.ones((B, T), dtype=np.float32)
+        for b, s in enumerate(sups):
+            if s.frame_weights is not None:
+                frame_weights[b] = s.frame_weights
     return E2eSupervision(
         num_frames=T,
         num_pdfs=P,
@@ -173,4 +179,5 @@ def pad_and_stack_e2e(sups: list[E2eSupervision]) -> E2eSupervision:
         in_pdf=in_pdf,
         in_logw=in_logw,
         final_logw=final_logw,
+        frame_weights=frame_weights,
     )

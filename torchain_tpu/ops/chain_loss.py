@@ -238,17 +238,28 @@ def chain_loss(
     objf = jnp.sum(seq_w * per_seq)
     weight = jnp.sum(seq_w) * T
 
-    l2_term = -0.5 * opts.l2_regularize * jnp.sum(jnp.square(y))
+    # deriv_weights semantics ([K] nnet-chain-training.cc): Kaldi adds the
+    # l2/oor derivative into nnet_output_deriv and THEN ApplyDerivWeights
+    # scales the rows, while the reported objf values stay unweighted.
+    # _fw_sum reproduces that exactly: value = plain sum, gradient rows
+    # scaled by fw (the chain term gets its scaling in the custom VJP).
+    fw = getattr(sup, "frame_weights", None)
+
+    def _fw_sum(term):  # term [B, T, P] per-element contributions
+        if fw is None:
+            return jnp.sum(term)
+        sg = jax.lax.stop_gradient(term)
+        w3 = fw[:, :, None]
+        return jnp.sum(sg * (1.0 - w3) + term * w3)
+
+    l2_term = -0.5 * opts.l2_regularize * _fw_sum(jnp.square(y))
     oor = jnp.maximum(jnp.abs(y) - opts.out_of_range_limit, 0.0)
-    oor_term = -opts.out_of_range_regularize * jnp.sum(jnp.square(oor))
+    oor_term = -opts.out_of_range_regularize * _fw_sum(jnp.square(oor))
 
     if xent_output is not None:
         xent_lp = jax.nn.log_softmax(xent_output, axis=-1)
         xent_tgt = gamma_num * seq_w[:, None, None]
-        fw = getattr(sup, "frame_weights", None)
-        if fw is not None:  # deriv_weights also scale the xent head
-            xent_tgt = xent_tgt * fw[:, :, None]
-        xent_objf = jnp.sum(xent_tgt * xent_lp)
+        xent_objf = _fw_sum(xent_tgt * xent_lp)
     else:
         xent_objf = jnp.zeros(())
 
