@@ -106,3 +106,27 @@ def test_dropped_chunks_survive_reload(tmp_path):
     assert ds2._sup_cache[0] is None
     assert len(ds2._sup_cache) == len(ds.chunks)
     assert n == len(ds.chunks) - 1
+
+
+def test_merge_e2e_records(tmp_path):
+    """egs merge regroups flat-start records by appending their cyclic
+    per-sequence FSTs (nnet3-chain-merge-egs e2e behavior)."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parent))
+    from tests.test_cegs_train import _kaldi_e2e_prep
+    from torchain_tpu.cli.egs import main as egs_main
+    from torchain_tpu.data.cegs import iter_cegs_ark
+
+    paths, _den, tree, _g = _kaldi_e2e_prep(
+        tmp_path, n_archives=1, records_per=4, B=2
+    )
+    outp = str(tmp_path / "merged.ark")
+    rc = egs_main(["merge", paths[0], outp, "--batch-size", "4"])
+    assert rc == 0
+    egs = list(iter_cegs_ark(outp))
+    assert len(egs) == 2  # 4 records x B=2 -> 2 records of B=4
+    for _k, eg in egs:
+        sup = eg.outputs[0].supervision
+        assert sup.is_e2e and sup.num_sequences == 4
+        assert len(sup.e2e_fsts) == 4

@@ -118,6 +118,7 @@ def _cmd_merge(args) -> int:
         _rows_to_batch,
         iter_cegs_ark,
         make_chain_example,
+        make_e2e_chain_example,
         split_merged_supervision_fst,
         write_cegs_ark,
     )
@@ -126,10 +127,16 @@ def _cmd_merge(args) -> int:
     label_dim = None
     left_context = 0
     fsf = None
+    e2e = None  # archive kind; standard and e2e records cannot mix
     for _key, eg in iter_cegs_ark(args.input):
         sup = eg.outputs[0].supervision
-        if sup.is_e2e:
-            print("egs merge: e2e records are not mergeable", file=sys.stderr)
+        if e2e is None:
+            e2e = sup.is_e2e
+        elif e2e != sup.is_e2e:
+            print(
+                "egs merge: archive mixes standard and e2e records",
+                file=sys.stderr,
+            )
             return 2
         label_dim = sup.label_dim
         feats = _rows_to_batch(eg.io("input").indexes, eg.io("input").features)
@@ -141,9 +148,14 @@ def _cmd_merge(args) -> int:
         if eg.has_io("ivector"):
             iv = eg.io("ivector")
             ivecs = _rows_to_batch(iv.indexes, iv.features)[:, 0, :]
-        fsts = split_merged_supervision_fst(
-            sup.fst, sup.num_sequences, sup.frames_per_sequence
-        )
+        if sup.is_e2e:
+            # flat-start records: the per-sequence pieces ARE the stored
+            # cyclic FSTs ([K] nnet3-chain-merge-egs appends e2e_fsts)
+            fsts = sup.e2e_fsts
+        else:
+            fsts = split_merged_supervision_fst(
+                sup.fst, sup.num_sequences, sup.frames_per_sequence
+            )
         for b in range(sup.num_sequences):
             singles.setdefault(sup.frames_per_sequence, []).append(
                 (feats[b], fsts[b], None if ivecs is None else ivecs[b])
@@ -156,14 +168,25 @@ def _cmd_merge(args) -> int:
             ivecs = None
             if group[0][2] is not None:
                 ivecs = np.stack([g[2] for g in group])
-            eg = make_chain_example(
-                np.stack([g[0] for g in group]),
-                [g[1] for g in group],
-                label_dim,
-                frame_subsampling_factor=fsf,
-                left_context=left_context,
-                ivectors=ivecs,
-            )
+            if e2e:
+                eg = make_e2e_chain_example(
+                    np.stack([g[0] for g in group]),
+                    [g[1] for g in group],
+                    label_dim,
+                    frames_per_sequence=t_out,
+                    frame_subsampling_factor=fsf,
+                    left_context=left_context,
+                    ivectors=ivecs,
+                )
+            else:
+                eg = make_chain_example(
+                    np.stack([g[0] for g in group]),
+                    [g[1] for g in group],
+                    label_dim,
+                    frame_subsampling_factor=fsf,
+                    left_context=left_context,
+                    ivectors=ivecs,
+                )
             out.append((f"merged-{n:06d}", eg))
             n += 1
     write_cegs_ark(args.output, out, compress=args.compress, scp_path=args.scp)
