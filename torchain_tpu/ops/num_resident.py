@@ -31,15 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.inf
 
 
-def _masked_lse(vals: jnp.ndarray, axes: tuple[int, ...]) -> jnp.ndarray:
-    """logsumexp over `axes` tolerating all--inf slices (-> -inf, no nan)."""
-    m = jnp.max(vals, axis=axes)
+def _masked_lse(
+    vals: jnp.ndarray, axes: tuple[int, ...], keepdims: bool = False
+) -> jnp.ndarray:
+    """logsumexp over `axes` tolerating all--inf slices (-> -inf, no nan).
+    keepdims=True keeps results >= 2-D inside kernels (Mosaic is happiest
+    when no intermediate collapses to rank 1)."""
+    m = jnp.max(vals, axis=axes, keepdims=True)
     msafe = jnp.where(m == NEG_INF, 0.0, m)
-    expand = msafe
-    for a in sorted(axes):
-        expand = jnp.expand_dims(expand, a)
-    s = jnp.sum(jnp.exp(vals - expand), axis=axes)
-    return jnp.where(m == NEG_INF, NEG_INF, msafe + jnp.log(s))
+    s = jnp.sum(jnp.exp(vals - msafe), axis=axes, keepdims=True)
+    out = jnp.where(m == NEG_INF, NEG_INF, msafe + jnp.log(s))
+    if not keepdims:
+        out = out.reshape([d for i, d in enumerate(vals.shape) if i not in axes])
+    return out
 
 
 def _fwd_kernel(
@@ -66,10 +70,10 @@ def _fwd_kernel(
     ysm = ysm_ref[0]  # [W, B]
     emit = jnp.zeros_like(logw)
     for w in range(W):
-        emit += jnp.where(lpdf == w, ysm[w][None, None, :], 0.0)
+        emit += jnp.where(lpdf == w, ysm[w : w + 1][None], 0.0)
     sel = jnp.full_like(logw, NEG_INF)
     for sp in range(S):
-        sel = jnp.where(src == sp, alpha[sp][None, None, :], sel)
+        sel = jnp.where(src == sp, alpha[sp : sp + 1][None], sel)
     vals = jnp.where(src >= 0, sel + logw + emit, NEG_INF)  # [Kr, S, B]
     nxt = _masked_lse(vals, (0,))  # [S, B]
     out_ref[0] = nxt
@@ -104,21 +108,24 @@ def _bwd_kernel(
     alpha = alpha_ref[0]  # [S, B]
     emit = jnp.zeros_like(logw)
     for w in range(W):
-        emit += jnp.where(lpdf == w, ysm[w][None, None, :], 0.0)
+        emit += jnp.where(lpdf == w, ysm[w : w + 1][None], 0.0)
     arc_w = jnp.where(src >= 0, logw + emit, NEG_INF) + beta[None, :, :]
+    logp2 = logp_ref[...][None]  # [1, 1, B]
     sel_alpha = jnp.full_like(logw, NEG_INF)
     prev_rows = []
     for sp in range(S):
         hit = src == sp
-        sel_alpha = jnp.where(hit, alpha[sp][None, None, :], sel_alpha)
+        sel_alpha = jnp.where(hit, alpha[sp : sp + 1][None], sel_alpha)
         prev_rows.append(
-            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1))[None]
+            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1), keepdims=True)[0]
         )
     # per-arc occupancies; logp is +inf for invalid sequences, so the
     # exp() underflows to exactly 0 there (numeric-failure containment)
-    post = jnp.exp(sel_alpha + arc_w - logp_ref[0][None, None, :])
+    post = jnp.exp(sel_alpha + arc_w - logp2)
     for w in range(W):
-        gsm_ref[0, w] = jnp.sum(jnp.where(lpdf == w, post, 0.0), axis=(0, 1))
+        gsm_ref[0, w : w + 1] = jnp.sum(
+            jnp.where(lpdf == w, post, 0.0), axis=(0, 1), keepdims=False
+        )[None]
     prev = jnp.concatenate(prev_rows, axis=0)  # [S, B]
     carry_ref[...] = prev
     beta1_ref[...] = prev
@@ -240,7 +247,7 @@ def _e2e_fwd_kernel(
     yl = yl_ref[0]
     sel = jnp.full_like(logw, NEG_INF)
     for sp in range(S):
-        sel = jnp.where(src == sp, alpha[sp][None, None, :], sel)
+        sel = jnp.where(src == sp, alpha[sp : sp + 1][None], sel)
     vals = jnp.where(src >= 0, sel + logw + yl, NEG_INF)  # [K, S, B]
     nxt = _masked_lse(vals, (0,))
     out_ref[0] = nxt
@@ -270,15 +277,16 @@ def _e2e_bwd_kernel(
     yl = yl_ref[0]
     alpha = alpha_ref[0]
     arc_w = jnp.where(src >= 0, logw + yl, NEG_INF) + beta[None, :, :]
+    logp2 = logp_ref[...][None]  # [1, 1, B]
     sel_alpha = jnp.full_like(logw, NEG_INF)
     prev_rows = []
     for sp in range(S):
         hit = src == sp
-        sel_alpha = jnp.where(hit, alpha[sp][None, None, :], sel_alpha)
+        sel_alpha = jnp.where(hit, alpha[sp : sp + 1][None], sel_alpha)
         prev_rows.append(
-            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1))[None]
+            _masked_lse(jnp.where(hit, arc_w, NEG_INF), (0, 1), keepdims=True)[0]
         )
-    post_ref[0] = jnp.exp(sel_alpha + arc_w - logp_ref[0][None, None, :])
+    post_ref[0] = jnp.exp(sel_alpha + arc_w - logp2)
     carry_ref[...] = jnp.concatenate(prev_rows, axis=0)
 
 
