@@ -47,7 +47,7 @@ def main():
     from torchain_tpu.train import create_train_state, make_train_step
 
     B, T_OUT, FEAT = args.b, args.t, 40
-    corpus = synthetic_dataset(
+    corpus_kw = dict(
         num_utts=2 * B,
         num_phones=40,
         feat_dim=FEAT,
@@ -56,6 +56,9 @@ def main():
         lm_order=3,
         lm_extra_states=1000,
     )
+    if args.production:  # bench.production_config graph scale
+        corpus_kw.update(context_width=2, lm_order=4, lm_extra_states=2000)
+    corpus = synthetic_dataset(**corpus_kw)
     cfg = TdnnfConfig(
         num_pdfs=corpus.tree.num_pdfs,
         hidden_dim=768,
