@@ -180,28 +180,31 @@ def steady_backward(
     Returns (beta1 [B, S], gsm_rest [T-1, B, W])."""
     B, Tm1, S, Kr = src.shape
     W = ysm.shape[-1]
-    # reversed-t streams: block i is frame T-1-i
-    rev = slice(None, None, -1)
-    kl = jnp.transpose(src.astype(jnp.int32)[:, rev], (1, 3, 2, 0))
-    pl_ = jnp.transpose(lpdf.astype(jnp.int32)[:, rev], (1, 3, 2, 0))
-    wl = jnp.transpose(logw[:, rev], (1, 3, 2, 0))
-    yl = jnp.transpose(ysm[:, rev], (1, 2, 0))
-    al = jnp.transpose(alphas[rev], (0, 2, 1))  # [T-1, S, B]
+    # NO reversed copies: grid step i READS frame Tm1-1-i via the index
+    # map (and writes gsm to the same frame), so the kernel-layout
+    # transposes below are byte-identical to the forward's and CSE away
+    kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))
+    pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
+    wl = jnp.transpose(logw, (1, 3, 2, 0))
+    yl = jnp.transpose(ysm, (1, 2, 0))
+    al = jnp.transpose(alphas, (0, 2, 1))  # [T-1, S, B]
     logp_adj = jnp.where(jnp.isfinite(log_p), log_p, jnp.inf)[None, :]
-    gsm_rev, beta1 = pl.pallas_call(
+    r4 = lambda t: (Tm1 - 1 - t, 0, 0, 0)  # noqa: E731
+    r3 = lambda t: (Tm1 - 1 - t, 0, 0)  # noqa: E731
+    gsm_t, beta1 = pl.pallas_call(
         functools.partial(_bwd_kernel, S, W),
         grid=(Tm1,),
         in_specs=[
-            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, Kr, S, B), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, W, B), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Kr, S, B), r4),
+            pl.BlockSpec((1, Kr, S, B), r4),
+            pl.BlockSpec((1, Kr, S, B), r4),
+            pl.BlockSpec((1, W, B), r3),
+            pl.BlockSpec((1, S, B), r3),
             pl.BlockSpec((S, B), lambda t: (0, 0)),
             pl.BlockSpec((1, B), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, W, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, W, B), r3),
             pl.BlockSpec((S, B), lambda t: (0, 0)),
         ],
         out_shape=[
@@ -211,9 +214,7 @@ def steady_backward(
         scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
     )(kl, pl_, wl, yl, al, jnp.transpose(final_logw, (1, 0)), logp_adj)
-    # un-reverse to frame order 1..T-1 and restore [T-1, B, W]
-    gsm_rest = jnp.transpose(gsm_rev[rev], (0, 2, 1))
-    return jnp.transpose(beta1, (1, 0)), gsm_rest
+    return jnp.transpose(beta1, (1, 0)), jnp.transpose(gsm_t, (0, 2, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -330,26 +331,29 @@ def e2e_backward_resident(
     """Replaces the e2e reverse lax.scan.  Returns per-arc posteriors
     [B, T, S, K] (zero rows for invalid sequences)."""
     B, T, S, K = ylocal.shape
-    rev = slice(None, None, -1)
-    yl = jnp.transpose(ylocal, (1, 3, 2, 0))[rev]  # [T, K, S, B] reversed
-    al = jnp.transpose(alphas, (0, 2, 1))[rev]  # [T, S, B] reversed
+    # reversed iteration via the index map — no reversed copies, and the
+    # yl transpose matches the forward's for CSE
+    yl = jnp.transpose(ylocal, (1, 3, 2, 0))  # [T, K, S, B]
+    al = jnp.transpose(alphas, (0, 2, 1))  # [T, S, B]
     kl = jnp.transpose(src.astype(jnp.int32), (2, 1, 0))
     wl = jnp.transpose(logw, (2, 1, 0))
     logp_adj = jnp.where(jnp.isfinite(log_p), log_p, jnp.inf)[None, :]
-    post_rev = pl.pallas_call(
+    r4 = lambda t: (T - 1 - t, 0, 0, 0)  # noqa: E731
+    r3 = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+    post_t = pl.pallas_call(
         functools.partial(_e2e_bwd_kernel, S),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, K, S, B), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, S, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, K, S, B), r4),
+            pl.BlockSpec((1, S, B), r3),
             pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
             pl.BlockSpec((K, S, B), lambda t: (0, 0, 0)),
             pl.BlockSpec((S, B), lambda t: (0, 0)),
             pl.BlockSpec((1, B), lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, K, S, B), lambda t: (t, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, K, S, B), r4),
         out_shape=jax.ShapeDtypeStruct((T, K, S, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
     )(yl, al, kl, wl, jnp.transpose(final_logw, (1, 0)), logp_adj)
-    return jnp.transpose(post_rev[rev], (3, 0, 2, 1))  # [B, T, S, K]
+    return jnp.transpose(post_t, (3, 0, 2, 1))  # [B, T, S, K]
