@@ -66,12 +66,12 @@ def _interpret() -> bool:
 def _use_resident() -> bool:
     """Steady-frame recursions as single Pallas kernels (ops/num_resident):
     kills the per-frame XLA while-loop dispatch (~10 us/frame at the
-    trigram headline).  TPU only by default; TORCHAIN_NUM_RESIDENT=force
-    enables interpret mode for equivalence tests; =0 disables.
-    Default OFF until the Mosaic lowering is validated on hardware (the
-    relay was down when this landed) — flip to "1" once tools/ab_num_resident
-    confirms compile + parity on the chip."""
-    mode = _os.environ.get("TORCHAIN_NUM_RESIDENT", "0")
+    trigram headline).  Single-chip TPU by default;
+    TORCHAIN_NUM_RESIDENT=force enables interpret mode for equivalence
+    tests; =0 disables.  Hardware-validated by tools/ab_num_resident:
+    5.602 -> 5.342 ms/step at the trigram B=128 headline with exact
+    first-step objf parity (BENCH_NOTES round 4)."""
+    mode = _os.environ.get("TORCHAIN_NUM_RESIDENT", "1")
     if mode == "0":
         return False
     if mode == "force":
