@@ -26,12 +26,24 @@ import shutil
 import time
 
 
-def _tpu_reachable(timeout_s: int = 150) -> bool:
+def _tpu_reachable(timeout_s: int = 150, attempts: int = 4) -> bool:
     """Killable-subprocess backend probe (see torchain_tpu.utils.backend):
-    a dead relay makes jax.devices() hang uninterruptibly in-process."""
+    a dead relay makes jax.devices() hang uninterruptibly in-process.
+    The relay has been observed to FLAP on minute scales (round 4), so a
+    single failed probe retries with backoff before the run is condemned
+    to the CPU fallback."""
     from torchain_tpu.utils.backend import backend_reachable
 
-    return backend_reachable(timeout_s)
+    for i in range(attempts):
+        if backend_reachable(timeout_s):
+            return True
+        if i + 1 < attempts:
+            print(
+                f"[bench] TPU probe {i + 1}/{attempts} failed; retrying in 60 s",
+                flush=True,
+            )
+            time.sleep(60)
+    return False
 
 
 def _enable_compile_cache():
