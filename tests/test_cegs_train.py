@@ -101,6 +101,20 @@ class TestCegsDataset:
         want = [float(b.feats.sum()) for b in ds.batches(0, shuffle=False)]
         assert sorted(got) == sorted(want)
 
+    def test_process_sharding_equal_counts_nondivisible(self, tmp_path):
+        """4 records over 3 processes: every process must yield exactly
+        4 // 3 = 1 batch (NOT 2/1/1) — unequal counts hang the collective
+        train step at epoch end in real multi-host runs."""
+        paths, *_ = _kaldi_prep(tmp_path)
+        ds = CegsDataset(paths)
+        assert ds.count_records() == 4
+        counts = [
+            len(list(ds.batches(
+                0, shuffle=False, process_index=pi, process_count=3)))
+            for pi in range(3)
+        ]
+        assert counts == [1, 1, 1]
+
     def test_sup_caps_fix_shapes(self, tmp_path):
         paths, *_ = _kaldi_prep(tmp_path)
         ds = CegsDataset(paths)

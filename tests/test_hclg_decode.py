@@ -131,8 +131,8 @@ class TestRealHclgLadder:
         )
 
         tm = chain_transition_model(3)
-        fwd = lambda p: 2 * (p - 1) + 1
-        slf = lambda p: 2 * (p - 1) + 2
+        slf = lambda p: 2 * (p - 1) + 1  # gen_topo lists the self-loop first
+        fwd = lambda p: 2 * (p - 1) + 2
         # tid-labeled HCLG for "word = one phone", grammar: w1 w2 | w1 w3,
         # with reordered self-loops (fwd arc then self-loop on the dst)
         f = Fst()
@@ -318,8 +318,8 @@ def test_cli_decode_with_real_hclg(tmp_path):
     from torchain_tpu.graphs.transition_model import write_transition_model
 
     tm = chain_transition_model(3)
-    fwd = lambda p: 2 * (p - 1) + 1
-    slf = lambda p: 2 * (p - 1) + 2
+    slf = lambda p: 2 * (p - 1) + 1  # gen_topo lists the self-loop first
+    fwd = lambda p: 2 * (p - 1) + 2
     f = Fst()
     f.add_states(5)
     olab = []

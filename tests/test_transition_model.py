@@ -50,8 +50,8 @@ class TestDerivedMaps:
         assert tm.num_transition_ids == 8
         assert tm.num_pdfs == 8
         for p in range(1, 5):
-            fwd_tid = 2 * (p - 1) + 1  # transition 0 -> 1 listed first
-            self_tid = fwd_tid + 1
+            self_tid = 2 * (p - 1) + 1  # gen_topo lists the self-loop first
+            fwd_tid = self_tid + 1
             assert tm.transition_id_to_phone(fwd_tid) == p
             assert tm.transition_id_to_phone(self_tid) == p
             assert not tm.is_self_loop(fwd_tid)
@@ -125,13 +125,13 @@ class TestAliToPhones:
     def test_reordered_chain_alignment(self):
         tm = chain_transition_model(3)
         # reorder=true (modern default): fwd tid first, then self-loops
-        fwd, slf = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
+        slf, fwd = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
         ali = [fwd(1), slf(1), slf(1), fwd(2), fwd(1), slf(1)]
         assert tm.ali_to_phones(ali) == [(1, 3), (2, 1), (1, 2)]
 
     def test_nonreordered_chain_alignment(self):
         tm = chain_transition_model(3)
-        fwd, slf = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
+        slf, fwd = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
         ali = [slf(1), slf(1), fwd(1), fwd(2), slf(2), fwd(2)]
         assert tm.ali_to_phones(ali, reorder=False) == [(1, 3), (2, 1), (2, 2)]
 
@@ -139,13 +139,14 @@ class TestAliToPhones:
         """Back-to-back instances of the SAME phone must split (the case
         a bare phone-change test misses)."""
         tm = chain_transition_model(2)
-        fwd, slf = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
+        slf, fwd = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
         ali = [fwd(1), slf(1), fwd(1), fwd(1), slf(1), slf(1)]
         assert tm.ali_to_phones(ali) == [(1, 2), (1, 1), (1, 3)]
 
     def test_ali_to_pdfs(self):
         tm = chain_transition_model(2)
-        assert tm.ali_to_pdfs([1, 2, 3, 4]) == [0, 1, 2, 3]
+        # tid 2p-1 is the self-loop (pdf 2(p-1)+1), tid 2p the forward
+        assert tm.ali_to_pdfs([1, 2, 3, 4]) == [1, 0, 3, 2]
 
     def test_out_of_range_raises(self):
         tm = chain_transition_model(2)
@@ -167,10 +168,84 @@ class TestAliArk:
         tm = chain_transition_model(4)
         mdl = str(tmp_path / "final.mdl")
         write_transition_model(mdl, tm)
-        fwd, slf = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
+        slf, fwd = lambda p: 2 * (p - 1) + 1, lambda p: 2 * (p - 1) + 2
         alis = {"u1": [fwd(2), slf(2), fwd(3)], "u2": [fwd(4)]}
         ark = str(tmp_path / "ali.1.gz")
         write_ali_ark(ark, alis)
         tm2 = read_transition_model(mdl)
         got = {k: tm2.ali_to_phones(v) for k, v in read_ali_ark(ark).items()}
         assert got == {"u1": [(2, 2), (3, 1)], "u2": [(4, 1)]}
+
+
+class TestTopologyBinaryLayout:
+    """Byte-level goldens for [K] hmm-topology.cc Write: the extended
+    (non-HMM) format carries an int32 -1 sentinel before the entry count
+    and a per-state self_loop_pdf_class; the HMM format omits both.
+    Expected bytes are derived independently here with struct.pack."""
+
+    @staticmethod
+    def _i32(v):
+        import struct
+
+        return b"\x04" + struct.pack("<i", v)
+
+    @staticmethod
+    def _f32(v):
+        import struct
+
+        return b"\x04" + struct.pack("<f", v)
+
+    @classmethod
+    def _ivec(cls, vals):
+        import struct
+
+        return b"\x04" + struct.pack("<i", len(vals)) + struct.pack(
+            f"<{len(vals)}i", *vals
+        )
+
+    def test_chain_topology_nonhmm_bytes(self):
+        topo = HmmTopology.chain([1, 2])
+        assert not topo.is_hmm()
+        buf = io.BytesIO()
+        topo.write_binary(buf)
+        i32, f32, ivec = self._i32, self._f32, self._ivec
+        expect = (
+            b"<Topology> "
+            + ivec([1, 2])        # phones_
+            + ivec([-1, 0, 0])    # phone2idx_
+            + i32(-1)             # extended-format sentinel (non-HMM)
+            + i32(1)              # num entries
+            + i32(2)              # states in entry 0
+            # state 0: fwd pdf-class 0, self-loop pdf-class 1,
+            # transitions: self-loop first (gen_topo order)
+            + i32(0) + i32(1)
+            + i32(2)
+            + i32(0) + f32(0.5)
+            + i32(1) + f32(0.5)
+            # state 1: non-emitting final, no transitions
+            + i32(NO_PDF) + i32(NO_PDF)
+            + i32(0)
+            + b"</Topology> "
+        )
+        assert buf.getvalue() == expect
+        buf.seek(0)
+        topo2 = HmmTopology.read_binary(buf)
+        assert topo2.entries == topo.entries
+        assert topo2.phones == topo.phones
+
+    def test_hmm_topology_compact_bytes(self):
+        topo = _bakis_tmodel(1).topo
+        assert topo.is_hmm()
+        buf = io.BytesIO()
+        topo.write_binary(buf)
+        data = buf.getvalue()
+        i32, f32, ivec = self._i32, self._f32, self._ivec
+        head = b"<Topology> " + ivec([1]) + ivec([-1, 0])
+        # NO -1 sentinel: entry count follows directly
+        assert data.startswith(head + i32(1) + i32(4))
+        # state 0: single pdf-class (no self-loop field), 2 transitions
+        st0 = i32(0) + i32(2) + i32(0) + f32(0.5) + i32(1) + f32(0.5)
+        assert data[len(head + i32(1) + i32(4)) :].startswith(st0)
+        buf.seek(0)
+        topo2 = HmmTopology.read_binary(buf)
+        assert topo2.entries == topo.entries

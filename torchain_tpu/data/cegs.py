@@ -816,6 +816,19 @@ class CegsDataset:
         self.append_ivector = append_ivector
         self.seed = seed
         self.ignore_deriv_weights = ignore_deriv_weights
+        self._n_records: "int | None" = None
+
+    def count_records(self) -> int:
+        """Total merged records across all archives (one counting pass on
+        first call, cached) — needed to truncate multi-process epochs to
+        a common length."""
+        if self._n_records is None:
+            n = 0
+            for p in self.paths:
+                for _key, _eg in iter_cegs_ark(p):
+                    n += 1
+            self._n_records = n
+        return self._n_records
 
     def peek(self):
         """(feat_dim, num_pdfs, batch_size, frames_per_sequence) of the
@@ -878,13 +891,23 @@ class CegsDataset:
             rng.shuffle(order)
         pi = process_index or 0
         pc = process_count or 1
+        # Truncate every process's epoch to the common minimum
+        # (total // pc): with round-robin sharding alone, a total not
+        # divisible by pc leaves some processes one record ahead, and the
+        # collective train step would hang at epoch end waiting on peers
+        # that already finished.
+        limit = self.count_records() // pc if pc > 1 else None
         rec = 0
+        taken = 0
         for ai in order:
             for _key, eg in iter_cegs_ark(self.paths[ai]):
                 take = rec % pc == pi
                 rec += 1
                 if not take:
                     continue
+                if limit is not None and taken >= limit:
+                    return
+                taken += 1
                 yield example_to_batch(
                     eg,
                     append_ivector=self.append_ivector,

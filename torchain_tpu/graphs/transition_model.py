@@ -77,12 +77,24 @@ class HmmTopology:
     def chain(cls, phones: Iterable[int]) -> "HmmTopology":
         """The 1-emitting-state 'chain' topology (forward pdf-class 0 on
         the entry transition, self-loop pdf-class 1), shared by all
-        phones — the topology chain recipes generate."""
+        phones — the topology chain recipes generate.
+
+        Transition ORDER matters: transition-id numbering is derived from
+        it (tids 2p-1, 2p per phone p).  Kaldi's
+        steps/nnet3/chain/gen_topo.py emits ``<Transition> 0 0.5
+        <Transition> 1 0.5`` — the SELF-LOOP first, then the forward
+        transition — so tid 2p-1 is the self-loop and 2p the forward
+        transition, and we match that here.  This ordering is pinned from
+        training-data recall of gen_topo.py, not a verified artifact
+        (reference mount empty): on first real-system contact verify with
+        ``tools/crosscheck_kaldi.py --mdl final.mdl`` (models READ from a
+        real final.mdl are unaffected either way — their order comes from
+        the file)."""
         phones = sorted(set(int(p) for p in phones))
         if not phones or phones[0] <= 0:
             raise ValueError("phones must be positive")
         entry = [
-            HmmState(0, 1, [(1, 0.5), (0, 0.5)]),
+            HmmState(0, 1, [(0, 0.5), (1, 0.5)]),
             HmmState(NO_PDF, NO_PDF, []),
         ]
         phone2idx = [-1] * (max(phones) + 1)
@@ -92,16 +104,35 @@ class HmmTopology:
 
     # -- binary IO (format of [K] hmm-topology.cc Write/Read) --------------
 
+    def is_hmm(self) -> bool:
+        """[K] hmm-topology.cc IsHmm(): true iff every state has
+        forward_pdf_class == self_loop_pdf_class (chain topologies are
+        NOT HMM: forward 0, self-loop 1)."""
+        return all(
+            st.forward_pdf_class == st.self_loop_pdf_class
+            for entry in self.entries
+            for st in entry
+        )
+
     def write_binary(self, f: BinaryIO) -> None:
+        """[K] hmm-topology.cc Write: for non-HMM topologies (the
+        extended format with separate self-loop pdf-classes — every chain
+        topology) an int32 -1 sentinel precedes the entry count and
+        self_loop_pdf_class is written per state; HMM topologies omit
+        both, so a 1990s-era reader still parses them."""
         write_token(f, "<Topology>")
         write_integer_vector(f, self.phones)
         write_integer_vector(f, self.phone2idx)
+        is_hmm = self.is_hmm()
+        if not is_hmm:
+            write_basic_int32(f, -1)
         write_basic_int32(f, len(self.entries))
         for entry in self.entries:
             write_basic_int32(f, len(entry))
             for st in entry:
                 write_basic_int32(f, st.forward_pdf_class)
-                write_basic_int32(f, st.self_loop_pdf_class)
+                if not is_hmm:
+                    write_basic_int32(f, st.self_loop_pdf_class)
                 write_basic_int32(f, len(st.transitions))
                 for nxt, prob in st.transitions:
                     write_basic_int32(f, nxt)
@@ -113,12 +144,17 @@ class HmmTopology:
         expect_token(f, "<Topology>")
         phones = read_integer_vector(f)
         phone2idx = read_integer_vector(f)
+        sz = read_basic_int32(f)
+        is_hmm = True
+        if sz == -1:  # extended-format flag ([K] hmm-topology.cc Read)
+            is_hmm = False
+            sz = read_basic_int32(f)
         entries = []
-        for _ in range(read_basic_int32(f)):
+        for _ in range(sz):
             entry = []
             for _ in range(read_basic_int32(f)):
                 fwd = read_basic_int32(f)
-                slf = read_basic_int32(f)
+                slf = fwd if is_hmm else read_basic_int32(f)
                 trans = []
                 for _ in range(read_basic_int32(f)):
                     nxt = read_basic_int32(f)
@@ -359,7 +395,10 @@ class TransitionModel:
     def write_binary(self, f: BinaryIO) -> None:
         write_token(f, "<TransitionModel>")
         self.topo.write_binary(f)
-        triples = all(fwd == slf for _p, _h, fwd, slf in self.tuples)
+        # [K] transition-model.cc keys <Triples>/<Tuples> off
+        # HmmTopology::IsHmm(), NOT off whether the pdfs happen to
+        # coincide — a non-HMM topology always writes <Tuples>.
+        triples = self.topo.is_hmm()
         write_token(f, "<Triples>" if triples else "<Tuples>")
         write_basic_int32(f, len(self.tuples))
         for phone, hmm_state, fwd, slf in self.tuples:
@@ -401,7 +440,7 @@ class TransitionModel:
     def write_text(self) -> str:
         out = ["<TransitionModel>"]
         out.append(self.topo.write_text().rstrip("\n"))
-        triples = all(fwd == slf for _p, _h, fwd, slf in self.tuples)
+        triples = self.topo.is_hmm()
         out.append("<Triples>" if triples else "<Tuples>")
         out.append(str(len(self.tuples)))
         for phone, hmm_state, fwd, slf in self.tuples:
