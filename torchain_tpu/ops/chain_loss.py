@@ -220,16 +220,30 @@ def chain_loss(
     den: DeviceDenseDenGraph | DeviceDenGraph,
     sup: DeviceSupervision,
     opts: ChainLossOptions = ChainLossOptions(),
+    mesh=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Returns (loss scalar to minimize, aux dict of per-batch statistics).
 
     aux keys: objf (per-frame MMI objective), l2_term, oor_term, xent_objf
-    (all already normalized by `weight`), weight, num_failed."""
+    (all already normalized by `weight`), weight, num_failed.
+
+    With `mesh` (a jax.sharding.Mesh with a `data` axis of size > 1), the
+    fwd-bwd runs through shard_map so the batch shard on each chip goes
+    through the single-chip fast path — including the VMEM-resident
+    Pallas kernels GSPMD cannot partition (ops/sharded.py).  Batches the
+    data axis does not divide fall back to the plain (GSPMD) call."""
     y = nnet_output
     B, T, P = y.shape
-    num_logp, den_logz, gamma_num = chain_logprobs(
-        y, den, sup, opts.leaky_hmm_coefficient
-    )
+    from torchain_tpu.ops import sharded as _sharded
+
+    if _sharded.shardable(mesh, B):
+        num_logp, den_logz, gamma_num = _sharded.chain_logprobs_sharded(
+            y, den, sup, opts.leaky_hmm_coefficient, mesh
+        )
+    else:
+        num_logp, den_logz, gamma_num = chain_logprobs(
+            y, den, sup, opts.leaky_hmm_coefficient
+        )
     seq_w = sup.weight  # [B]
     per_seq = num_logp - den_logz
     ok = jnp.isfinite(per_seq)

@@ -151,19 +151,22 @@ def auto_den_graph(
       3. dense Moore factorization (MXU matmuls) while V fits on chip.
       4. sparse CSR log-semiring scan (fully general fallback).
 
-    `data_shards > 1` (data-parallel training over a mesh) skips the
-    Pallas path: XLA has no partitioning rule for the custom call, so
-    GSPMD would all-gather the sharded batch and run the full kernel on
-    every chip — correct but scaling-destroying.  The dense Moore path
-    is einsum-based and partitions cleanly on the batch axis.
+    `data_shards` declares the data-parallel factor the training step
+    will run with.  With data_shards > 1 the resident Pallas path is
+    still selected (sized against the PER-SHARD batch) because the loss
+    dispatcher routes multi-device execution through the shard_map
+    wrapper (ops/sharded.py): each chip runs the single-chip kernel on
+    its own batch shard.  Only the undeclared case — multiple devices
+    visible but data_shards left at 1 — falls back to the einsum-based
+    dense path, which GSPMD partitions cleanly on the batch axis (a
+    Pallas custom call under plain GSPMD would be all-gathered and
+    replicated on every chip: correct but scaling-destroying).
     """
     import jax as _jax
 
-    if (
-        _jax.default_backend() == "tpu"
-        and data_shards <= 1
-        and len(_jax.devices()) == 1
-    ):
+    declared = data_shards > 1
+    single = data_shards <= 1 and len(_jax.devices()) == 1
+    if _jax.default_backend() == "tpu" and (single or declared):
         from torchain_tpu.ops import den_resident
 
         try:
@@ -172,8 +175,10 @@ def auto_den_graph(
             )
             # a batch too big for one pass runs batch-chunked (grid
             # (B/chunk, T), V still resident) — only a graph whose
-            # 1-sequence working set exceeds VMEM falls through
-            if den_resident.batch_chunk(gr, batch_hint) > 0:
+            # 1-sequence working set exceeds VMEM falls through.  Under
+            # data parallelism the kernel sees the per-shard batch.
+            per_shard = max(1, batch_hint // max(1, data_shards))
+            if den_resident.batch_chunk(gr, per_shard) > 0:
                 return gr
         except ValueError:
             pass  # fall through to the XLA paths

@@ -66,20 +66,29 @@ def _interpret() -> bool:
 def _use_resident() -> bool:
     """Steady-frame recursions as single Pallas kernels (ops/num_resident):
     kills the per-frame XLA while-loop dispatch (~10 us/frame at the
-    trigram headline).  Single-chip TPU by default;
-    TORCHAIN_NUM_RESIDENT=force enables interpret mode for equivalence
-    tests; =0 disables.  Hardware-validated by tools/ab_num_resident:
-    5.602 -> 5.342 ms/step at the trigram B=128 headline with exact
-    first-step objf parity (BENCH_NOTES round 4)."""
+    trigram headline).  TORCHAIN_NUM_RESIDENT=force enables interpret
+    mode for equivalence tests; =0 disables.  Hardware-validated by
+    tools/ab_num_resident: 5.602 -> 5.342 ms/step at the trigram B=128
+    headline with exact first-step objf parity (BENCH_NOTES round 4).
+
+    On a TPU: single-chip always; multi-chip only INSIDE the shard_map
+    wrapper (ops/sharded.py), where this trace sees the per-shard batch
+    and the kernel runs per chip.  Outside shard_map a multi-device jit
+    would make GSPMD all-gather the sharded batch and replicate the
+    custom call on every chip (see auto_den_graph's data_shards note),
+    so the XLA scan path is used there."""
     mode = _os.environ.get("TORCHAIN_NUM_RESIDENT", "1")
     if mode == "0":
         return False
     if mode == "force":
         return True
-    # single-chip only: GSPMD has no partitioning rule for the custom
-    # call, so a data-sharded batch would be all-gathered and the kernel
-    # replicated on every chip (see auto_den_graph's data_shards note)
-    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    if jax.default_backend() != "tpu":
+        return False
+    if len(jax.devices()) == 1:
+        return True
+    from torchain_tpu.ops import sharded
+
+    return sharded.in_sharded_region()
 
 
 def _frames_per_program(T: int) -> int:

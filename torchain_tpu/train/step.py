@@ -29,6 +29,7 @@ def make_train_step(
     use_xent: bool = True,
     donate: bool = True,
     dropout: bool = False,
+    mesh=None,
 ):
     """Returns jitted (state, feats, den, sup) -> (state, metrics).
 
@@ -76,7 +77,8 @@ def make_train_step(
                 )
                 new_stats = state.batch_stats
             loss, aux = chain_loss(
-                chain_out, xent_out if use_xent else None, den, sup, loss_opts
+                chain_out, xent_out if use_xent else None, den, sup, loss_opts,
+                mesh=mesh,
             )
             return loss, (aux, new_stats)
 
@@ -92,7 +94,7 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(loss_opts: ChainLossOptions):
+def make_eval_step(loss_opts: ChainLossOptions, mesh=None):
     """Returns jitted (state, feats, den, sup) -> metrics (no update)."""
 
     @jax.jit
@@ -101,7 +103,7 @@ def make_eval_step(loss_opts: ChainLossOptions):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         chain_out, xent_out = state.apply_fn(variables, feats, train=False)
-        _, aux = chain_loss(chain_out, xent_out, den, sup, loss_opts)
+        _, aux = chain_loss(chain_out, xent_out, den, sup, loss_opts, mesh=mesh)
         return aux
 
     return eval_step
@@ -126,6 +128,7 @@ def make_backstitch_step(
     alpha: float,
     use_xent: bool = True,
     donate: bool = True,
+    mesh=None,
 ):
     """Backstitch training step (Kaldi --trainer.backstitch-training-scale,
     [K] nnet-training.cc NnetTrainer::TrainInternalBackstitch; Wang et
@@ -162,7 +165,8 @@ def make_backstitch_step(
                 )
                 new_stats = batch_stats
             loss, aux = chain_loss(
-                chain_out, xent_out if use_xent else None, den, sup, loss_opts
+                chain_out, xent_out if use_xent else None, den, sup, loss_opts,
+                mesh=mesh,
             )
             return loss, (aux, new_stats)
 

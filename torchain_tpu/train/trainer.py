@@ -260,8 +260,13 @@ class Trainer:
             if cfg.dropout_schedule
             else None
         )
+        # a data axis > 1 routes the loss fwd-bwd through shard_map so
+        # every chip runs the single-chip resident kernels on its own
+        # batch shard (ops/sharded.py)
+        self.loss_mesh = self.mesh if self.mesh.shape["data"] > 1 else None
         self.train_step = make_train_step(
-            cfg.loss, use_xent=cfg.use_xent, dropout=self._dropout_fn is not None
+            cfg.loss, use_xent=cfg.use_xent,
+            dropout=self._dropout_fn is not None, mesh=self.loss_mesh,
         )
         self.backstitch_step = None
         if cfg.backstitch_scale > 0:
@@ -273,7 +278,8 @@ class Trainer:
             from torchain_tpu.train.step import make_backstitch_step
 
             self.backstitch_step = make_backstitch_step(
-                cfg.loss, cfg.backstitch_scale, use_xent=cfg.use_xent
+                cfg.loss, cfg.backstitch_scale, use_xent=cfg.use_xent,
+                mesh=self.loss_mesh,
             )
         # per-step dropout noise derived by fold_in(step): deterministic
         # under resume, identical across hosts (same global step)
@@ -600,7 +606,7 @@ class Trainer:
         """Validation pass (nnet3-chain-compute-prob parity): objf over a
         held-out dataset, no parameter updates."""
         if not hasattr(self, "_eval_step"):
-            self._eval_step = make_eval_step(self.cfg.loss)
+            self._eval_step = make_eval_step(self.cfg.loss, mesh=self.loss_mesh)
         results = ChainResults()
         with self.mesh:
             for i, batch in enumerate(
