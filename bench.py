@@ -142,7 +142,58 @@ def _build(corpus, dtype, B, T_OUT):
     )
     state = create_train_state(TDNNF(cfg), feats, tx)
     audio_s = batch.feats.shape[0] * batch.sup.num_frames * 3 * 0.010
-    return step_fn, state, feats, den, sup, audio_s
+    return step_fn, state, feats, den, sup, audio_s, dataset
+
+
+def _sustained(step_fn, state, den, dataset, B, min_batches=24, depth=4,
+               threads=0):
+    """Sustained TRAINING throughput (VERDICT r4 #3): live
+    ChainDataset.batches -> Prefetcher -> device steps, wall-clocked over
+    >= min_batches warm batches.  Unlike _measure (device span of one
+    replayed batch), this includes host-side egs assembly, H2D transfer,
+    and dispatch — the number SURVEY §6 defines as the metric.
+
+    The warm pass compiles the jit program and fills the supervision /
+    feature caches (Kaldi's offline egs-archive role); timed epochs then
+    measure the steady state a long training run actually sees."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchain_tpu.data import Prefetcher
+    from torchain_tpu.ops.device_graphs import DeviceSupervision
+
+    caps = dataset.estimate_sup_caps()
+
+    def put_iter(epoch):
+        for b in dataset.batches(
+            B, epoch=epoch, sup_caps=caps, num_threads=threads
+        ):
+            yield b, jnp.asarray(b.feats), DeviceSupervision.from_host(b.sup)
+
+    m = None
+    for _b, feats, sup in put_iter(0):  # warm pass
+        state, m = step_fn(state, feats, den, sup)
+    if m is None:
+        raise RuntimeError("dataset yielded no batches")
+    jax.block_until_ready(m["loss"])
+
+    audio = 0.0
+    n = 0
+    epoch = 1
+    t0 = time.perf_counter()
+    while n < min_batches:
+        for b, feats, sup in Prefetcher(put_iter(epoch), depth=depth):
+            state, m = step_fn(state, feats, den, sup)
+            audio += b.feats.shape[0] * b.sup.num_frames * 3 * 0.010
+            n += 1
+        epoch += 1
+    jax.block_until_ready(m["loss"])
+    wall = time.perf_counter() - t0
+    return dict(
+        batches=n,
+        step_ms=round(wall * 1e3 / n, 2),
+        audio_s_per_s_per_chip=round(audio / wall, 1),
+    )
 
 
 def production_config():
@@ -165,15 +216,15 @@ def production_config():
         lm_order=4,
         lm_extra_states=2000,
     )
-    step_fn, state, feats, den, sup, audio_s = _build(
+    step_fn, state, feats, den, sup, audio_s, dataset = _build(
         corpus, jnp.bfloat16, B, T_OUT
     )
-    device_ms, wall_ms, _ = _measure(
+    device_ms, wall_ms, state = _measure(
         step_fn, state, feats, den, sup, "/tmp/tb_bench_prod"
     )
     step_ms = device_ms if device_ms == device_ms else wall_ms
     n_dev = max(1, len(jax.devices()))
-    return {
+    out = {
         "production_den_path": type(den).__name__,
         "production_step_ms": round(step_ms, 2),
         "production_wall_step_ms": round(wall_ms, 2),
@@ -181,6 +232,15 @@ def production_config():
             audio_s / (step_ms / 1e3) / n_dev, 1
         ),
     }
+    try:
+        sus = _sustained(step_fn, state, den, dataset, B)
+        out["production_sustained_step_ms"] = sus["step_ms"]
+        out["production_sustained_audio_s_per_s_per_chip"] = sus[
+            "audio_s_per_s_per_chip"
+        ]
+    except Exception as e:  # noqa: BLE001
+        out["production_sustained_error"] = str(e)[:200]
+    return out
 
 
 def main():
@@ -213,14 +273,16 @@ def main():
 
     # measure f32 and bf16 trunks IN ONE process and report the best
     results = {}
+    sustained_ctx = {}
     for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        step_fn, state, feats, den, sup, audio_s = _build(
+        step_fn, state, feats, den, sup, audio_s, dataset = _build(
             corpus, dtype, B, T_OUT
         )
-        device_ms, wall_ms, _ = _measure(
+        device_ms, wall_ms, state = _measure(
             step_fn, state, feats, den, sup, f"/tmp/tb_bench_{tag}"
         )
         results[tag] = (device_ms, wall_ms, audio_s, type(den).__name__)
+        sustained_ctx[tag] = (step_fn, state, den, dataset)
 
     # prefer device-trace numbers; fall back to wall (CPU dev runs)
     have_device = all(r[0] == r[0] for r in results.values())
@@ -242,6 +304,23 @@ def main():
     }
     if tpu_dead:
         out["tpu_unreachable"] = True  # relay down; CPU-fallback numbers
+    # sustained TRAINING throughput at the headline config (VERDICT r4
+    # #3): live loader + prefetcher + device steps; the gap between this
+    # and the device-span number is the host-side cost the device-only
+    # protocol hides
+    if jax.default_backend() == "tpu":
+        try:
+            step_fn, state, den, dataset = sustained_ctx[pick]
+            sus = _sustained(step_fn, state, den, dataset, B)
+            out["sustained_step_ms"] = sus["step_ms"]
+            out["sustained_audio_s_per_s_per_chip"] = sus[
+                "audio_s_per_s_per_chip"
+            ]
+            out["sustained_vs_device_gap_pct"] = round(
+                100.0 * (sus["step_ms"] - step_ms) / step_ms, 1
+            )
+        except Exception as e:  # noqa: BLE001
+            out["sustained_error"] = str(e)[:200]
     # second headline: the production-scale (4-gram biphone) configuration
     # (the VERDICT r1 "report BOTH graph scales" requirement); guarded so
     # a failure/timeout there never loses the primary metric

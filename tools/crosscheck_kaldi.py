@@ -167,6 +167,66 @@ def check_mdl(path: str) -> bool:
     return ok
 
 
+def check_mdl_forward(mdl: str, ark: str | None, n_frames: int = 20) -> bool:
+    """Parse the nnet BODY of final.mdl (graphs/nnet3.py) and forward a
+    few frames in numpy — the posterior-level cross-check for first real
+    contact: compare the printed values against
+    `nnet3-compute --use-priors=false final.mdl ark:feats.ark ark,t:-`.
+
+    Without --ark, random features of the right dim are used (still
+    proves the model parses and forwards end to end)."""
+    import numpy as np
+
+    from torchain_tpu.graphs.nnet3 import read_am_nnet
+
+    try:
+        tm, am = read_am_nnet(mdl)
+    except Exception as e:  # noqa: BLE001
+        print(f"[mdl-forward] {mdl}: nnet body FAILED to parse: {e}")
+        return False
+    nnet = am.nnet
+    inp = {n.name: n for n in nnet.nodes.values() if n.kind == "input"}
+    feat_dim = inp["input"].dim if "input" in inp else 0
+    ivec_dim = inp["ivector"].dim if "ivector" in inp else 0
+    print(
+        f"[mdl-forward] {mdl}: parsed nnet with {len(nnet.nodes)} nodes / "
+        f"{len(nnet.components)} components, feat_dim={feat_dim} "
+        f"ivector_dim={ivec_dim} left={am.left_context} "
+        f"right={am.right_context}"
+    )
+    if ark:
+        from torchain_tpu.io import read_ark_binary, read_ark_text
+
+        p = _strip(ark)
+        try:
+            mats = read_ark_binary(p)
+        except Exception:  # noqa: BLE001
+            mats = read_ark_text(p)
+        key, feats = next(iter(mats.items()))
+        print(f"  features: {key} {feats.shape}")
+    else:
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((n_frames + 8, feat_dim)).astype(
+            np.float32
+        )
+        key = "(random)"
+    inputs = {"input": np.asarray(feats, np.float32)}
+    if ivec_dim:
+        inputs["ivector"] = np.zeros((feats.shape[0], ivec_dim), np.float32)
+    t0 = am.left_context
+    t = np.arange(t0, min(t0 + 3 * 3, feats.shape[0] - am.right_context), 3)
+    try:
+        out = nnet.forward(inputs, t)
+    except NotImplementedError as e:
+        print(f"[mdl-forward] forward unsupported: {e}")
+        return False
+    print(f"  output[{key}] t={list(map(int, t))} dim={out.shape[1]}")
+    for i, tt in enumerate(t):
+        head = " ".join(f"{v:.4f}" for v in out[i, :8])
+        print(f"    t={int(tt)}: {head} ...")
+    return bool(np.all(np.isfinite(out)))
+
+
 def check_ali(path: str, mdl: str | None) -> bool:
     import io as _io
 
@@ -207,6 +267,12 @@ def main() -> int:
     ap.add_argument("--lattice")
     ap.add_argument("--ark")
     ap.add_argument("--mdl", help="final.mdl / trans.mdl (TransitionModel)")
+    ap.add_argument(
+        "--forward",
+        action="store_true",
+        help="with --mdl: parse the trailing nnet3 AM and forward a few "
+        "frames (compare vs nnet3-compute --use-priors=false)",
+    )
     ap.add_argument("--ali", help="transition-id alignment archive (ark/.gz)")
     args = ap.parse_args()
     results = []
@@ -222,6 +288,8 @@ def main() -> int:
         results.append(check_ark(args.ark))
     if args.mdl:
         results.append(check_mdl(args.mdl))
+        if args.forward:
+            results.append(check_mdl_forward(args.mdl, args.ark))
     if args.ali:
         results.append(check_ali(args.ali, args.mdl))
     if not results:

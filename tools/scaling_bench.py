@@ -190,7 +190,7 @@ def perchip(batch: int) -> dict:
         lm_order=3,
         lm_extra_states=1000,
     )
-    step_fn, state, feats, den, sup, audio_s = _bench._build(
+    step_fn, state, feats, den, sup, audio_s, _dataset = _bench._build(
         corpus, jnp.bfloat16, batch, T_OUT
     )
     device_ms, wall_ms, _ = _bench._measure(

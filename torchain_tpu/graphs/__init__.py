@@ -19,6 +19,12 @@ from torchain_tpu.graphs.transition_model import (
     write_ali_ark,
     write_transition_model,
 )
+from torchain_tpu.graphs.nnet3 import (
+    AmNnet,
+    Nnet,
+    read_am_nnet,
+    write_am_nnet,
+)
 from torchain_tpu.graphs.tied_tree import (
     TiedTree,
     TreeStats,
@@ -71,6 +77,10 @@ __all__ = [
     "read_transition_model",
     "write_ali_ark",
     "write_transition_model",
+    "AmNnet",
+    "Nnet",
+    "read_am_nnet",
+    "write_am_nnet",
     "TiedTree",
     "TreeStats",
     "accumulate_tree_stats",
