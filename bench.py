@@ -168,7 +168,12 @@ def _sustained(step_fn, state, den, dataset, B, min_batches=24, depth=4,
         for b in dataset.batches(
             B, epoch=epoch, sup_caps=caps, num_threads=threads
         ):
-            yield b, jnp.asarray(b.feats), DeviceSupervision.from_host(b.sup)
+            if isinstance(b.sup, DeviceSupervision):  # device-materialized
+                yield b, b.feats, b.sup
+            else:
+                yield b, jnp.asarray(b.feats), DeviceSupervision.from_host(
+                    b.sup
+                )
 
     m = None
     for _b, feats, sup in put_iter(0):  # warm pass
@@ -189,11 +194,13 @@ def _sustained(step_fn, state, den, dataset, B, min_batches=24, depth=4,
         epoch += 1
     jax.block_until_ready(m["loss"])
     wall = time.perf_counter() - t0
+    # step_fn donates its state: hand the live state back so callers can
+    # run another measurement (the donated input buffers are dead)
     return dict(
         batches=n,
         step_ms=round(wall * 1e3 / n, 2),
         audio_s_per_s_per_chip=round(audio / wall, 1),
-    )
+    ), state
 
 
 def production_config():
@@ -233,11 +240,19 @@ def production_config():
         ),
     }
     try:
-        sus = _sustained(step_fn, state, den, dataset, B)
+        from torchain_tpu.data import MaterializedBatches
+
+        sus, state = _sustained(step_fn, state, den, dataset, B)
         out["production_sustained_step_ms"] = sus["step_ms"]
         out["production_sustained_audio_s_per_s_per_chip"] = sus[
             "audio_s_per_s_per_chip"
         ]
+        mat = MaterializedBatches(dataset, B, device=True)
+        sus_m, state = _sustained(step_fn, state, den, mat, B)
+        out["production_sustained_materialized_step_ms"] = sus_m["step_ms"]
+        out["production_sustained_materialized_audio_s_per_s_per_chip"] = (
+            sus_m["audio_s_per_s_per_chip"]
+        )
     except Exception as e:  # noqa: BLE001
         out["production_sustained_error"] = str(e)[:200]
     return out
@@ -310,8 +325,10 @@ def main():
     # protocol hides
     if jax.default_backend() == "tpu":
         try:
+            from torchain_tpu.data import MaterializedBatches
+
             step_fn, state, den, dataset = sustained_ctx[pick]
-            sus = _sustained(step_fn, state, den, dataset, B)
+            sus, state = _sustained(step_fn, state, den, dataset, B)
             out["sustained_step_ms"] = sus["step_ms"]
             out["sustained_audio_s_per_s_per_chip"] = sus[
                 "audio_s_per_s_per_chip"
@@ -319,6 +336,15 @@ def main():
             out["sustained_vs_device_gap_pct"] = round(
                 100.0 * (sus["step_ms"] - step_ms) / step_ms, 1
             )
+            # the production economics: batches materialized once (the
+            # merged-cegs-archive role), epochs replay them — per-batch
+            # host cost is device placement only
+            mat = MaterializedBatches(dataset, B, device=True)
+            sus_m, state = _sustained(step_fn, state, den, mat, B)
+            out["sustained_materialized_step_ms"] = sus_m["step_ms"]
+            out["sustained_materialized_audio_s_per_s_per_chip"] = sus_m[
+                "audio_s_per_s_per_chip"
+            ]
         except Exception as e:  # noqa: BLE001
             out["sustained_error"] = str(e)[:200]
     # second headline: the production-scale (4-gram biphone) configuration

@@ -381,10 +381,10 @@ class TestResidentNumKernels:
 
         sup1 = _dc.replace(
             sup_full,
-            in_src=sup_full.in_src[:, :1],
-            in_logw=sup_full.in_logw[:, :1],
+            in_src_r=sup_full.in_src_r[:, :0],
+            in_logw_r=sup_full.in_logw_r[:, :0],
+            pdf_local_r=sup_full.pdf_local_r[:, :0],
             frame_vocab=sup_full.frame_vocab[:, :1],
-            pdf_local=sup_full.pdf_local[:, :1],
             num_frames=1,
         )
         monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")

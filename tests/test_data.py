@@ -289,3 +289,74 @@ class TestSupervisionCacheAndPrecompile:
         for _ in ds.batches(4, epoch=0):
             pass
         assert len(ds._sup_cache) <= 2
+
+
+class TestMaterializedBatches:
+    def _ds(self):
+        from torchain_tpu.data import ChainDataset, synthetic_dataset
+        from torchain_tpu.graphs import SupervisionOptions
+
+        corpus = synthetic_dataset(num_utts=12, num_phones=4, feat_dim=8,
+                                   seed=9)
+        return ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=8,
+            left_context=2, right_context=2,
+            sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+
+    def test_same_batch_multiset_as_live(self):
+        from torchain_tpu.data import MaterializedBatches
+
+        ds = self._ds()
+        caps = ds.estimate_sup_caps()
+        live = sorted(
+            float(np.sum(b.feats)) for b in ds.batches(
+                4, shuffle=True, epoch=0, sup_caps=caps)
+        )
+        mat = MaterializedBatches(ds, 4, sup_caps=caps)
+        got = sorted(float(np.sum(b.feats)) for b in mat.batches(4, epoch=3))
+        assert got == live
+
+    def test_epoch_shuffle_deterministic(self):
+        from torchain_tpu.data import MaterializedBatches
+
+        mat = MaterializedBatches(self._ds(), 4, seed=5)
+        a = [id(b) for b in mat.batches(4, epoch=1)]
+        b = [id(b) for b in mat.batches(4, epoch=1)]
+        c = [id(b) for b in mat.batches(4, epoch=2)]
+        assert a == b
+        assert sorted(a) == sorted(c)
+        assert len(mat) == len(a)
+        assert mat.nbytes > 0
+
+    def test_trainer_fit_runs(self):
+        import jax.numpy as jnp
+
+        from torchain_tpu.data import (
+            ChainDataset,
+            MaterializedBatches,
+            synthetic_dataset,
+        )
+        from torchain_tpu.graphs import SupervisionOptions
+        from torchain_tpu.models import TDNN, TdnnConfig
+        from torchain_tpu.ops import DeviceDenseDenGraph
+        from torchain_tpu.train import Trainer, TrainerConfig
+
+        corpus = synthetic_dataset(num_utts=12, num_phones=4, feat_dim=8,
+                                   seed=9)
+        den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+        cfg = TdnnConfig(num_pdfs=corpus.tree.num_pdfs, hidden_dim=32)
+        model = TDNN(cfg)
+        left, right = cfg.context
+        ds = ChainDataset(
+            corpus.utts, corpus.tree, corpus.norm_fst, chunk_frames_out=8,
+            left_context=left, right_context=right,
+            sup_opts=SupervisionOptions(left_tolerance=1, right_tolerance=1),
+        )
+        t_in = 8 * cfg.frame_subsampling_factor + left + right
+        tcfg = TrainerConfig(batch_size=4, num_epochs=1, log_every=100)
+        tr = Trainer(model, den, tcfg,
+                     jnp.zeros((4, t_in, 8), jnp.float32))
+        mat = MaterializedBatches(ds, 4)
+        res = tr.fit(mat, log_fn=lambda *_: None)
+        assert res.steps > 0

@@ -75,27 +75,12 @@ def main():
     y_local = np.tanh(f_local @ proj)
 
     sup_dev = DeviceSupervision.from_host(batch.sup)
-    arrays = dict(
-        y=y_local.astype(np.float32),
-        in_src=sup_dev.in_src,
-        in_logw=sup_dev.in_logw,
-        final_logw=sup_dev.final_logw,
-        weight=sup_dev.weight,
-        frame_vocab=sup_dev.frame_vocab,
-        pdf_local=sup_dev.pdf_local,
+    # every array field of the supervision pytree has a leading local-B
+    # axis, so the whole dataclass assembles into global arrays directly
+    g = global_batch_from_local(
+        mesh, dict(y=y_local.astype(np.float32), sup=sup_dev)
     )
-    g = global_batch_from_local(mesh, arrays)
-    import dataclasses as dc
-
-    sup_global = dc.replace(
-        sup_dev,
-        in_src=g["in_src"],
-        in_logw=g["in_logw"],
-        final_logw=g["final_logw"],
-        weight=g["weight"],
-        frame_vocab=g["frame_vocab"],
-        pdf_local=g["pdf_local"],
-    )
+    sup_global = g["sup"]
 
     @jax.jit
     def loss_and_grad(y, sup):

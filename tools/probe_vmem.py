@@ -45,18 +45,39 @@ def try_size(mib: int) -> bool:
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [16, 32, 64, 100, 120]
+    args = sys.argv[1:]
+    save = "--save" in args
+    args = [a for a in args if a != "--save"]
+    sizes = [int(s) for s in args] or [16, 32, 64, 100, 120]
     dev = jax.devices()[0]
     print(f"device={dev} kind={dev.device_kind}", flush=True)
     try:
         print(f"memory_stats: {dev.memory_stats()}", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"memory_stats unavailable: {e}", flush=True)
+    best = 0
     for mib in sizes:
         ok = try_size(mib)
         print(f"VMEM scratch {mib} MiB: {'PASS' if ok else 'FAIL'}", flush=True)
         if not ok:
             break
+        best = mib
+    if save and best:
+        # den_resident.vmem_budget() reads this per-device-kind cache;
+        # keep ~10 MiB of Mosaic headroom off the raw acceptance (the
+        # margin the v5e table entry carries: 120 accepted -> 110 used)
+        import json
+
+        path = pathlib.Path(__file__).parent.parent / ".cache"
+        path.mkdir(exist_ok=True)
+        f = path / "vmem_budget.json"
+        data = {}
+        if f.exists():
+            data = json.loads(f.read_text())
+        budget = max(best - 10, 1) * 1024 * 1024
+        data[dev.device_kind.lower()] = budget
+        f.write_text(json.dumps(data, indent=2))
+        print(f"saved {dev.device_kind}: {budget} bytes -> {f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -135,6 +135,17 @@ def build_argparser() -> argparse.ArgumentParser:
         "(refuses archives whose corpus/tree/options fingerprint differs)",
     )
     p.add_argument(
+        "--materialize-egs", nargs="?", const="ram", choices=("ram", "device"),
+        default="",
+        help="materialize all merged minibatches once and replay them per "
+        "epoch (the Kaldi merged-cegs-archive economics; "
+        "data/materialize.py).  'ram' (default when the flag is bare) "
+        "keeps host numpy and removes per-epoch pad/stack cost; 'device' "
+        "places every batch in HBM once, removing per-step H2D traffic "
+        "too (corpus must fit HBM).  Incompatible with "
+        "--frame-shift-cycle",
+    )
+    p.add_argument(
         "--precompile-egs", type=int, default=0, metavar="WORKERS",
         help="compile all chunk supervisions up-front in N parallel worker "
         "processes (nnet3-chain-get-egs offline-prep role); they are "
@@ -745,6 +756,22 @@ def main(argv=None) -> dict:
         )
         print("[ladder 3] tolerance-lattice training on generated alignments")
 
+    if args.materialize_egs:
+        if args.frame_shift_cycle:
+            raise SystemExit(
+                "--materialize-egs pins the frame shift; drop "
+                "--frame-shift-cycle or materialization"
+            )
+        from torchain_tpu.data import MaterializedBatches
+
+        dataset = MaterializedBatches(
+            dataset, args.batch_size,
+            device=args.materialize_egs == "device",
+        )
+        print(
+            f"[stage 2] materialized {len(dataset)} minibatches "
+            f"({dataset.nbytes / 1e6:.0f} MB)"
+        )
     if args.steps:
         # step-bounded run: iterate manually (same per-step semantics as
         # Trainer.fit, incl. the periodic semi-orthogonal constraint)

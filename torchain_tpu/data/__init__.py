@@ -52,6 +52,7 @@ from torchain_tpu.data.kaldi_compat import (
     write_wav,
 )
 from torchain_tpu.data.synth_wav import make_wav_data_dir
+from torchain_tpu.data.materialize import MaterializedBatches
 from torchain_tpu.data.prefetch import Prefetcher
 from torchain_tpu.data.words import (
     WordCorpus,
@@ -75,6 +76,7 @@ __all__ = [
     "compute_cmvn_stats",
     "apply_cmvn_stats",
     "ChainBatch",
+    "MaterializedBatches",
     "Prefetcher",
     "ChainDataset",
     "E2eChainDataset",

@@ -552,6 +552,9 @@ class ChainDataset:
                     pad_arcs_to=pad_k,
                     pad_vocab_to=pad_v,
                     pad_steady_to=pad_st,
+                    # the device consumes pdf_local/frame_vocab only; the
+                    # raw [B,T,S,K] pdf ids are dead weight on this path
+                    materialize_pdf=False,
                 ),
             )
 

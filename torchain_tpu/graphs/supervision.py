@@ -407,6 +407,7 @@ def pad_and_stack_supervisions(
     pad_arcs_to: int | None = None,
     pad_vocab_to: int | None = None,
     pad_steady_to: int | None = None,
+    materialize_pdf: bool = True,
 ) -> Supervision:
     """Stack per-chunk supervisions into batched tensors with shared padding
     (the moral equivalent of nnet3-chain-merge-egs producing
@@ -414,7 +415,15 @@ def pad_and_stack_supervisions(
     (S, K) dims so consecutive batches share shapes and the jitted train
     step doesn't recompile per batch.  `pad_states_to`/`pad_arcs_to` force
     EXACT padded sizes (multi-host batches need shapes that agree across
-    processes without communicating); chunks exceeding them raise."""
+    processes without communicating); chunks exceeding them raise.
+
+    Index dtypes are narrowed at STACK time (in_src/pdf_local int16 when
+    the ranges fit) so DeviceSupervision.from_host converts nothing — the
+    loader fill bandwidth halves and the hot path stops copying twice.
+    `materialize_pdf=False` (the loader hot path) skips building the
+    [B, T, S, K] in_pdf entirely when every chunk carries precomputed
+    numerator tables: the device consumes only pdf_local/frame_vocab, so
+    the raw pdf ids are dead weight there (ops/device_graphs.py)."""
     if not sups:
         raise ValueError("no supervisions")
     T = max(s.num_frames for s in sups)
@@ -432,23 +441,29 @@ def pad_and_stack_supervisions(
         K = pad_arcs_to
     P = sups[0].num_pdfs
     B = len(sups)
-    in_src = np.full((B, T, S, K), -1, dtype=np.int32)
-    in_pdf = np.zeros((B, T, S, K), dtype=np.int32)
+    tables = [
+        s.frame_vocab is not None and s.pdf_local is not None for s in sups
+    ]
+    src_dt = np.int16 if S <= np.iinfo(np.int16).max else np.int32
+    in_src = np.full((B, T, S, K), -1, dtype=src_dt)
+    in_pdf = (
+        None
+        if (not materialize_pdf and all(tables))
+        else np.zeros((B, T, S, K), dtype=np.int32)
+    )
     in_logw = np.full((B, T, S, K), NEG_INF, dtype=np.float32)
     final_logw = np.full((B, S), NEG_INF, dtype=np.float32)
     num_states = np.zeros((B, T + 1), dtype=np.int32)
     for b, s in enumerate(sups):
         in_src[b, :, : s.max_states, : s.max_arcs] = s.in_src
-        in_pdf[b, :, : s.max_states, : s.max_arcs] = s.in_pdf
+        if in_pdf is not None:
+            in_pdf[b, :, : s.max_states, : s.max_arcs] = s.in_pdf
         in_logw[b, :, : s.max_states, : s.max_arcs] = s.in_logw
         final_logw[b, : s.max_states] = s.final_logw
         num_states[b] = s.num_states
     # stack the precomputed numerator tables (pad slots stay 0 — the
     # "strictly increasing valid prefix, 0-padded" vocab invariant and the
     # pdf_local=0-for-pad-arcs convention both survive padding unchanged)
-    tables = [
-        s.frame_vocab is not None and s.pdf_local is not None for s in sups
-    ]
     frame_vocab = pdf_local = None
     steady_need: int | None = None
     if all(tables):
@@ -461,8 +476,9 @@ def pad_and_stack_supervisions(
                     f"vocab cap {pad_vocab_to}"
                 )
             W = pad_vocab_to
+        loc_dt = np.int16 if W <= np.iinfo(np.int16).max else np.int32
         frame_vocab = np.zeros((B, T, W), dtype=np.int32)
-        pdf_local = np.zeros((B, T, S, K), dtype=np.int32)
+        pdf_local = np.zeros((B, T, S, K), dtype=loc_dt)
         for b, s in enumerate(sups):
             frame_vocab[b, :, : s.frame_vocab.shape[1]] = s.frame_vocab
             pdf_local[b, :, : s.max_states, : s.max_arcs] = s.pdf_local

@@ -50,23 +50,127 @@ from jax.tree_util import register_dataclass
 
 from torchain_tpu.graphs.den_graph import DenGraph
 
-#: usable VMEM budget per core (bytes); v5e measured to accept 120 MiB
-#: (tools/probe_vmem.py) — leave headroom for Mosaic's own buffers
-VMEM_BUDGET = int(_os.environ.get("TORCHAIN_VMEM_BUDGET", str(110 * 1024 * 1024)))
+#: explicit overrides (tests monkeypatch these; None = derive per device)
+VMEM_BUDGET: "int | None" = None
+F32_V_BUDGET: "int | None" = None
+PE_INKERNEL_MAX_P: "int | None" = None
 
-#: hold V in f32 while it fits this many bytes; bf16 beyond
-F32_V_BUDGET = int(_os.environ.get("TORCHAIN_RESIDENT_F32_V", str(68 * 1024 * 1024)))
+_MIB = 1024 * 1024
 
-#: expand pe = p[slot_pdf] IN-KERNEL (one-hot matmul against the resident
-#: [KS, P] table) while P is at most this: the matmul costs 2*P*KS FLOP per
-#: frame-row vs ~10*KS bytes of stream+glue for the host-side gather, so
-#: the crossover sits near P ~ 1100 on this v5e (measured: trigram P=80
-#: 6.24 -> 5.81 ms/step, production P=1680 11.4 -> 12.3 ms REGRESSION)
-PE_INKERNEL_MAX_P = int(_os.environ.get("TORCHAIN_PE_INKERNEL_MAX_P", "1024"))
+#: usable VMEM budget per device KIND (bytes).  "v5 lite" (this machine's
+#: v5e) is MEASURED: tools/probe_vmem.py bisect accepted ~120 MiB of
+#: kernel operands+scratch; 110 MiB leaves headroom for Mosaic's own
+#: buffers.  Same-VMEM-class kinds (v5p/v6: 128 MiB architectural VMEM)
+#: inherit the measured margin; small-VMEM generations get their
+#: architectural size minus the proportional margin.  An unmatched kind
+#: falls back conservatively — override with TORCHAIN_VMEM_BUDGET, or run
+#: tools/probe_vmem.py on the new part and extend this table.
+_VMEM_BUDGET_BY_KIND = (
+    ("v5 lite", 110 * _MIB),  # measured (probe + production kernels)
+    ("v5e", 110 * _MIB),
+    ("v5p", 110 * _MIB),
+    ("v5", 110 * _MIB),
+    ("v6", 110 * _MIB),
+    ("v4", 24 * _MIB),  # 32 MiB architectural VMEM
+    ("v3", 12 * _MIB),  # 16 MiB
+    ("v2", 12 * _MIB),
+)
+_FALLBACK_VMEM_BUDGET = 24 * _MIB
+
+#: pe-expansion crossover (see inkernel_pe): the in-kernel one-hot matmul
+#: costs 2*P*KS FLOP/frame-row vs ~10*KS bytes of stream+glue for the
+#: host-side gather; the break-even P tracks the device's FLOP/byte
+#: ratio.  1024 is MEASURED on this v5e (trigram P=80: 6.24 -> 5.81
+#: ms/step; production P=1680: 11.4 -> 12.3 ms REGRESSION).  Scaled to
+#: other kinds by their bf16-FLOPs/HBM-BW ratio relative to v5e
+#: (~197 TFLOP/s / 819 GB/s): a part with more FLOPs per byte of HBM
+#: should keep streaming to a higher P.
+_PE_MAX_P_BY_KIND = (
+    ("v5 lite", 1024),  # measured
+    ("v5e", 1024),
+    ("v5p", 1024),      # 459/2765 ~ 0.69x ratio; keep the measured value
+    ("v6", 1536),       # ~918/1640 ~ 2.3x FLOPs/byte of v5e
+    ("v4", 1024),
+)
+_FALLBACK_PE_MAX_P = 1024
+
+
+@functools.lru_cache(maxsize=1)
+def _device_kind() -> str:
+    import jax as _jax
+
+    try:
+        return _jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        return "unknown"
+
+
+def _by_kind(table, fallback: int) -> int:
+    kind = _device_kind()
+    for sub, val in table:
+        if sub in kind:
+            return val
+    return fallback
+
+
+def _disk_probe_cache() -> "int | None":
+    """Result of a previously-run tools/probe_vmem.py --save for this
+    device kind (repo-local cache; the probe costs minutes of relay
+    compiles, so it is explicit, never automatic)."""
+    import json
+    import pathlib
+
+    p = (
+        pathlib.Path(__file__).resolve().parents[2]
+        / ".cache"
+        / "vmem_budget.json"
+    )
+    try:
+        data = json.loads(p.read_text())
+        v = data.get(_device_kind())
+        return int(v) if v else None
+    except Exception:
+        return None
+
+
+def vmem_budget() -> int:
+    """Usable VMEM budget (bytes): explicit override > env > probed cache
+    > device-kind table > conservative fallback."""
+    if VMEM_BUDGET is not None:
+        return VMEM_BUDGET
+    env = _os.environ.get("TORCHAIN_VMEM_BUDGET")
+    if env:
+        return int(env)
+    probed = _disk_probe_cache()
+    if probed:
+        return probed
+    return _by_kind(_VMEM_BUDGET_BY_KIND, _FALLBACK_VMEM_BUDGET)
+
+
+def f32_v_budget() -> int:
+    """Keep V in f32 while it fits this many bytes; bf16 beyond.  Scales
+    with the VMEM budget (the v5e-measured 68 MiB crossover is ~62% of
+    its 110 MiB budget: V plus the slot one-hot and streams must still
+    fit)."""
+    if F32_V_BUDGET is not None:
+        return F32_V_BUDGET
+    env = _os.environ.get("TORCHAIN_RESIDENT_F32_V")
+    if env:
+        return int(env)
+    return int(vmem_budget() * 68 / 110)
+
+
+def pe_inkernel_max_p() -> int:
+    if PE_INKERNEL_MAX_P is not None:
+        return PE_INKERNEL_MAX_P
+    env = _os.environ.get("TORCHAIN_PE_INKERNEL_MAX_P")
+    if env:
+        return int(env)
+    return _by_kind(_PE_MAX_P_BY_KIND, _FALLBACK_PE_MAX_P)
 
 
 def inkernel_pe(g) -> bool:
-    return g.num_pdfs <= PE_INKERNEL_MAX_P
+    return g.num_pdfs <= pe_inkernel_max_p()
 
 
 def _round_up(x: int, m: int) -> int:
@@ -158,7 +262,7 @@ class DeviceResidentDenGraph:
         init[0, :S] = g.initial_probs
         if dtype is None:
             dtype = (
-                jnp.float32 if V.nbytes <= F32_V_BUDGET else jnp.bfloat16
+                jnp.float32 if V.nbytes <= f32_v_budget() else jnp.bfloat16
             )
         return DeviceResidentDenGraph(
             V=jnp.asarray(V, dtype=dtype),
@@ -193,7 +297,7 @@ def fits_vmem(g: DeviceResidentDenGraph, batch: int) -> bool:
     # over this conservative model (VMEM_BUDGET + 17 MiB, measured to
     # load at 120.75 MB used)
     temps = 4 * batch * KS * 3
-    return resident + stream + scratch + temps <= VMEM_BUDGET
+    return resident + stream + scratch + temps <= vmem_budget()
 
 
 def batch_chunk(g: DeviceResidentDenGraph, batch: int) -> int:
@@ -472,7 +576,7 @@ def den_forward(
         ],
         scratch_shapes=[pltpu.VMEM((Bc, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_BUDGET + 17 * 1024 * 1024,
+            vmem_limit_bytes=vmem_budget() + 17 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(*ins)
@@ -528,7 +632,7 @@ def den_backward(
             pltpu.VMEM((Bc, LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_BUDGET + 17 * 1024 * 1024,
+            vmem_limit_bytes=vmem_budget() + 17 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(

@@ -280,33 +280,40 @@ def frame_vocab_width(in_src, in_pdf) -> int:
 @register_dataclass
 @dataclasses.dataclass
 class DeviceSupervision:
-    """Batched packed numerator supervision [B, T, S, K] (see
-    graphs.supervision.Supervision for the layout contract).
-    `frame_vocab`/`pdf_local` are the per-frame pdf vocabulary derived in
-    from_host for the gather-free numerator (ops/num_scan.py)."""
+    """Batched packed numerator supervision, SPLIT at the frame-0 /
+    steady-state boundary (see graphs.supervision.Supervision for the
+    host layout contract).
 
-    in_src: jnp.ndarray  # int16/int32 [B, T, S, K] (int16 when S fits)
-    #: None on the hot path since round 2 — the gather-free scans consume
-    #: `pdf_local`/`frame_vocab` only, so the raw pdf ids never need to
-    #: reach the device (13 MB/batch of H2D traffic at production scale)
-    in_pdf: "jnp.ndarray | None"
-    in_logw: jnp.ndarray  # float32 [B, T, S, K]
+    Frame 0 concentrates the normalization FST's initial fan-in (up to
+    ~50 arcs/state) while frames >= 1 need only 2-12 (arcs are
+    left-packed per (b, t, s) row, so the static split is exact).  The
+    r2 design stored full-K [B, T, S, K] tensors and sliced
+    [..., :steady_arcs] ON DEVICE; r5 splits them HOST-side into a
+    frame-0 triple [B, S, K] plus a steady triple [B, T-1, S, Kst] —
+    identical kernels, but the H2D transfer and device residency shrink
+    ~3-4x at production scale (55 -> 17 MB/batch), which matters because
+    relay/host-mediated transfers burn host CPU the sustained loader
+    needs (BENCH_NOTES r5).
+
+    `frame_vocab`/`pdf_local*` are the per-frame pdf vocabulary tables
+    for the gather-free numerator (ops/num_scan.py)."""
+
+    in_src0: jnp.ndarray  # int16/int32 [B, S, K] (int16 when S fits)
+    in_logw0: jnp.ndarray  # float32 [B, S, K]
+    pdf_local0: jnp.ndarray  # int16/int32 [B, S, K]
+    in_src_r: jnp.ndarray  # [B, T-1, S, Kst]
+    in_logw_r: jnp.ndarray  # [B, T-1, S, Kst]
+    pdf_local_r: jnp.ndarray  # [B, T-1, S, Kst]
     final_logw: jnp.ndarray  # float32 [B, S]
     weight: jnp.ndarray  # float32 [B]
     #: per-frame pdf vocabulary for the gather-free numerator (round 2):
     #: the [B, T, P] emission gather/scatter collapses to W-sized lookups
     frame_vocab: jnp.ndarray  # int32 [B, T, W]
-    pdf_local: jnp.ndarray  # int16/int32 [B, T, S, K] (index into frame_vocab)
     num_frames: int = dataclasses.field(metadata=dict(static=True))
     max_states: int = dataclasses.field(metadata=dict(static=True))
     max_arcs: int = dataclasses.field(metadata=dict(static=True))
     num_pdfs: int = dataclasses.field(metadata=dict(static=True))
-    #: max in-degree over frames >= 1 (rounded): frame 0 concentrates the
-    #: normalization FST's initial fan-in (up to ~50 arcs/state) while the
-    #: steady state needs 2-12, so the scans run on [..., :steady_arcs]
-    #: slices and only the one frame-0 step uses the full K (round-2 fix:
-    #: 4x less numerator work at trigram scale).  Arcs are left-packed per
-    #: (b, t, s) row, so the static slice is exact.
+    #: arc-slot width of the steady triple (frames >= 1), rounded
     steady_arcs: int = dataclasses.field(default=0, metadata=dict(static=True))
     #: optional per-frame DERIVATIVE weights [B, T] (deriv_weights
     #: semantics, [K] nnet-chain-training.cc ApplyDerivWeights): scale the
@@ -319,7 +326,12 @@ class DeviceSupervision:
         """From a batched (pad_and_stack_supervisions) or single supervision;
         a single one gets a leading batch dim of 1."""
         in_src = s.in_src if s.in_src.ndim == 4 else s.in_src[None]
-        in_pdf = s.in_pdf if s.in_pdf.ndim == 4 else s.in_pdf[None]
+        # in_pdf may be absent (stacked with materialize_pdf=False): the
+        # gather-free scans consume only the precomputed tables, which
+        # must then be present
+        in_pdf = None
+        if s.in_pdf is not None:
+            in_pdf = s.in_pdf if s.in_pdf.ndim == 4 else s.in_pdf[None]
         in_logw = s.in_logw if s.in_logw.ndim == 4 else s.in_logw[None]
         final = s.final_logw if s.final_logw.ndim == 2 else s.final_logw[None]
         B = in_src.shape[0]
@@ -345,6 +357,12 @@ class DeviceSupervision:
                 frame_vocab = np.pad(frame_vocab, ((0, 0), (0, 0), (0, pad)))
             need = int(pre_need)
         else:
+            if in_pdf is None:
+                raise ValueError(
+                    "supervision stacked with materialize_pdf=False but "
+                    "without precomputed numerator tables; cannot derive "
+                    "frame_vocab/pdf_local"
+                )
             frame_vocab, pdf_local = _frame_vocab_tables(
                 np.asarray(in_src), np.asarray(in_pdf),
                 pad_to=getattr(s, "vocab_cap", None),
@@ -371,13 +389,22 @@ class DeviceSupervision:
             in_src = np.asarray(in_src, dtype=np.int16)
         if frame_vocab.shape[-1] <= np.iinfo(np.int16).max:
             pdf_local = np.asarray(pdf_local, dtype=np.int16)
+        # frame-0 / steady split (see class docstring): numpy slice-copies
+        # here, so only ~1/4 of the full-K tensors ever reach the device
+        in_src = np.asarray(in_src)
+        in_logw = np.asarray(in_logw)
+        pdf_local = np.asarray(pdf_local)
         return DeviceSupervision(
-            in_src=jnp.asarray(in_src),
-            in_pdf=None,
-            in_logw=jnp.asarray(in_logw),
+            in_src0=jnp.asarray(in_src[:, 0]),
+            in_logw0=jnp.asarray(in_logw[:, 0]),
+            pdf_local0=jnp.asarray(pdf_local[:, 0]),
+            in_src_r=jnp.asarray(np.ascontiguousarray(in_src[:, 1:, :, :steady])),
+            in_logw_r=jnp.asarray(np.ascontiguousarray(in_logw[:, 1:, :, :steady])),
+            pdf_local_r=jnp.asarray(
+                np.ascontiguousarray(pdf_local[:, 1:, :, :steady])
+            ),
             final_logw=jnp.asarray(final),
             frame_vocab=jnp.asarray(frame_vocab),
-            pdf_local=jnp.asarray(pdf_local),
             weight=jnp.broadcast_to(
                 jnp.asarray(s.weight, dtype=jnp.float32), (B,)
             ),

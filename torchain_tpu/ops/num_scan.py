@@ -191,11 +191,8 @@ def _scatter_vocab(
 
 
 def _steady(sup: DeviceSupervision) -> int:
-    """Arc-slot count of frames >= 1 (falls back to the full K when the
-    container predates / omits the steady split)."""
-    K = sup.in_src.shape[-1]
-    k = getattr(sup, "steady_arcs", 0)
-    return k if 0 < k <= K else K
+    """Arc-slot width of the steady (frames >= 1) triple."""
+    return int(sup.in_src_r.shape[-1])
 
 
 def _emit(ysm: jnp.ndarray, pdf_local: jnp.ndarray) -> jnp.ndarray:
@@ -240,7 +237,7 @@ def num_forward(
     Kr = _steady(sup)
     alpha1, _ = step(
         a0,
-        (ysmall[:, 0], sup.in_src[:, 0], sup.pdf_local[:, 0], sup.in_logw[:, 0]),
+        (ysmall[:, 0], sup.in_src0, sup.pdf_local0, sup.in_logw0),
     )
     if T > 1:
         if _use_resident():
@@ -248,18 +245,18 @@ def num_forward(
 
             aT, rest = num_resident.steady_forward(
                 alpha1,
-                sup.in_src[:, 1:, :, :Kr],
-                sup.pdf_local[:, 1:, :, :Kr],
-                sup.in_logw[:, 1:, :, :Kr],
+                sup.in_src_r,
+                sup.pdf_local_r,
+                sup.in_logw_r,
                 ysmall[:, 1:],
                 interpret=_interpret(),
             )
         else:
             xs = (
                 jnp.swapaxes(ysmall[:, 1:], 0, 1),  # [T-1, B, W]
-                jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),  # [T-1, B, S, Kr]
-                jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
-                jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+                jnp.swapaxes(sup.in_src_r, 0, 1),  # [T-1, B, S, Kr]
+                jnp.swapaxes(sup.pdf_local_r, 0, 1),
+                jnp.swapaxes(sup.in_logw_r, 0, 1),
             )
             aT, rest = jax.lax.scan(step, alpha1, xs, unroll=UNROLL)
         alphas = jnp.concatenate([a0[None], alpha1[None], rest], axis=0)
@@ -326,9 +323,9 @@ def num_backward(
             from torchain_tpu.ops import num_resident
 
             beta1, gsm_rest = num_resident.steady_backward(
-                sup.in_src[:, 1:, :, :Kr],
-                sup.pdf_local[:, 1:, :, :Kr],
-                sup.in_logw[:, 1:, :, :Kr],
+                sup.in_src_r,
+                sup.pdf_local_r,
+                sup.in_logw_r,
                 ysmall[:, 1:],
                 alphas[1:-1],
                 sup.final_logw,
@@ -338,9 +335,9 @@ def num_backward(
         else:
             xs = (
                 jnp.swapaxes(ysmall[:, 1:], 0, 1),
-                jnp.swapaxes(sup.in_src[:, 1:, :, :Kr], 0, 1),
-                jnp.swapaxes(sup.pdf_local[:, 1:, :, :Kr], 0, 1),
-                jnp.swapaxes(sup.in_logw[:, 1:, :, :Kr], 0, 1),
+                jnp.swapaxes(sup.in_src_r, 0, 1),
+                jnp.swapaxes(sup.pdf_local_r, 0, 1),
+                jnp.swapaxes(sup.in_logw_r, 0, 1),
                 alphas[1:-1],
             )
             beta1, gsm_rest = jax.lax.scan(
@@ -352,9 +349,9 @@ def num_backward(
         beta1,
         (
             ysmall[:, 0],
-            sup.in_src[:, 0],
-            sup.pdf_local[:, 0],
-            sup.in_logw[:, 0],
+            sup.in_src0,
+            sup.pdf_local0,
+            sup.in_logw0,
             alphas[0],
         ),
     )

@@ -305,9 +305,13 @@ class Trainer:
     # -- sharding ---------------------------------------------------------
 
     def _put_batch(self, batch: ChainBatch):
+        from torchain_tpu.data.materialize import PlacedBatch
         from torchain_tpu.graphs.e2e import E2eSupervision
         from torchain_tpu.ops.num_e2e import DeviceE2eSupervision
 
+        if isinstance(batch, PlacedBatch):
+            # device-materialized batch: arrays are already resident
+            return batch.feats, batch.sup
         if isinstance(batch.sup, E2eSupervision):
             sup_host = DeviceE2eSupervision.from_host(batch.sup)
         else:
