@@ -19,6 +19,9 @@
 // Build: make -C csrc    (produces libtorchain_tpu_native.so)
 
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -34,7 +37,7 @@ extern "C" {
 // Bumped whenever any symbol's signature changes; the Python bridge
 // rebuilds a stale .so whose sources are newer (make does the mtime
 // check), so this is a belt-and-braces guard for hand-copied binaries.
-int tt_abi_version(void) { return 2; }
+int tt_abi_version(void) { return 3; }
 
 // Returns 0 on success, nonzero on error.  out_phones must have room for T
 // entries; *out_len receives the number of phones written.
@@ -145,111 +148,191 @@ static int viterbi_active_impl(
     int out_capacity,
     int32_t* out_phones, int32_t* out_len, float* out_score) {
   if (num_states <= 0 || num_arcs <= 0 || num_frames <= 0) return 1;
-  const int S = num_states, A = num_arcs, T = num_frames, P = num_pdfs;
+  const int A = num_arcs, T = num_frames, P = num_pdfs;
 
+  // Frontier tokens live in a COMPACT entry vector + an open-addressing
+  // hash keyed by graph state (faster-decoder.cc's token hash): the
+  // per-candidate random touch lands in a table sized to the frontier
+  // (L2-resident) instead of S-sized dense arrays (~17 MB at the 2.6M-
+  // arc stress graph, where every relaxation was a DRAM miss).  Token
+  // records append per SURVIVOR after each frame settles — a wide beam's
+  // transient improvements never grow the record vector.
+  struct Ent { double score; int32_t state; int32_t arc; int32_t prev; };
   std::vector<Rec> recs;
   recs.reserve(1 << 16);
+  std::vector<Ent> cur_ents, ents;
+  cur_ents.reserve(1 << 12);
+  ents.reserve(1 << 12);
 
-  std::vector<double> score(S, kNegInf), nscore(S, kNegInf);
-  std::vector<int32_t> rec_of(S, -1), nrec(S, -1);
-  std::vector<int32_t> active, nactive, stamp(S, -1);
-  active.push_back(0);
-  score[0] = 0.0;
-  rec_of[0] = -1;
+  uint32_t cap = 1 << 13;  // buckets (power of two), grown on demand
+  std::vector<int32_t> bkt(cap, -1), bstamp(cap, -1);
+  int32_t fid = 0;  // hash epoch (per expansion phase)
+
+  auto rehash = [&]() {
+    cap <<= 1;
+    bkt.assign(cap, -1);
+    bstamp.assign(cap, fid);
+    for (int32_t i = 0; i < static_cast<int32_t>(ents.size()); ++i) {
+      uint32_t h = static_cast<uint32_t>(ents[i].state) * 2654435761u
+                   & (cap - 1);
+      while (bkt[h] >= 0) h = (h + 1) & (cap - 1);
+      bkt[h] = i;
+    }
+  };
+  // bucket slot for state d in the current epoch (insert position or the
+  // existing entry's index)
+  auto slot_of = [&](int32_t d) -> int32_t* {
+    uint32_t h = static_cast<uint32_t>(d) * 2654435761u & (cap - 1);
+    while (true) {
+      if (bstamp[h] != fid) { bstamp[h] = fid; bkt[h] = -1; }
+      int32_t ei = bkt[h];
+      if (ei < 0 || ents[ei].state == d) return &bkt[h];
+      h = (h + 1) & (cap - 1);
+    }
+  };
+
+  cur_ents.push_back(Ent{0.0, 0, -1, -1});  // start token: no record
 
   // one exact level-ordered relaxation sweep of the eps arcs over the
-  // stamped (sc, rc, act) frontier; new states join act
-  auto relax_eps = [&](std::vector<double>& sc, std::vector<int32_t>& rc,
-                       std::vector<int32_t>& act, std::vector<int32_t>& stmp,
-                       int32_t sval, double& best) {
+  // hashed frontier (ents + current epoch); new states join ents.
+  // Sources settle (materialize a record) on first use so within-frame
+  // eps chains have a predecessor record to reference.
+  constexpr int32_t kSettled = -2;
+  auto settle = [&](Ent& e) -> int32_t {
+    if (e.arc == kSettled) return e.prev;
+    const int32_t r = static_cast<int32_t>(recs.size());
+    recs.push_back(Rec{e.state, e.arc, e.prev});
+    e.arc = kSettled;
+    e.prev = r;
+    return r;
+  };
+  auto relax_eps = [&](double& best) {
     for (int e = 0; e < num_eps; ++e) {
       const int32_t s = eps_src[e];
-      if (stmp[s] != sval || sc[s] == kNegInf) continue;
-      const double v = sc[s] + eps_w[e];
+      int32_t* sp = slot_of(s);
+      if (*sp < 0 || ents[*sp].score == kNegInf) continue;
+      const double v = ents[*sp].score + eps_w[e];
       const int32_t d = eps_dst[e];
-      if (stmp[d] != sval) {
-        stmp[d] = sval;
-        sc[d] = kNegInf;
-        rc[d] = -1;
-        act.push_back(d);
-      }
-      if (v > sc[d]) {
-        sc[d] = v;
-        rc[d] = static_cast<int32_t>(recs.size());
-        recs.push_back(Rec{d, A + e, rc[s]});
+      const int32_t srec = settle(ents[*sp]);
+      int32_t* dp = slot_of(d);
+      if (*dp < 0) {
+        *dp = static_cast<int32_t>(ents.size());
+        ents.push_back(Ent{v, d, A + e, srec});
+        if (v > best) best = v;
+        if (ents.size() * 2 > cap) rehash();
+      } else if (v > ents[*dp].score) {
+        Ent& de = ents[*dp];
+        de.score = v;
+        de.arc = A + e;
+        de.prev = srec;
         if (v > best) best = v;
       }
     }
   };
 
-  if (num_eps) {  // initial closure from the start state (boundary 0)
-    std::vector<int32_t> stamp0(S, -1);
-    stamp0[0] = 0;
+  if (num_eps) {  // initial closure from the start state
+    // seed the hash with the start token so eps arcs can find it
+    ents = cur_ents;
+    ++fid;
+    *slot_of(0) = 0;
     double best0 = 0.0;
-    relax_eps(score, rec_of, active, stamp0, 0, best0);
+    cur_ents[0].arc = kSettled;  // start already "settled" (no record)
+    ents[0].arc = kSettled;
+    relax_eps(best0);
+    for (Ent& e : ents) settle(e);
+    cur_ents = ents;
   }
 
   std::vector<double> cand;  // scratch for max_active cutoff
+  // adaptive beam (faster-decoder.cc GetCutoff): when max_active binds,
+  // the next frame expands with the tightened beam so candidates that
+  // cannot survive are skipped before touching the hash
+  const double beam_delta = 0.5;
+  double beam_eff = beam;
   for (int t = 0; t < T; ++t) {
     const float* ll = loglikes + static_cast<size_t>(t) * P;
-    nactive.clear();
+    double ll_max = kNegInf;
+    for (int p = 0; p < P; ++p)
+      if (ll[p] > ll_max) ll_max = ll[p];
+    ents.clear();
+    ++fid;
     double best = kNegInf;
-    for (int32_t s : active) {
-      const double ts = score[s];
-      const int32_t prev_rec = rec_of[s];
+    // expand the best token first so `best` is established before the
+    // wide-fanout states enumerate (faster-decoder processes best-first)
+    if (!cur_ents.empty()) {
+      size_t bi = 0;
+      for (size_t i = 1; i < cur_ents.size(); ++i)
+        if (cur_ents[i].score > cur_ents[bi].score) bi = i;
+      std::swap(cur_ents[0], cur_ents[bi]);
+    }
+    for (const Ent& e : cur_ents) {
+      const double ts = e.score;
+      const int32_t prev_rec = e.prev;  // settled: record id
+      const int32_t s = e.state;
       for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
+        // arcs are weight-DESCENDING within the block (_src_csr): once
+        // even the frame-max emission cannot reach the cutoff, no later
+        // arc of this state can either
+        if (ts + weight[a] + ll_max <= best - beam_eff) break;
         const double sc = ts + weight[a] + ll[pdf[a]];
+        if (sc <= best - beam_eff) continue;  // below any final cutoff
         const int32_t d = dst[a];
-        if (stamp[d] != t) {
-          stamp[d] = t;
-          nscore[d] = kNegInf;
-          nrec[d] = -1;
-          nactive.push_back(d);
-        }
-        if (sc > nscore[d]) {
-          nscore[d] = sc;
-          nrec[d] = static_cast<int32_t>(recs.size());
-          recs.push_back(Rec{d, a, prev_rec});
+        int32_t* dp = slot_of(d);
+        if (*dp < 0) {
+          *dp = static_cast<int32_t>(ents.size());
+          ents.push_back(Ent{sc, d, a, prev_rec});
+          if (sc > best) best = sc;
+          if (ents.size() * 2 > cap) rehash();
+        } else if (sc > ents[*dp].score) {
+          Ent& de = ents[*dp];
+          de.score = sc;
+          de.arc = a;
+          de.prev = prev_rec;
           if (sc > best) best = sc;
         }
       }
     }
-    if (nactive.empty() || best == kNegInf) return 2;  // all tokens died
-    if (num_eps) relax_eps(nscore, nrec, nactive, stamp, t, best);
+    if (ents.empty() || best == kNegInf) return 2;  // all tokens died
+    if (num_eps) relax_eps(best);
     double cutoff = best - beam;
-    if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
+    if (max_active > 0 && static_cast<int>(ents.size()) > max_active) {
       cand.clear();
-      for (int32_t s : nactive) cand.push_back(nscore[s]);
+      for (const Ent& e : ents) cand.push_back(e.score);
       std::nth_element(cand.begin(), cand.begin() + (max_active - 1),
                        cand.end(), std::greater<double>());
       cutoff = std::max(cutoff, cand[max_active - 1]);
     }
-    active.clear();
-    for (int32_t s : nactive) {
-      if (nscore[s] >= cutoff) {
-        score[s] = nscore[s];
-        rec_of[s] = nrec[s];
-        active.push_back(s);
+    beam_eff = (cutoff > best - beam)
+                   ? std::min(static_cast<double>(beam),
+                              best - cutoff + beam_delta)
+                   : beam;
+    cur_ents.clear();
+    for (Ent& e : ents) {
+      if (e.score >= cutoff) {
+        settle(e);
+        cur_ents.push_back(e);
       }
     }
   }
 
   int32_t best_rec = -1;
   double best_score = kNegInf;
-  for (int pass = 0; pass < 2 && best_rec < 0; ++pass) {
-    for (int32_t s : active) {
-      double sc = score[s];
+  bool have = false;
+  for (int pass = 0; pass < 2 && !have; ++pass) {
+    for (const Ent& e : cur_ents) {
+      double sc = e.score;
       if (use_final && pass == 0) {
-        if (final_logw[s] == kNegInf) continue;
-        sc += final_logw[s];
+        if (final_logw[e.state] == kNegInf) continue;
+        sc += final_logw[e.state];
       }
       if (sc > best_score) {
         best_score = sc;
-        best_rec = rec_of[s];
+        best_rec = e.prev;
+        have = true;
       }
     }
   }
-  if (best_rec < 0) return 3;
+  if (!have) return 3;
 
   std::vector<int32_t> rev;
   rev.reserve(T);
@@ -339,6 +422,11 @@ static void* lattice_impl(
     int num_states, int num_arcs, int num_pdfs, int num_frames,
     const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
     const float* weight, const int32_t* olabel, const float* final_logw,
+    // dst-sorted view for the TRANSPOSED emission pass (in-arc CSR):
+    // survivors' in-arcs avoid re-enumerating the 20k+-fanout LM hub
+    // states' out-arc blocks a second time
+    const int32_t* dofs, const int32_t* dsrc, const int32_t* dpdf,
+    const float* dweight, const int32_t* dolabel,
     int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
     const float* eps_w, const int32_t* eps_olabel,
     const float* loglikes,  // [T, P] row-major
@@ -348,90 +436,119 @@ static void* lattice_impl(
   *err = 0;
   if (num_states <= 0 || num_arcs <= 0 || num_frames <= 0) { *err = 1; return nullptr; }
   const int S = num_states, T = num_frames, P = num_pdfs;
+  const bool dbg = getenv("TT_DEBUG") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto t_start = now();
 
   // forward pass: per-frame-boundary active token lists + scores (kept for
   // all boundaries -- O(total live tokens), the lattice needs them anyway)
   std::vector<std::vector<int32_t>> frame_active(T + 1);
-  std::vector<double> score(S, kNegInf), nscore(S, kNegInf);
-  std::vector<int32_t> stamp(S, -1), nactive;
+  // one 16-byte slot per state (score + stamp): one cache line per
+  // random d-indexed touch — see viterbi_active_impl
+  struct LSlot { double score; int32_t stamp; int32_t pad; };
+  std::vector<LSlot> cur(S, LSlot{kNegInf, -1, 0});
+  std::vector<LSlot> nxt(S, LSlot{kNegInf, -1, 0});
+  std::vector<int32_t> nactive;
   frame_active[0].push_back(0);
-  score[0] = 0.0;
+  cur[0].score = 0.0;
+  cur[0].stamp = 0;
 
   // relax the (level-sorted) eps arcs over a stamped frontier in place
-  auto relax_eps = [&](std::vector<double>& sc, std::vector<int32_t>& act,
-                       std::vector<int32_t>& stmp, int32_t sval,
-                       double& best) {
+  auto relax_eps = [&](std::vector<LSlot>& sl, std::vector<int32_t>& act,
+                       int32_t sval, double& best) {
     for (int e = 0; e < num_eps; ++e) {
       const int32_t s = eps_src[e];
-      if (stmp[s] != sval || sc[s] == kNegInf) continue;
-      const double v = sc[s] + eps_w[e];
+      if (sl[s].stamp != sval || sl[s].score == kNegInf) continue;
+      const double v = sl[s].score + eps_w[e];
       const int32_t d = eps_dst[e];
-      if (stmp[d] != sval) {
-        stmp[d] = sval;
-        sc[d] = kNegInf;
+      LSlot& ds = sl[d];
+      if (ds.stamp != sval) {
+        ds.stamp = sval;
+        ds.score = kNegInf;
         act.push_back(d);
       }
-      if (v > sc[d]) {
-        sc[d] = v;
+      if (v > ds.score) {
+        ds.score = v;
         if (v > best) best = v;
       }
     }
   };
 
-  if (num_eps) {  // initial closure from the start state (boundary 0)
-    std::vector<int32_t> stamp0(S, -1);
-    stamp0[0] = 0;
+  if (num_eps) {  // initial closure from the start state (stamp 0 on cur)
     double best0 = 0.0;
-    relax_eps(score, frame_active[0], stamp0, 0, best0);
+    relax_eps(cur, frame_active[0], 0, best0);
   }
 
   std::vector<double> cand;
+  const double beam_delta = 0.5;  // adaptive beam; see viterbi_active_impl
+  double beam_eff = beam;
   for (int t = 0; t < T; ++t) {
     const float* ll = loglikes + static_cast<size_t>(t) * P;
+    double ll_max = kNegInf;
+    for (int p = 0; p < P; ++p)
+      if (ll[p] > ll_max) ll_max = ll[p];
     nactive.clear();
     double best = kNegInf;
-    for (int32_t s : frame_active[t]) {
-      const double ts = score[s];
+    // expand the best token first so `best` is established before the
+    // wide-fanout states enumerate — WITHOUT reordering frame_active
+    // (the emission pass replays it and state 0 must stay first at t=0)
+    const auto& fa = frame_active[t];
+    size_t bi = 0;
+    for (size_t i = 1; i < fa.size(); ++i)
+      if (cur[fa[i]].score > cur[fa[bi]].score) bi = i;
+    for (size_t ii = 0; ii < fa.size(); ++ii) {
+      const int32_t s = ii == 0 ? fa[bi] : (ii == bi ? fa[0] : fa[ii]);
+      const double ts = cur[s].score;
       for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
+        // weight-descending arc blocks (_src_csr): break when even the
+        // frame-max emission cannot reach the cutoff
+        if (ts + weight[a] + ll_max <= best - beam_eff) break;
         const double sc = ts + weight[a] + ll[pdf[a]];
+        if (sc <= best - beam_eff) continue;
         const int32_t d = dst[a];
-        if (stamp[d] != t) {
-          stamp[d] = t;
-          nscore[d] = kNegInf;
+        LSlot& ds = nxt[d];
+        if (ds.stamp != t) {
+          ds.stamp = t;
+          ds.score = kNegInf;
           nactive.push_back(d);
         }
-        if (sc > nscore[d]) {
-          nscore[d] = sc;
+        if (sc > ds.score) {
+          ds.score = sc;
           if (sc > best) best = sc;
         }
       }
     }
     if (nactive.empty() || best == kNegInf) { *err = 2; return nullptr; }
-    if (num_eps) relax_eps(nscore, nactive, stamp, t, best);
+    if (num_eps) relax_eps(nxt, nactive, t, best);
     double cutoff = best - beam;
     if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
       cand.clear();
-      for (int32_t s : nactive) cand.push_back(nscore[s]);
+      for (int32_t s : nactive) cand.push_back(nxt[s].score);
       std::nth_element(cand.begin(), cand.begin() + (max_active - 1),
                        cand.end(), std::greater<double>());
       cutoff = std::max(cutoff, cand[max_active - 1]);
     }
+    beam_eff = (cutoff > best - beam)
+                   ? std::min(static_cast<double>(beam),
+                              best - cutoff + beam_delta)
+                   : beam;
     auto& act = frame_active[t + 1];
     for (int32_t s : nactive) {
-      if (nscore[s] >= cutoff) {
-        act.push_back(s);
-        score[s] = nscore[s];
-      }
+      if (nxt[s].score >= cutoff) act.push_back(s);
     }
+    std::swap(cur, nxt);
   }
 
-  // emission pass: arcs between surviving tokens of consecutive boundaries
-  // plus (eps mode) eps arcs between same-boundary survivors.  Lattice ids
-  // are per (boundary, state): each boundary's survivors get ids up front
-  // (every survivor has an in-arc by construction), stamped with the
-  // boundary index in bstamp so both endpoints' liveness is O(1).  A state
-  // alive in consecutive boundaries keeps two distinct ids, as the
-  // time-unrolled lattice requires.
+  auto t_fwd = now();
+  // emission pass (TRANSPOSED): for each boundary-(t+1) survivor, walk
+  // its IN-arcs (dst-sorted CSR) and keep those whose source survived
+  // boundary t — same arc set as the out-arc formulation, but the LM hub
+  // states' 20k+ out-arc blocks are never re-enumerated (their targets'
+  // in-degrees are small).  Lattice ids are per (boundary, state); a
+  // state alive in consecutive boundaries keeps two distinct ids, as the
+  // time-unrolled lattice requires.  bstamp[s] marks the LATEST boundary
+  // s survived; sprev_stamp distinguishes "also survived boundary t"
+  // for the source-side membership test.
   auto lat = new TtLattice();
   std::vector<int32_t> bstamp(S, -1);
   std::vector<int32_t> cur_lid(S, -1), nxt_lid(S, -1);
@@ -440,18 +557,23 @@ static void* lattice_impl(
     cur_lid[s] = lat->num_states++;
     lat->state_time.push_back(0);
   }
-  auto emit_eps = [&](int32_t boundary, const std::vector<int32_t>& lid) {
+  auto emit_eps = [&](int32_t boundary, const std::vector<int32_t>& lid_s,
+                      const std::vector<int32_t>& lid_d) {
     for (int e = 0; e < num_eps; ++e) {
       const int32_t s = eps_src[e], d = eps_dst[e];
       if (bstamp[s] != boundary || bstamp[d] != boundary) continue;
-      lat->arc_src.push_back(lid[s]);
-      lat->arc_dst.push_back(lid[d]);
+      lat->arc_src.push_back(lid_s[s]);
+      lat->arc_dst.push_back(lid_d[d]);
       lat->arc_olabel.push_back(eps_olabel[e]);
       lat->arc_w.push_back(eps_w[e]);
       lat->arc_am.push_back(0.0f);
     }
   };
-  if (num_eps) emit_eps(0, cur_lid);
+  if (num_eps) emit_eps(0, cur_lid, cur_lid);
+  // source-boundary membership: a state survived boundary t iff its
+  // cur-side stamp says so (maintained as the loop advances)
+  std::vector<int32_t> src_stamp(S, -1);
+  for (int32_t s : frame_active[0]) src_stamp[s] = 0;
   for (int t = 0; t < T; ++t) {
     const float* ll = loglikes + static_cast<size_t>(t) * P;
     for (int32_t s : frame_active[t + 1]) {
@@ -459,21 +581,44 @@ static void* lattice_impl(
       nxt_lid[s] = lat->num_states++;
       lat->state_time.push_back(t + 1);
     }
-    for (size_t i = 0; i < frame_active[t].size(); ++i) {
-      const int32_t s = frame_active[t][i];
-      const int32_t sid = cur_lid[s];
-      for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
-        const int32_t d = dst[a];
-        if (bstamp[d] != t + 1) continue;
-        const double am = ll[pdf[a]];
-        lat->arc_src.push_back(sid);
-        lat->arc_dst.push_back(nxt_lid[d]);
-        lat->arc_olabel.push_back(olabel[a]);
-        lat->arc_w.push_back(static_cast<float>(weight[a] + am));
-        lat->arc_am.push_back(static_cast<float>(am));
+    // pick the cheaper enumeration direction for this boundary: the LM
+    // hub states have 20k+ OUT-arcs (expensive forward) while frequent
+    // words' entry states have large IN-degrees (expensive transposed);
+    // both walks produce exactly the arcs between survivors
+    int64_t cost_fwd = 0, cost_bwd = 0;
+    for (int32_t s : frame_active[t]) cost_fwd += offsets[s + 1] - offsets[s];
+    for (int32_t d : frame_active[t + 1]) cost_bwd += dofs[d + 1] - dofs[d];
+    if (cost_bwd <= cost_fwd) {
+      for (int32_t d : frame_active[t + 1]) {
+        const int32_t did = nxt_lid[d];
+        for (int32_t a = dofs[d]; a < dofs[d + 1]; ++a) {
+          const int32_t s2 = dsrc[a];
+          if (src_stamp[s2] != t) continue;
+          const double am = ll[dpdf[a]];
+          lat->arc_src.push_back(cur_lid[s2]);
+          lat->arc_dst.push_back(did);
+          lat->arc_olabel.push_back(dolabel[a]);
+          lat->arc_w.push_back(static_cast<float>(dweight[a] + am));
+          lat->arc_am.push_back(static_cast<float>(am));
+        }
+      }
+    } else {
+      for (int32_t s2 : frame_active[t]) {
+        const int32_t sid = cur_lid[s2];
+        for (int32_t a = offsets[s2]; a < offsets[s2 + 1]; ++a) {
+          const int32_t d = dst[a];
+          if (bstamp[d] != t + 1) continue;
+          const double am = ll[pdf[a]];
+          lat->arc_src.push_back(sid);
+          lat->arc_dst.push_back(nxt_lid[d]);
+          lat->arc_olabel.push_back(olabel[a]);
+          lat->arc_w.push_back(static_cast<float>(weight[a] + am));
+          lat->arc_am.push_back(static_cast<float>(am));
+        }
       }
     }
-    if (num_eps) emit_eps(t + 1, nxt_lid);
+    if (num_eps) emit_eps(t + 1, nxt_lid, nxt_lid);
+    for (int32_t s : frame_active[t + 1]) src_stamp[s] = t + 1;
     std::swap(cur_lid, nxt_lid);
   }
 
@@ -496,6 +641,7 @@ static void* lattice_impl(
   }
   if (lat->final_state.empty()) { delete lat; *err = 3; return nullptr; }
 
+  auto t_emit = now();
   // trim: keep states reachable from 0 AND co-reachable from a final.
   // Arcs were emitted in boundary order with all same-boundary eps arcs in
   // level order, so one forward and one reverse sweep over the arc list
@@ -549,6 +695,14 @@ static void* lattice_impl(
   *out_num_states = lat->num_states;
   *out_num_arcs = static_cast<int32_t>(na_keep);
   *out_num_finals = static_cast<int32_t>(nf_keep);
+  if (dbg) {
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    auto t_end = std::chrono::steady_clock::now();
+    fprintf(stderr, "[lat] fwd=%.1fms emit=%.1fms trim=%.1fms\n",
+            ms(t_start, t_fwd), ms(t_fwd, t_emit), ms(t_emit, t_end));
+  }
   return lat;
 }
 
@@ -563,13 +717,16 @@ void* tt_lattice_decode(
     int num_states, int num_arcs, int num_pdfs, int num_frames,
     const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
     const float* weight, const int32_t* olabel, const float* final_logw,
+    const int32_t* dofs, const int32_t* dsrc, const int32_t* dpdf,
+    const float* dweight, const int32_t* dolabel,
     const float* loglikes,  // [T, P] row-major
     float beam, int max_active, int use_final,
     int32_t* out_num_states, int32_t* out_num_arcs, int32_t* out_num_finals,
     int32_t* err) {
   return lattice_impl(
       num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
-      olabel, final_logw, 0, nullptr, nullptr, nullptr, nullptr, loglikes,
+      olabel, final_logw, dofs, dsrc, dpdf, dweight, dolabel, 0, nullptr,
+      nullptr, nullptr, nullptr, loglikes,
       beam, max_active, use_final, out_num_states, out_num_arcs,
       out_num_finals, err);
 }
@@ -580,6 +737,8 @@ void* tt_lattice_decode_eps(
     int num_states, int num_arcs, int num_pdfs, int num_frames,
     const int32_t* offsets, const int32_t* dst, const int32_t* pdf,
     const float* weight, const int32_t* olabel, const float* final_logw,
+    const int32_t* dofs, const int32_t* dsrc, const int32_t* dpdf,
+    const float* dweight, const int32_t* dolabel,
     int num_eps, const int32_t* eps_src, const int32_t* eps_dst,
     const float* eps_w, const int32_t* eps_olabel,
     const float* loglikes, float beam, int max_active, int use_final,
@@ -587,7 +746,8 @@ void* tt_lattice_decode_eps(
     int32_t* err) {
   return lattice_impl(
       num_states, num_arcs, num_pdfs, num_frames, offsets, dst, pdf, weight,
-      olabel, final_logw, num_eps, eps_src, eps_dst, eps_w, eps_olabel,
+      olabel, final_logw, dofs, dsrc, dpdf, dweight, dolabel, num_eps,
+      eps_src, eps_dst, eps_w, eps_olabel,
       loglikes, beam, max_active, use_final, out_num_states, out_num_arcs,
       out_num_finals, err);
 }

@@ -20,8 +20,92 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
+def stress(args):
+    """Million-arc HCLG stress (VERDICT r4 missing #5): a >=30k-word
+    lexicon + pruned 3-gram word LM composed to a real-scale graph, then
+    best-path + lattice generation through csrc/decoder.cc with
+    max-active, reporting RTF + peak RSS.  No model training: posteriors
+    are synthetic sharp log-probs over a random pdf path (flat posteriors
+    would inflate the active set beyond anything real)."""
+    import resource
+
+    import numpy as np
+
+    from torchain_tpu.data.words import random_lexicon, train_word_lm
+    from torchain_tpu.eval import make_word_decoding_graph, viterbi_decode
+    from torchain_tpu.eval.lattice import lattice_best_path, lattice_decode
+    from torchain_tpu.graphs import ContextTree
+
+    rng = np.random.default_rng(0)
+    V, NP = args.vocab, args.num_phones
+    lex = random_lexicon(V, NP, rng, max_pron_len=6)
+    tree = ContextTree(NP, context_width=1)
+    # Zipf-distributed transcripts: enough sentences that the pruned
+    # trigram keeps a deep state set
+    zipf = 1.0 / np.arange(1, V + 1)
+    zipf /= zipf.sum()
+    sents = [
+        [int(w) + 1 for w in rng.choice(V, size=rng.integers(6, 18), p=zipf)]
+        for _ in range(args.lm_sents)
+    ]
+    t0 = time.perf_counter()
+    word_lm = train_word_lm(sents, order=args.lm_order,
+                            extra_states=args.extra_states)
+    lm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    g = make_word_decoding_graph(word_lm, lex, tree)
+    build_s = time.perf_counter() - t0
+    out = dict(
+        vocab=V,
+        lm_states=int(word_lm.num_states),
+        hclg_states=int(g.num_states),
+        hclg_arcs=int(len(g.src)),
+        lm_build_s=round(lm_s, 1),
+        hclg_build_s=round(build_s, 1),
+    )
+
+    # synthetic sharp posteriors: random pdf path at +8 logits
+    P = tree.num_pdfs
+    T = args.frames
+    posts = []
+    for _ in range(args.utts):
+        y = rng.standard_normal((T, P)).astype(np.float32)
+        path = rng.integers(0, P, size=T)
+        y[np.arange(T), path] += 8.0
+        posts.append(y - np.log(np.exp(y).sum(-1, keepdims=True)))
+    audio_s = args.utts * T * 3 * 0.010  # output frames at 1/3 input rate
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    for y in posts:
+        viterbi_decode(g, y, beam=args.beam, backend="native",
+                       max_active=args.max_active)
+    dt = time.perf_counter() - t0
+    out["native_rtf"] = round(audio_s / dt, 1)
+    t0 = time.perf_counter()
+    arcs_total = 0
+    for y in posts:
+        lat = lattice_decode(g, y, beam=args.lattice_beam, backend="native",
+                             max_active=args.max_active)
+        lattice_best_path(lat)
+        arcs_total += lat.num_arcs
+    dt = time.perf_counter() - t0
+    out["lat_native_rtf"] = round(audio_s / dt, 1)
+    out["lat_arcs_total"] = arcs_total
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out["peak_rss_mb"] = round(rss1 / 1024, 1)
+    out["decode_extra_rss_mb"] = round((rss1 - rss0) / 1024, 1)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stress", action="store_true",
+                    help="million-arc HCLG stress (no training)")
+    ap.add_argument("--lm-order", type=int, default=3)
+    ap.add_argument("--lm-sents", type=int, default=60000)
+    ap.add_argument("--extra-states", type=int, default=60000)
+    ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--vocab", type=int, default=100)
     ap.add_argument("--num-phones", type=int, default=12)
     ap.add_argument("--utts", type=int, default=48)
@@ -30,6 +114,14 @@ def main():
     ap.add_argument("--lattice-beam", type=float, default=8.0)
     ap.add_argument("--max-active", type=int, default=7000)
     args = ap.parse_args()
+    if args.stress:
+        if args.vocab == 100:
+            args.vocab = 30000
+        if args.num_phones == 12:
+            args.num_phones = 40
+        if args.utts == 48:
+            args.utts = 8
+        return stress(args)
 
     import numpy as np
 

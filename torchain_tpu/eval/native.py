@@ -105,11 +105,17 @@ def native_viterbi(graph, loglikes: np.ndarray, beam: float, use_final: bool):
 
 
 def _src_csr(graph):
-    """Cached src-sorted arc views (offsets, dst, pdf, weight, olabel)."""
+    """Cached src-sorted arc views (offsets, dst, pdf, weight, olabel).
+
+    Within each source state's block, arcs are ordered by DESCENDING
+    weight: the C cores bound a candidate by ts + weight + ll_max and
+    BREAK at the first arc that cannot reach the beam cutoff, which turns
+    the 20k+-fanout LM backoff states (the enumeration wall at real HCLG
+    scale) into a few dozen touched arcs per token."""
     cached = getattr(graph, "_src_csr_cache", None)
     if cached is not None:
         return cached
-    order = np.argsort(graph.src, kind="stable")
+    order = np.lexsort((-graph.weight, graph.src))
     src_sorted = np.ascontiguousarray(graph.src[order], np.int32)
     offsets = np.zeros(graph.num_states + 1, dtype=np.int32)
     np.add.at(offsets, src_sorted + 1, 1)
@@ -123,6 +129,27 @@ def _src_csr(graph):
     )
     try:
         object.__setattr__(graph, "_src_csr_cache", cached)
+    except Exception:
+        pass
+    return cached
+
+
+def _dst_csr(graph):
+    """Cached contiguous dst-sorted views (offsets, src, pdf, weight,
+    olabel) — the graph's own packing order; the native lattice emission
+    walks survivors' IN-arcs through these (see csrc/decoder.cc)."""
+    cached = getattr(graph, "_dst_csr_cache", None)
+    if cached is not None:
+        return cached
+    cached = (
+        np.ascontiguousarray(graph.dst_offsets, np.int32),
+        np.ascontiguousarray(graph.src, np.int32),
+        np.ascontiguousarray(graph.pdf, np.int32),
+        np.ascontiguousarray(graph.weight, np.float32),
+        np.ascontiguousarray(graph.olabel, np.int32),
+    )
+    try:
+        object.__setattr__(graph, "_dst_csr_cache", cached)
     except Exception:
         pass
     return cached
@@ -264,6 +291,7 @@ def native_lattice(
         lib.tt_lattice_decode.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, i32p, i32p, f32p, i32p, f32p,
+            i32p, i32p, i32p, f32p, i32p,
             f32p,
             ctypes.c_float, ctypes.c_int, ctypes.c_int,
             c_i32p, c_i32p, c_i32p, c_i32p,
@@ -279,6 +307,7 @@ def native_lattice(
             lib.tt_lattice_decode_eps.argtypes = [
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32p, i32p, i32p, f32p, i32p, f32p,
+                i32p, i32p, i32p, f32p, i32p,
                 ctypes.c_int, i32p, i32p, f32p, i32p,
                 f32p,
                 ctypes.c_float, ctypes.c_int, ctypes.c_int,
@@ -288,9 +317,11 @@ def native_lattice(
             lib.tt_lattice_fetch_times.argtypes = [ctypes.c_void_p, i32p]
         lib._lattice_proto_set = True
     offsets, dst, pdf, weight, olabel = _src_csr(graph)
+    dofs, dsrc, dpdf, dweight, dolabel = _dst_csr(graph)
     num_eps = int(getattr(graph, "num_eps", 0))
     if phone_bonus != 0.0:
         weight = (weight + phone_bonus * (olabel > 0)).astype(np.float32)
+        dweight = (dweight + phone_bonus * (dolabel > 0)).astype(np.float32)
     T = loglikes.shape[0]
     n_states = ctypes.c_int32(0)
     n_arcs = ctypes.c_int32(0)
@@ -307,6 +338,7 @@ def native_lattice(
             T,
             offsets, dst, pdf, weight, olabel,
             np.ascontiguousarray(graph.final_logw, np.float32),
+            dofs, dsrc, dpdf, dweight, dolabel,
             num_eps, esrc, edst, ew, eol,
             np.ascontiguousarray(loglikes, np.float32),
             beam,
@@ -325,6 +357,7 @@ def native_lattice(
             T,
             offsets, dst, pdf, weight, olabel,
             np.ascontiguousarray(graph.final_logw, np.float32),
+            dofs, dsrc, dpdf, dweight, dolabel,
             np.ascontiguousarray(loglikes, np.float32),
             beam,
             int(max_active),
@@ -353,9 +386,13 @@ def native_lattice(
         if rc != 0:
             return None
         state_times = None
-        if num_eps:
+        times = None
+        if hasattr(lib, "tt_lattice_fetch_times"):
             times = np.empty(int(n_states.value), np.int32)
             if lib.tt_lattice_fetch_times(handle, times) != 0:
+                times = None
+        if num_eps:
+            if times is None:
                 return None
             state_times = [int(t) for t in times]
     finally:
@@ -367,12 +404,20 @@ def native_lattice(
     arcs = fst._arcs  # direct append: NA can be large, add_arc checks cost
     from torchain_tpu.fstkit.fst import Arc
 
-    for i in range(NA):
-        arcs[arc_src[i]].append(
-            Arc(int(arc_ol[i]), float(arc_w[i]), int(arc_dst[i]), float(arc_am[i]))
-        )
+    asrc = arc_src.tolist()
+    for i, a in enumerate(
+        map(Arc, arc_ol.tolist(), arc_w.tolist(), arc_dst.tolist(),
+            arc_am.tolist())
+    ):
+        arcs[asrc[i]].append(a)
     for i in range(NF):
         fst.set_final(int(fin_s[i]), float(fin_w[i]))
     if state_times is not None:
         fst.state_times = state_times
+    # raw arrays for the vectorized best-path fast path
+    # (eval/lattice.lattice_best_path); boundary-batched DP needs times
+    if times is not None and not num_eps:
+        fst._lattice_arrays = (
+            arc_src, arc_dst, arc_ol, arc_w, fin_s, fin_w, times
+        )
     return fst
