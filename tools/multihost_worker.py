@@ -33,6 +33,8 @@ def main():
     )
     if mode == "trainer":
         return trainer_main(pid, nproc)
+    if mode == "cegs":
+        return cegs_main(pid, nproc)
     import jax.numpy as jnp
     import numpy as np
 
@@ -162,6 +164,94 @@ def trainer_main(pid: int, nproc: int):
         objf=results.objf,
         steps=results.steps,
         failed=results.tot_failed,
+        weight=results.tot_weight,
+    )
+    print("MULTIHOST_RESULT " + json.dumps(out), flush=True)
+
+
+def cegs_main(pid: int, nproc: int):
+    """Multi-host training DIRECTLY from a merged cegs archive
+    (CegsDataset's cross-process record partition — the foreign-egs
+    torchain workflow under data parallelism).  Every process builds the
+    IDENTICAL archive deterministically (same synthetic corpus + seed),
+    then Trainer.fit consumes it with per-process record sharding; the
+    test asserts both processes agree and match a single-process run."""
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from torchain_tpu.data import ChainDataset, synthetic_dataset
+    from torchain_tpu.data.cegs import CegsDataset, dataset_to_cegs
+    from torchain_tpu.graphs import SupervisionOptions
+    from torchain_tpu.models import TDNNF, TdnnfConfig
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
+    from torchain_tpu.parallel import MeshConfig
+    from torchain_tpu.train import Trainer, TrainerConfig
+
+    # UNIFORM 48-frame utterances -> every chunk is exactly 16 output
+    # frames -> shape-uniform merged records, the documented multi-host
+    # requirement (CegsDataset docstring: nnet3-chain-merge-egs's
+    # equal-length grouping provides this for real archives)
+    corpus = synthetic_dataset(
+        num_utts=12, num_phones=5, feat_dim=8, seed=7,
+        utt_frames_out=(48, 49),
+    )
+    cfg = TdnnfConfig(
+        num_pdfs=corpus.tree.num_pdfs,
+        hidden_dim=32,
+        bottleneck_dim=8,
+        prefinal_dim=16,
+        num_layers=2,
+    )
+    model = TDNNF(cfg)
+    left, right = cfg.context
+    ds = ChainDataset(
+        corpus.utts,
+        corpus.tree,
+        corpus.norm_fst,
+        chunk_frames_out=16,
+        left_context=left,
+        right_context=right,
+        sup_opts=SupervisionOptions(frame_subsampling_factor=3),
+        seed=3,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"mh_cegs_{os.environ.get('MH_TAG', 'x')}_{pid}.ark"
+    )
+    # merged records of 2 sequences each: 4 records over 2 processes
+    n_rec = dataset_to_cegs(ds, path, batch_size=2, shuffle_seed=5)
+    den = auto_den_graph(corpus.den_graph)
+    cegs = CegsDataset(path, append_ivector=False, seed=11)
+    t_in = 16 * 3 + left + right
+    tcfg = TrainerConfig(
+        lr=1e-3,
+        num_epochs=2,
+        batch_size=0,  # merged records fix the batch size
+        log_every=1000,
+        semi_ortho_every=0,
+        loss=ChainLossOptions(leaky_hmm_coefficient=0.1),
+        mesh=MeshConfig(data=jax.device_count(), model=1),
+    )
+    if os.environ.get("MH_DEBUG_STEPS"):
+        tcfg.log_every = 1
+    trainer = Trainer(model, den, tcfg, np.zeros((2, t_in, 8), np.float32))
+    results = trainer.fit(cegs, log_fn=lambda s: None)
+    if os.environ.get("MH_DEBUG_STEPS"):
+        for m in trainer.metrics_log:
+            print(
+                f"STEP pid={pid} step={m.get('step')} "
+                f"objf={m.get('objf'):.6f} weight={m.get('weight')}",
+                flush=True,
+            )
+    out = dict(
+        pid=pid,
+        nproc=nproc,
+        devices=jax.device_count(),
+        records=n_rec,
+        objf=results.objf,
+        steps=results.steps,
         weight=results.tot_weight,
     )
     print("MULTIHOST_RESULT " + json.dumps(out), flush=True)

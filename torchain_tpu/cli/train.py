@@ -86,7 +86,8 @@ def build_argparser() -> argparse.ArgumentParser:
         "(Kaldi 'combine' stage); requires --checkpoint-dir",
     )
     p.add_argument(
-        "--optimizer", choices=("adam", "sgd", "ngsgd"), default="adam"
+        "--optimizer", choices=("adam", "adam-lowmem", "sgd", "ngsgd"),
+        default="adam"
     )
     p.add_argument(
         "--ivector-dim",

@@ -100,6 +100,12 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         )
     if cfg.optimizer == "adam":
         opt = optax.adam(lr)
+    elif cfg.optimizer == "adam-lowmem":
+        # bf16-resident moments: halves optimizer HBM traffic
+        # (train/lowmem_adam.py; the conformer headline's optimizer term)
+        from torchain_tpu.train.lowmem_adam import adam_lowmem
+
+        opt = adam_lowmem(lr)
     elif cfg.optimizer == "sgd":
         opt = optax.sgd(lr, momentum=cfg.momentum)
     elif cfg.optimizer == "ngsgd":
