@@ -132,7 +132,10 @@ def _build(corpus, dtype, B, T_OUT):
     )
     batch = next(dataset.batches(B, shuffle=False))
     den = auto_den_graph(corpus.den_graph, batch_hint=B)
-    sup = DeviceSupervision.from_host(batch.sup)
+    # the bench replays this batch (device-span protocol), which matches
+    # the materialized-training economics: carry the kernel-layout
+    # numerator tables prepared at placement time
+    sup = DeviceSupervision.from_host(batch.sup).with_kernel_tables()
     feats = jnp.asarray(batch.feats)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     step_fn = make_train_step(

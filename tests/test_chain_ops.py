@@ -391,3 +391,20 @@ class TestResidentNumKernels:
         lp, al = num_scan.num_forward(yj, sup1)
         g = num_scan.num_backward(yj, sup1, lp, al)
         assert np.asarray(g).shape == yj.shape
+
+
+class TestKernelLayoutTables:
+    def test_pretransposed_matches_live(self, setup, monkeypatch):
+        """with_kernel_tables (placement-time [T-1,Kr,S,B] tables) must be
+        bit-equal to the in-step transpose path."""
+        monkeypatch.setenv("TORCHAIN_NUM_RESIDENT", "force")
+        sup = DeviceSupervision.from_host(setup["batch"])
+        supk = sup.with_kernel_tables()
+        assert supk.src_k is not None
+        yj = jnp.asarray(setup["y"])
+        lp0, al0 = num_scan.num_forward(yj, sup)
+        g0 = num_scan.num_backward(yj, sup, lp0, al0)
+        lp1, al1 = num_scan.num_forward(yj, supk)
+        g1 = num_scan.num_backward(yj, supk, lp1, al1)
+        np.testing.assert_array_equal(np.asarray(lp1), np.asarray(lp0))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))

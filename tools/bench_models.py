@@ -44,7 +44,7 @@ def main():
         TdnnfConfig,
         TdnnLstmConfig,
     )
-    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.ops.device_graphs import DeviceSupervision
     from torchain_tpu.train import create_train_state, make_train_step
 
@@ -95,7 +95,7 @@ def main():
             l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1
         )
     )
-    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    den = auto_den_graph(corpus.den_graph, batch_hint=B)
     print(f"backend={jax.default_backend()}", flush=True)
 
     for model_name in args.models:

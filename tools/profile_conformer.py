@@ -24,6 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--b", type=int, default=64)
     ap.add_argument("--logdir", default="/tmp/tb_conformer")
     args = ap.parse_args()
 
@@ -37,12 +38,12 @@ def main():
     from torchain_tpu.data import ChainDataset, synthetic_dataset
     from torchain_tpu.graphs import SupervisionOptions
     from torchain_tpu.models import Conformer, ConformerConfig
-    from torchain_tpu.ops import ChainLossOptions, DeviceDenseDenGraph
+    from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.ops.device_graphs import DeviceSupervision
     from torchain_tpu.train import create_train_state, make_train_step
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    B, T_OUT, FEAT = 64, 50, 40
+    B, T_OUT, FEAT = args.b, 50, 40
     corpus = synthetic_dataset(
         num_utts=2 * B,
         num_phones=40,
@@ -66,7 +67,7 @@ def main():
         sup_opts=SupervisionOptions(left_tolerance=2, right_tolerance=2),
     )
     batch = next(dataset.batches(B, shuffle=False))
-    den = DeviceDenseDenGraph.from_host(corpus.dense_den)
+    den = auto_den_graph(corpus.den_graph, batch_hint=B)
     sup = DeviceSupervision.from_host(batch.sup)
     feats = jnp.asarray(batch.feats)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))

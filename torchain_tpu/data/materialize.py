@@ -98,7 +98,12 @@ class MaterializedBatches:
                 placed.append(
                     PlacedBatch(
                         feats=jnp.asarray(b.feats),
-                        sup=DeviceSupervision.from_host(b.sup),
+                        # kernel-layout numerator tables prepared once at
+                        # placement: the resident kernels' in-step
+                        # transposes vanish for every epoch's replay
+                        sup=DeviceSupervision.from_host(
+                            b.sup
+                        ).with_kernel_tables(),
                     )
                 )
             import jax

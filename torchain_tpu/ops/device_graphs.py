@@ -320,6 +320,34 @@ class DeviceSupervision:
     #: output-derivative rows and the xent term, not the objf.  None =
     #: all-ones; only cegs interchange sets them.
     frame_weights: "jnp.ndarray | None" = None
+    #: OPTIONAL kernel-layout steady tables [T-1, Kr, S, B] (int32/f32) —
+    #: the exact block layout the resident numerator kernels consume
+    #: (ops/num_resident.py: lanes = batch).  Populated by
+    #: `with_kernel_tables()` for batches that are REPLAYED (the bench's
+    #: batch replay; device-materialized epochs, data/materialize.py), so
+    #: the per-step in-jit transposes disappear; None (the live-loader
+    #: default) keeps the transpose in-step, where it runs once per fresh
+    #: batch anyway.  NOTE the batch axis is LAST here — ops/sharded.py
+    #: special-cases these fields' shard specs.
+    src_k: "jnp.ndarray | None" = None
+    pdf_local_k: "jnp.ndarray | None" = None
+    logw_k: "jnp.ndarray | None" = None
+
+    def with_kernel_tables(self) -> "DeviceSupervision":
+        """A copy carrying the resident kernels' [T-1, Kr, S, B] int32/f32
+        steady tables (one device transpose each, paid once)."""
+        if self.in_src_r.shape[1] == 0:
+            return self
+        return dataclasses.replace(
+            self,
+            src_k=jnp.transpose(
+                self.in_src_r.astype(jnp.int32), (1, 3, 2, 0)
+            ),
+            pdf_local_k=jnp.transpose(
+                self.pdf_local_r.astype(jnp.int32), (1, 3, 2, 0)
+            ),
+            logw_k=jnp.transpose(self.in_logw_r, (1, 3, 2, 0)),
+        )
 
     @staticmethod
     def from_host(s: Supervision) -> "DeviceSupervision":

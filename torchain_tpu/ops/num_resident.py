@@ -138,14 +138,22 @@ def steady_forward(
     logw: jnp.ndarray,  # [B, T-1, S, Kr] f32
     ysm: jnp.ndarray,  # [B, T-1, W] f32
     interpret: bool = False,
+    pre: "tuple | None" = None,  # kernel-layout (src, lpdf, logw) tables
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Replaces the forward lax.scan over frames 1..T-1.
-    Returns (aT [B, S], alphas_rest [T-1, B, S])."""
+    Returns (aT [B, S], alphas_rest [T-1, B, S]).
+
+    `pre` supplies the [T-1, Kr, S, B] kernel-layout tables prepared at
+    batch-placement time (DeviceSupervision.with_kernel_tables) so the
+    in-step transposes vanish for replayed batches."""
     B, Tm1, S, Kr = src.shape
     W = ysm.shape[-1]
-    kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))  # [T-1, Kr, S, B]
-    pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
-    wl = jnp.transpose(logw, (1, 3, 2, 0))
+    if pre is not None:
+        kl, pl_, wl = pre
+    else:
+        kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))  # [T-1,Kr,S,B]
+        pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
+        wl = jnp.transpose(logw, (1, 3, 2, 0))
     yl = jnp.transpose(ysm, (1, 2, 0))  # [T-1, W, B]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, S, W),
@@ -175,6 +183,7 @@ def steady_backward(
     final_logw: jnp.ndarray,  # [B, S]
     log_p: jnp.ndarray,  # [B] (may be non-finite)
     interpret: bool = False,
+    pre: "tuple | None" = None,  # kernel-layout (src, lpdf, logw) tables
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Replaces the reverse lax.scan over frames T-1..1.
     Returns (beta1 [B, S], gsm_rest [T-1, B, W])."""
@@ -183,9 +192,13 @@ def steady_backward(
     # NO reversed copies: grid step i READS frame Tm1-1-i via the index
     # map (and writes gsm to the same frame), so the kernel-layout
     # transposes below are byte-identical to the forward's and CSE away
-    kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))
-    pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
-    wl = jnp.transpose(logw, (1, 3, 2, 0))
+    # (or are skipped entirely when `pre` ships the placed tables)
+    if pre is not None:
+        kl, pl_, wl = pre
+    else:
+        kl = jnp.transpose(src.astype(jnp.int32), (1, 3, 2, 0))
+        pl_ = jnp.transpose(lpdf.astype(jnp.int32), (1, 3, 2, 0))
+        wl = jnp.transpose(logw, (1, 3, 2, 0))
     yl = jnp.transpose(ysm, (1, 2, 0))
     al = jnp.transpose(alphas, (0, 2, 1))  # [T-1, S, B]
     logp_adj = jnp.where(jnp.isfinite(log_p), log_p, jnp.inf)[None, :]

@@ -243,6 +243,11 @@ def num_forward(
         if _use_resident():
             from torchain_tpu.ops import num_resident
 
+            pre = (
+                (sup.src_k, sup.pdf_local_k, sup.logw_k)
+                if getattr(sup, "src_k", None) is not None
+                else None
+            )
             aT, rest = num_resident.steady_forward(
                 alpha1,
                 sup.in_src_r,
@@ -250,6 +255,7 @@ def num_forward(
                 sup.in_logw_r,
                 ysmall[:, 1:],
                 interpret=_interpret(),
+                pre=pre,
             )
         else:
             xs = (
@@ -322,6 +328,11 @@ def num_backward(
         if _use_resident():
             from torchain_tpu.ops import num_resident
 
+            pre = (
+                (sup.src_k, sup.pdf_local_k, sup.logw_k)
+                if getattr(sup, "src_k", None) is not None
+                else None
+            )
             beta1, gsm_rest = num_resident.steady_backward(
                 sup.in_src_r,
                 sup.pdf_local_r,
@@ -331,6 +342,7 @@ def num_backward(
                 sup.final_logw,
                 log_p,
                 interpret=_interpret(),
+                pre=pre,
             )
         else:
             xs = (

@@ -55,6 +55,28 @@ def _batch_spec(x):
     return P("data", *([None] * (np.ndim(x) - 1)))
 
 
+def _sup_specs(sup):
+    """Per-field shard specs for a supervision pytree.  Most fields lead
+    with the batch axis; the optional kernel-layout tables (`src_k` etc.,
+    [T-1, Kr, S, B]) carry it LAST."""
+    import dataclasses
+
+    if not dataclasses.is_dataclass(sup):
+        return jax.tree.map(_batch_spec, sup)
+    specs = {}
+    for f in dataclasses.fields(sup):
+        v = getattr(sup, f.name)
+        if v is None or not hasattr(v, "ndim"):
+            continue
+        if f.name.endswith("_k"):
+            specs[f.name] = P(*([None] * (v.ndim - 1)), "data")
+        else:
+            specs[f.name] = _batch_spec(v)
+    return dataclasses.replace(
+        sup, **{k: v for k, v in specs.items()}
+    )
+
+
 def shardable(mesh, batch: int) -> bool:
     """Whether chain_logprobs can run per-shard on this mesh: a real
     `data` axis and a batch it divides evenly (tail batches fall back to
@@ -80,7 +102,7 @@ def chain_logprobs_sharded(y, den, sup, leaky, mesh):
     in_specs = (
         P("data", None, None),
         jax.tree.map(lambda _: P(), den),
-        jax.tree.map(_batch_spec, sup),
+        _sup_specs(sup),
     )
     out_specs = (P("data"), P("data"), P("data", None, None))
 
