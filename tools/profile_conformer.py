@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--b", type=int, default=64)
+    ap.add_argument("--model", default="conformer", choices=("conformer", "tdnnf"))
     ap.add_argument("--logdir", default="/tmp/tb_conformer")
     args = ap.parse_args()
 
@@ -37,7 +38,7 @@ def main():
 
     from torchain_tpu.data import ChainDataset, synthetic_dataset
     from torchain_tpu.graphs import SupervisionOptions
-    from torchain_tpu.models import Conformer, ConformerConfig
+    from torchain_tpu.models import TDNNF, Conformer, ConformerConfig, TdnnfConfig
     from torchain_tpu.ops import ChainLossOptions, auto_den_graph
     from torchain_tpu.ops.device_graphs import DeviceSupervision
     from torchain_tpu.train import create_train_state, make_train_step
@@ -53,9 +54,16 @@ def main():
         lm_order=3,
         lm_extra_states=1000,
     )
-    cfg = ConformerConfig(
-        num_pdfs=corpus.tree.num_pdfs, dim=256, num_layers=8, num_heads=4, dtype=dtype
-    )
+    if args.model == "tdnnf":
+        cfg = TdnnfConfig(
+            num_pdfs=corpus.tree.num_pdfs, hidden_dim=768, bottleneck_dim=96,
+            prefinal_dim=256, num_layers=9, dtype=dtype,
+        )
+    else:
+        cfg = ConformerConfig(
+            num_pdfs=corpus.tree.num_pdfs, dim=256, num_layers=8,
+            num_heads=4, dtype=dtype,
+        )
     left, right = cfg.context
     dataset = ChainDataset(
         corpus.utts,
@@ -74,7 +82,7 @@ def main():
     step_fn = make_train_step(
         ChainLossOptions(l2_regularize=5e-4, leaky_hmm_coefficient=0.1, xent_regularize=0.1)
     )
-    model = Conformer(cfg)
+    model = TDNNF(cfg) if args.model == 'tdnnf' else Conformer(cfg)
     state = create_train_state(model, feats, tx)
     for _ in range(2):
         state, metrics = step_fn(state, feats, den, sup)

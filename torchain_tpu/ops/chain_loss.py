@@ -271,9 +271,27 @@ def chain_loss(
     oor_term = -opts.out_of_range_regularize * _fw_sum(jnp.square(oor))
 
     if xent_output is not None:
-        xent_lp = jax.nn.log_softmax(xent_output, axis=-1)
+        # row-decomposed cross-entropy (identical math, no [B, T, P]
+        # log_softmax intermediate):
+        #   sum_p tgt * log_softmax(x) = sum_p tgt*x - (sum_p tgt) * lse(x)
+        # saves a full-tensor materialization + its backward re-pass —
+        # ~0.2-0.3 ms/step of HBM traffic at the trigram headline where
+        # the loss glue was 0.8 ms (BENCH_NOTES r5 profile)
+        x = xent_output
         xent_tgt = gamma_num * seq_w[:, None, None]
-        xent_objf = _fw_sum(xent_tgt * xent_lp)
+        m = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+        lse = (
+            m[..., 0]
+            + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1))
+        )  # [B, T]
+        row = jnp.sum(xent_tgt * x, axis=-1) - jnp.sum(
+            xent_tgt, axis=-1
+        ) * lse  # [B, T]
+        if fw is None:
+            xent_objf = jnp.sum(row)
+        else:
+            sg = jax.lax.stop_gradient(row)
+            xent_objf = jnp.sum(sg * (1.0 - fw) + row * fw)
     else:
         xent_objf = jnp.zeros(())
 
