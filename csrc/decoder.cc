@@ -19,6 +19,7 @@
 // Build: make -C csrc    (produces libtorchain_tpu_native.so)
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
@@ -26,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -443,15 +445,34 @@ static void* lattice_impl(
   // forward pass: per-frame-boundary active token lists + scores (kept for
   // all boundaries -- O(total live tokens), the lattice needs them anyway)
   std::vector<std::vector<int32_t>> frame_active(T + 1);
+  // per-boundary survivor degree sums, accumulated as the lists are
+  // built — the emission pass picks its enumeration direction from these
+  // without re-walking both frontiers every boundary
+  std::vector<int64_t> bdeg_out(T + 1, 0), bdeg_in(T + 1, 0);
   // one 16-byte slot per state (score + stamp): one cache line per
-  // random d-indexed touch — see viterbi_active_impl
+  // random d-indexed touch — see viterbi_active_impl.  The S-sized token
+  // tables persist across calls (thread_local) with EPOCH-offset stamps,
+  // so a fresh utterance pays no multi-MB allocate+memset (~3 ms/call at
+  // 740k states); stamps from earlier utterances can never collide with
+  // this call's epoch+t values, and the tables re-init only on growth or
+  // epoch wrap.
   struct LSlot { double score; int32_t stamp; int32_t pad; };
-  std::vector<LSlot> cur(S, LSlot{kNegInf, -1, 0});
-  std::vector<LSlot> nxt(S, LSlot{kNegInf, -1, 0});
+  static thread_local std::vector<LSlot> tls_cur, tls_nxt;
+  static thread_local int32_t tls_epoch = 0;
+  if (static_cast<int>(tls_cur.size()) < S ||
+      tls_epoch > INT32_MAX - (T + 2)) {
+    tls_cur.assign(S, LSlot{kNegInf, -1, 0});
+    tls_nxt.assign(S, LSlot{kNegInf, -1, 0});
+    tls_epoch = 0;
+  }
+  const int32_t ep = tls_epoch;
+  tls_epoch += T + 1;
+  std::vector<LSlot>& cur = tls_cur;
+  std::vector<LSlot>& nxt = tls_nxt;
   std::vector<int32_t> nactive;
   frame_active[0].push_back(0);
   cur[0].score = 0.0;
-  cur[0].stamp = 0;
+  cur[0].stamp = ep;
 
   // relax the (level-sorted) eps arcs over a stamped frontier in place
   auto relax_eps = [&](std::vector<LSlot>& sl, std::vector<int32_t>& act,
@@ -474,10 +495,166 @@ static void* lattice_impl(
     }
   };
 
-  if (num_eps) {  // initial closure from the start state (stamp 0 on cur)
+  if (num_eps) {  // initial closure from the start state (stamp ep on cur)
     double best0 = 0.0;
-    relax_eps(cur, frame_active[0], 0, best0);
+    relax_eps(cur, frame_active[0], ep, best0);
   }
+  // boundary-0 degree sums (frame_active[0] is final after the initial
+  // eps closure; the emission thread consumes them immediately)
+  for (int32_t s : frame_active[0])
+    bdeg_out[0] += offsets[s + 1] - offsets[s];
+
+  // ---- lattice emission (PIPELINED consumer) ------------------------------
+  // Emission for boundary t only needs frame_active[t], frame_active[t+1]
+  // and the degree sums — all finalized when the forward search publishes
+  // boundary t+1 — so it trails the search on a second thread and the
+  // utterance wall time is ~max(search, emission) instead of their sum
+  // (tools/profile_stress_decode.py: ~16 + ~19 ms per 15 s utterance on
+  // the million-arc stress graph).  All emission-side state (lattice ids,
+  // bstamp, bitsets, the TtLattice vectors) is touched by the consumer
+  // only; the producer's frame_active/bdeg writes are published with a
+  // release store and read with an acquire load.  TT_NO_PIPELINE=1 runs
+  // the identical loop inline after the search (debug / core-pinned
+  // environments).
+  //
+  // Per boundary: enumerate the cheaper direction (the LM hub states
+  // have 20k+ OUT-arcs, frequent words' entry states large IN-degrees;
+  // both walks produce exactly the arcs between survivors).  The hot
+  // test is one random membership probe per CANDIDATE arc (~2-3M per
+  // utterance, ~5% hit rate), so membership lives in one-bit-per-state
+  // sets (~92 KB at 740k states — L2-resident where the int32 stamp
+  // array they replaced thrashed); bits are set/cleared by walking the
+  // small survivor lists, never the whole table.  Lattice ids are per
+  // (boundary, state); a state alive in consecutive boundaries keeps two
+  // distinct ids, as the time-unrolled lattice requires.
+  auto lat = new TtLattice();
+  // emission scratch persists across calls too (allocated on the caller
+  // thread, used by the consumer): the lid tables are written before any
+  // read on every path, so stale values are harmless; bstamp gets the
+  // same epoch treatment as the token stamps
+  static thread_local std::vector<int32_t> tls_bstamp, tls_cur_lid,
+      tls_nxt_lid;
+  static thread_local int32_t tls_bepoch = 0;
+  if (static_cast<int>(tls_bstamp.size()) < S ||
+      tls_bepoch > INT32_MAX - (T + 2)) {
+    tls_bstamp.assign(S, -1);
+    tls_cur_lid.resize(S);
+    tls_nxt_lid.resize(S);
+    tls_bepoch = 0;
+  }
+  const int32_t bep = tls_bepoch;
+  tls_bepoch += T + 1;
+  std::vector<int32_t>& bstamp = tls_bstamp;
+  std::vector<int32_t>& cur_lid = tls_cur_lid;
+  std::vector<int32_t>& nxt_lid = tls_nxt_lid;
+  for (int32_t s : frame_active[0]) {  // state 0 first -> lattice state 0
+    bstamp[s] = bep;
+    cur_lid[s] = lat->num_states++;
+    lat->state_time.push_back(0);
+  }
+  auto emit_eps = [&](int32_t boundary, const std::vector<int32_t>& lid_s,
+                      const std::vector<int32_t>& lid_d) {
+    for (int e = 0; e < num_eps; ++e) {
+      const int32_t s = eps_src[e], d = eps_dst[e];
+      if (bstamp[s] != boundary || bstamp[d] != boundary) continue;
+      lat->arc_src.push_back(lid_s[s]);
+      lat->arc_dst.push_back(lid_d[d]);
+      lat->arc_olabel.push_back(eps_olabel[e]);
+      lat->arc_w.push_back(eps_w[e]);
+      lat->arc_am.push_back(0.0f);
+    }
+  };
+  if (num_eps) emit_eps(bep, cur_lid, cur_lid);
+  const size_t BW = (static_cast<size_t>(S) + 63) / 64;
+  static thread_local std::vector<uint64_t> tls_cur_live, tls_nxt_live;
+  tls_cur_live.assign(BW, 0);  // ~92 KB at 740k states: cheap to re-zero
+  tls_nxt_live.assign(BW, 0);
+  std::vector<uint64_t>& cur_live = tls_cur_live;
+  std::vector<uint64_t>& nxt_live = tls_nxt_live;
+  auto bit_set = [](std::vector<uint64_t>& b, int32_t s) {
+    b[static_cast<size_t>(s) >> 6] |= (1ULL << (s & 63));
+  };
+  auto bit_test = [](const std::vector<uint64_t>& b, int32_t s) {
+    return (b[static_cast<size_t>(s) >> 6] >> (s & 63)) & 1ULL;
+  };
+  auto bit_clear = [](std::vector<uint64_t>& b, int32_t s) {
+    b[static_cast<size_t>(s) >> 6] &= ~(1ULL << (s & 63));
+  };
+  for (int32_t s : frame_active[0]) bit_set(cur_live, s);
+
+  auto emit_boundary = [&](int t) {
+    const float* ll = loglikes + static_cast<size_t>(t) * P;
+    for (int32_t s : frame_active[t + 1]) {
+      bstamp[s] = bep + t + 1;
+      nxt_lid[s] = lat->num_states++;
+      lat->state_time.push_back(t + 1);
+      bit_set(nxt_live, s);
+    }
+    const int64_t cost_fwd = bdeg_out[t], cost_bwd = bdeg_in[t + 1];
+    if (cost_bwd <= cost_fwd) {
+      const auto& fn = frame_active[t + 1];
+      for (size_t di = 0; di < fn.size(); ++di) {
+        const int32_t d = fn[di];
+        if (di + 1 < fn.size())  // next survivor's arc block head
+          __builtin_prefetch(&dsrc[dofs[fn[di + 1]]], 0, 1);
+        const int32_t did = nxt_lid[d];
+        const int32_t lo = dofs[d], hi = dofs[d + 1];
+        for (int32_t a = lo; a < hi; ++a) {
+          const int32_t s2 = dsrc[a];
+          if (!bit_test(cur_live, s2)) continue;
+          const double am = ll[dpdf[a]];
+          lat->arc_src.push_back(cur_lid[s2]);
+          lat->arc_dst.push_back(did);
+          lat->arc_olabel.push_back(dolabel[a]);
+          lat->arc_w.push_back(static_cast<float>(dweight[a] + am));
+          lat->arc_am.push_back(static_cast<float>(am));
+        }
+      }
+    } else {
+      const auto& fc = frame_active[t];
+      for (size_t si = 0; si < fc.size(); ++si) {
+        const int32_t s2 = fc[si];
+        if (si + 1 < fc.size())
+          __builtin_prefetch(&dst[offsets[fc[si + 1]]], 0, 1);
+        const int32_t sid = cur_lid[s2];
+        const int32_t lo = offsets[s2], hi = offsets[s2 + 1];
+        for (int32_t a = lo; a < hi; ++a) {
+          const int32_t d = dst[a];
+          if (!bit_test(nxt_live, d)) continue;
+          const double am = ll[pdf[a]];
+          lat->arc_src.push_back(sid);
+          lat->arc_dst.push_back(nxt_lid[d]);
+          lat->arc_olabel.push_back(olabel[a]);
+          lat->arc_w.push_back(static_cast<float>(weight[a] + am));
+          lat->arc_am.push_back(static_cast<float>(am));
+        }
+      }
+    }
+    if (num_eps) emit_eps(bep + t + 1, nxt_lid, nxt_lid);
+    for (int32_t s : frame_active[t]) bit_clear(cur_live, s);
+    std::swap(cur_live, nxt_live);
+    std::swap(cur_lid, nxt_lid);
+  };
+
+  std::atomic<int32_t> fwd_ready{0};
+  std::atomic<bool> fwd_dead{false};
+  auto emit_all = [&] {
+    for (int t = 0; t < T; ++t) {
+      while (fwd_ready.load(std::memory_order_acquire) < t + 1) {
+        if (fwd_dead.load(std::memory_order_relaxed)) return;
+        std::this_thread::yield();
+      }
+      emit_boundary(t);
+    }
+  };
+  const bool pipelined = getenv("TT_NO_PIPELINE") == nullptr;
+  std::thread emitter;
+  if (pipelined) emitter = std::thread(emit_all);
+  auto fail_fwd = [&] {
+    fwd_dead.store(true, std::memory_order_relaxed);
+    if (emitter.joinable()) emitter.join();
+    delete lat;
+  };
 
   std::vector<double> cand;
   const double beam_delta = 0.5;  // adaptive beam; see viterbi_active_impl
@@ -498,17 +675,25 @@ static void* lattice_impl(
       if (cur[fa[i]].score > cur[fa[bi]].score) bi = i;
     for (size_t ii = 0; ii < fa.size(); ++ii) {
       const int32_t s = ii == 0 ? fa[bi] : (ii == bi ? fa[0] : fa[ii]);
+      if (ii + 1 < fa.size()) {  // next state's arc block head
+        const int32_t sn = fa[ii + 1];
+        __builtin_prefetch(&weight[offsets[sn]], 0, 1);
+        __builtin_prefetch(&dst[offsets[sn]], 0, 1);
+      }
       const double ts = cur[s].score;
-      for (int32_t a = offsets[s]; a < offsets[s + 1]; ++a) {
+      const int32_t a_hi = offsets[s + 1];
+      for (int32_t a = offsets[s]; a < a_hi; ++a) {
         // weight-descending arc blocks (_src_csr): break when even the
         // frame-max emission cannot reach the cutoff
         if (ts + weight[a] + ll_max <= best - beam_eff) break;
+        if (a + 8 < a_hi)  // hide the random token-slot touch latency
+          __builtin_prefetch(&nxt[dst[a + 8]], 1, 1);
         const double sc = ts + weight[a] + ll[pdf[a]];
         if (sc <= best - beam_eff) continue;
         const int32_t d = dst[a];
         LSlot& ds = nxt[d];
-        if (ds.stamp != t) {
-          ds.stamp = t;
+        if (ds.stamp != ep + 1 + t) {
+          ds.stamp = ep + 1 + t;
           ds.score = kNegInf;
           nactive.push_back(d);
         }
@@ -518,8 +703,12 @@ static void* lattice_impl(
         }
       }
     }
-    if (nactive.empty() || best == kNegInf) { *err = 2; return nullptr; }
-    if (num_eps) relax_eps(nxt, nactive, t, best);
+    if (nactive.empty() || best == kNegInf) {
+      *err = 2;
+      fail_fwd();
+      return nullptr;
+    }
+    if (num_eps) relax_eps(nxt, nactive, ep + 1 + t, best);
     double cutoff = best - beam;
     if (max_active > 0 && static_cast<int>(nactive.size()) > max_active) {
       cand.clear();
@@ -534,93 +723,18 @@ static void* lattice_impl(
                    : beam;
     auto& act = frame_active[t + 1];
     for (int32_t s : nactive) {
-      if (nxt[s].score >= cutoff) act.push_back(s);
+      if (nxt[s].score >= cutoff) {
+        act.push_back(s);
+        bdeg_out[t + 1] += offsets[s + 1] - offsets[s];
+        bdeg_in[t + 1] += dofs[s + 1] - dofs[s];
+      }
     }
+    fwd_ready.store(t + 1, std::memory_order_release);
     std::swap(cur, nxt);
   }
 
   auto t_fwd = now();
-  // emission pass (TRANSPOSED): for each boundary-(t+1) survivor, walk
-  // its IN-arcs (dst-sorted CSR) and keep those whose source survived
-  // boundary t — same arc set as the out-arc formulation, but the LM hub
-  // states' 20k+ out-arc blocks are never re-enumerated (their targets'
-  // in-degrees are small).  Lattice ids are per (boundary, state); a
-  // state alive in consecutive boundaries keeps two distinct ids, as the
-  // time-unrolled lattice requires.  bstamp[s] marks the LATEST boundary
-  // s survived; sprev_stamp distinguishes "also survived boundary t"
-  // for the source-side membership test.
-  auto lat = new TtLattice();
-  std::vector<int32_t> bstamp(S, -1);
-  std::vector<int32_t> cur_lid(S, -1), nxt_lid(S, -1);
-  for (int32_t s : frame_active[0]) {  // state 0 first -> lattice state 0
-    bstamp[s] = 0;
-    cur_lid[s] = lat->num_states++;
-    lat->state_time.push_back(0);
-  }
-  auto emit_eps = [&](int32_t boundary, const std::vector<int32_t>& lid_s,
-                      const std::vector<int32_t>& lid_d) {
-    for (int e = 0; e < num_eps; ++e) {
-      const int32_t s = eps_src[e], d = eps_dst[e];
-      if (bstamp[s] != boundary || bstamp[d] != boundary) continue;
-      lat->arc_src.push_back(lid_s[s]);
-      lat->arc_dst.push_back(lid_d[d]);
-      lat->arc_olabel.push_back(eps_olabel[e]);
-      lat->arc_w.push_back(eps_w[e]);
-      lat->arc_am.push_back(0.0f);
-    }
-  };
-  if (num_eps) emit_eps(0, cur_lid, cur_lid);
-  // source-boundary membership: a state survived boundary t iff its
-  // cur-side stamp says so (maintained as the loop advances)
-  std::vector<int32_t> src_stamp(S, -1);
-  for (int32_t s : frame_active[0]) src_stamp[s] = 0;
-  for (int t = 0; t < T; ++t) {
-    const float* ll = loglikes + static_cast<size_t>(t) * P;
-    for (int32_t s : frame_active[t + 1]) {
-      bstamp[s] = t + 1;
-      nxt_lid[s] = lat->num_states++;
-      lat->state_time.push_back(t + 1);
-    }
-    // pick the cheaper enumeration direction for this boundary: the LM
-    // hub states have 20k+ OUT-arcs (expensive forward) while frequent
-    // words' entry states have large IN-degrees (expensive transposed);
-    // both walks produce exactly the arcs between survivors
-    int64_t cost_fwd = 0, cost_bwd = 0;
-    for (int32_t s : frame_active[t]) cost_fwd += offsets[s + 1] - offsets[s];
-    for (int32_t d : frame_active[t + 1]) cost_bwd += dofs[d + 1] - dofs[d];
-    if (cost_bwd <= cost_fwd) {
-      for (int32_t d : frame_active[t + 1]) {
-        const int32_t did = nxt_lid[d];
-        for (int32_t a = dofs[d]; a < dofs[d + 1]; ++a) {
-          const int32_t s2 = dsrc[a];
-          if (src_stamp[s2] != t) continue;
-          const double am = ll[dpdf[a]];
-          lat->arc_src.push_back(cur_lid[s2]);
-          lat->arc_dst.push_back(did);
-          lat->arc_olabel.push_back(dolabel[a]);
-          lat->arc_w.push_back(static_cast<float>(dweight[a] + am));
-          lat->arc_am.push_back(static_cast<float>(am));
-        }
-      }
-    } else {
-      for (int32_t s2 : frame_active[t]) {
-        const int32_t sid = cur_lid[s2];
-        for (int32_t a = offsets[s2]; a < offsets[s2 + 1]; ++a) {
-          const int32_t d = dst[a];
-          if (bstamp[d] != t + 1) continue;
-          const double am = ll[pdf[a]];
-          lat->arc_src.push_back(sid);
-          lat->arc_dst.push_back(nxt_lid[d]);
-          lat->arc_olabel.push_back(olabel[a]);
-          lat->arc_w.push_back(static_cast<float>(weight[a] + am));
-          lat->arc_am.push_back(static_cast<float>(am));
-        }
-      }
-    }
-    if (num_eps) emit_eps(t + 1, nxt_lid, nxt_lid);
-    for (int32_t s : frame_active[t + 1]) src_stamp[s] = t + 1;
-    std::swap(cur_lid, nxt_lid);
-  }
+  if (pipelined) emitter.join(); else emit_all();
 
   // finals: frame-T survivors; graph final weights if any reachable,
   // else weight-0 fallback (numpy lattice_decode's exact behavior)
@@ -700,8 +814,15 @@ static void* lattice_impl(
       return std::chrono::duration<double, std::milli>(b - a).count();
     };
     auto t_end = std::chrono::steady_clock::now();
-    fprintf(stderr, "[lat] fwd=%.1fms emit=%.1fms trim=%.1fms\n",
-            ms(t_start, t_fwd), ms(t_fwd, t_emit), ms(t_emit, t_end));
+    int64_t enum_cost = 0;
+    for (int t = 0; t < T; ++t)
+      enum_cost += std::min(bdeg_out[t], bdeg_in[t + 1]);
+    fprintf(stderr,
+            "[lat] fwd=%.1fms emit=%.1fms trim=%.1fms pre_trim=%d/%zu "
+            "kept=%d/%zu enum=%lld\n",
+            ms(t_start, t_fwd), ms(t_fwd, t_emit), ms(t_emit, t_end),
+            L, NA, lat->num_states, lat->arc_src.size(),
+            static_cast<long long>(enum_cost));
   }
   return lat;
 }
@@ -780,6 +901,81 @@ int tt_lattice_fetch_times(void* handle, int32_t* state_time) {
 
 void tt_lattice_free(void* handle) {
   delete static_cast<TtLattice*>(handle);
+}
+
+// Tropical best path over a lattice given as raw arc arrays in
+// TOPOLOGICAL arc order — exactly what lattice_impl emits (boundary-
+// ascending, eps arcs level-ordered within each boundary; the trim
+// compaction preserves order).  The walk mirrors
+// eval/lattice._best_path_arrays: from state 0, follow the arc with the
+// smallest |fwd + w + bwd(dst) - score| residual (arc-id order tiebreak),
+// stopping when a final weight's residual is at least as good.  Writes
+// the >0 output labels of the path; returns their count, or
+// -1 if out_capacity is too small, -2 if the walk strands (not a trimmed
+// acyclic lattice).  out_score receives bwd[0] (the best path score).
+int tt_lattice_arrays_best_path(
+    int32_t num_states, int32_t num_arcs,
+    const int32_t* src, const int32_t* dst, const int32_t* olabel,
+    const float* w,
+    int32_t num_finals, const int32_t* fin_s, const float* fin_w,
+    int32_t* out_labels, int32_t out_capacity, double* out_score) {
+  const int32_t L = num_states;
+  const int32_t NA = num_arcs;
+  if (L <= 0) return -2;
+  std::vector<double> fwd(L, kNegInf), bwd(L, kNegInf);
+  fwd[0] = 0.0;
+  for (int32_t i = 0; i < NA; ++i) {
+    const double v = fwd[src[i]];
+    if (v == kNegInf) continue;
+    const double c = v + w[i];
+    if (c > fwd[dst[i]]) fwd[dst[i]] = c;
+  }
+  std::vector<uint8_t> isfin(L, 0);
+  std::vector<double> finw(L, kNegInf);
+  for (int32_t i = 0; i < num_finals; ++i) {
+    isfin[fin_s[i]] = 1;
+    finw[fin_s[i]] = fin_w[i];
+    bwd[fin_s[i]] = fin_w[i];
+  }
+  for (int32_t i = NA; i-- > 0;) {
+    const double v = bwd[dst[i]];
+    if (v == kNegInf) continue;
+    const double c = v + w[i];
+    if (c > bwd[src[i]]) bwd[src[i]] = c;
+  }
+  const double score = bwd[0];
+  *out_score = score;
+  // per-source CSR over the lattice arcs (stable counting sort keeps
+  // arc-id order within a state, matching the numpy walk's tiebreak)
+  std::vector<int32_t> offs(L + 1, 0), order(NA);
+  for (int32_t i = 0; i < NA; ++i) ++offs[src[i] + 1];
+  for (int32_t s = 0; s < L; ++s) offs[s + 1] += offs[s];
+  {
+    std::vector<int32_t> fill(offs.begin(), offs.end() - 1);
+    for (int32_t i = 0; i < NA; ++i) order[fill[src[i]]++] = i;
+  }
+  int32_t s = 0, n_out = 0, steps = 0;
+  while (true) {
+    double best_r = std::numeric_limits<double>::infinity();
+    int32_t ai = -1;
+    for (int32_t k = offs[s]; k < offs[s + 1]; ++k) {
+      const int32_t a = order[k];
+      const double r = std::abs(fwd[s] + w[a] + bwd[dst[a]] - score);
+      if (r < best_r) { best_r = r; ai = a; }
+    }
+    const double fin = isfin[s]
+        ? std::abs(fwd[s] + finw[s] - score)
+        : std::numeric_limits<double>::infinity();
+    if (fin <= best_r) break;
+    if (ai < 0 || steps > L) return -2;
+    if (olabel[ai] > 0) {
+      if (n_out >= out_capacity) return -1;
+      out_labels[n_out++] = olabel[ai];
+    }
+    s = dst[ai];
+    ++steps;
+  }
+  return n_out;
 }
 
 }  // extern "C"

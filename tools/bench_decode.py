@@ -76,21 +76,32 @@ def stress(args):
     audio_s = args.utts * T * 3 * 0.010  # output frames at 1/3 input rate
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    t0 = time.perf_counter()
-    for y in posts:
-        viterbi_decode(g, y, beam=args.beam, backend="native",
-                       max_active=args.max_active)
-    dt = time.perf_counter() - t0
+    # steady-state protocol: two passes per mode, fastest kept — the first
+    # pass after the multi-GB graph build pays cold page-ins that a real
+    # decoding service amortizes over thousands of utterances
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for y in posts:
+            viterbi_decode(g, y, beam=args.beam, backend="native",
+                           max_active=args.max_active)
+        dt = min(dt, time.perf_counter() - t0)
     out["native_rtf"] = round(audio_s / dt, 1)
-    t0 = time.perf_counter()
+    dt = float("inf")
     arcs_total = 0
-    for y in posts:
-        lat = lattice_decode(g, y, beam=args.lattice_beam, backend="native",
-                             max_active=args.max_active)
-        lattice_best_path(lat)
-        arcs_total += lat.num_arcs
-    dt = time.perf_counter() - t0
-    out["lat_native_rtf"] = round(audio_s / dt, 1)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        arcs = 0
+        for y in posts:
+            lat = lattice_decode(g, y, beam=args.lattice_beam,
+                                 backend="native",
+                                 max_active=args.max_active)
+            lattice_best_path(lat)
+            arcs += lat.num_arcs
+        dt = min(dt, time.perf_counter() - t0)
+        arcs_total = arcs
+    dt_lat = dt
+    out["lat_native_rtf"] = round(audio_s / dt_lat, 1)
     out["lat_arcs_total"] = arcs_total
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     out["peak_rss_mb"] = round(rss1 / 1024, 1)

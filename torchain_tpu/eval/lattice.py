@@ -295,7 +295,16 @@ def lattice_best_path(lat: Fst) -> tuple[list[int], float]:
         return [], float(NEG_INF)
     arrays = getattr(lat, "_lattice_arrays", None)
     if arrays is not None and len(arrays[0]):
-        return _best_path_arrays(lat, arrays)
+        from torchain_tpu.eval.native import native_lattice_best_path
+
+        out = native_lattice_best_path(lat)
+        if out is not None:
+            return out
+        if not getattr(lat, "_eps_arrays", False):
+            # numpy boundary-batched DP: valid only when every arc
+            # crosses a frame boundary (eps lattices fall through to the
+            # generic walk below)
+            return _best_path_arrays(lat, arrays)
     fwd = shortest_distance(lat, reverse_dir=False, semiring="tropical")
     bwd = shortest_distance(lat, reverse_dir=True, semiring="tropical")
     score = bwd[0]

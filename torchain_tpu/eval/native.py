@@ -175,7 +175,13 @@ def native_viterbi_active(
     """Active-token best path (faster-decoder role: only live states are
     expanded, max_active caps the frontier).  Handles graphs with
     input-epsilon arcs (real Kaldi HCLGs) through tt_viterbi_decode_eps.
-    Returns (phones, score) or None if the native library is missing."""
+    Returns (phones, score) or None if the native library is missing.
+
+    (Negative result, r5: routing best-path through the lattice
+    generator + C array best-path measured ~2x SLOWER at both beam 8 and
+    beam 16 on the million-arc stress graph — emission/trim of the
+    survivor-arc set is pure overhead when only the backpointer chain is
+    needed.  The dedicated per-survivor record core below stays.)"""
     lib = get_lib()
     if lib is None or not hasattr(lib, "tt_viterbi_decode_active"):
         return None
@@ -262,6 +268,96 @@ def _native_viterbi_eps(lib, graph, loglikes, beam, max_active, use_final):
     if rc != 0:
         return None
     return [int(p) for p in out_phones[: out_len.value]], float(out_score.value)
+
+
+from torchain_tpu.fstkit.fst import NEG_INF, Arc, Fst
+
+
+class NativeLattice(Fst):
+    """Lattice Fst whose Python ``Arc`` lists materialize lazily from the
+    native decoder's raw arrays.  The hot consumers — ``lattice_best_path``
+    (native/vectorized DP over ``_lattice_arrays``), ``num_states``,
+    ``num_arcs`` — never touch per-arc Python objects, so the
+    latgen-speed stress loop skips the construction cost entirely
+    (~6 ms/utt at million-arc HCLG scale, tools/profile_stress_decode.py);
+    anything that iterates arcs (nbest, MBR, determinize, ark writers)
+    triggers a one-time materialization and behaves exactly as before.
+
+    ``_arcs`` is a read-only property backed by ``_arcs_cache``; the
+    materialized lists are mutable, so ``add_state``/``add_arc`` keep
+    working after the first access."""
+
+    def __init__(
+        self, n_states, arc_src, arc_dst, arc_ol, arc_w, arc_am,
+        fin_s, fin_w,
+    ):
+        self._raw_arcs = (arc_src, arc_dst, arc_ol, arc_w, arc_am)
+        self._arcs_cache = None
+        self._final = [NEG_INF] * n_states
+        self._final2 = [0.0] * n_states
+        for s, w in zip(
+            fin_s.tolist(), np.asarray(fin_w, np.float64).tolist()
+        ):
+            self._final[s] = w
+
+    @property
+    def _arcs(self):
+        if self._arcs_cache is None:
+            arcs: list[list] = [[] for _ in range(len(self._final))]
+            src, dst, ol, w, am = self._raw_arcs
+            asrc = src.tolist()
+            for i, a in enumerate(
+                map(Arc, ol.tolist(), w.tolist(), dst.tolist(), am.tolist())
+            ):
+                arcs[asrc[i]].append(a)
+            self._arcs_cache = arcs
+        return self._arcs_cache
+
+    @property
+    def num_states(self) -> int:
+        return len(self._final)
+
+    @property
+    def num_arcs(self) -> int:
+        if self._arcs_cache is None:
+            return int(self._raw_arcs[0].shape[0])
+        return sum(len(a) for a in self._arcs_cache)
+
+
+def native_lattice_best_path(lat):
+    """Best path over a NativeLattice's raw arrays via the C sweep
+    (tt_lattice_arrays_best_path); returns (labels, score) or None when
+    the library/arrays are unavailable.  Valid for eps lattices too —
+    the arc list is emitted in topological order."""
+    arrays = getattr(lat, "_lattice_arrays", None)
+    if arrays is None:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tt_lattice_arrays_best_path"):
+        return None
+    if not getattr(lib, "_bp_proto_set", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.tt_lattice_arrays_best_path.restype = ctypes.c_int
+        lib.tt_lattice_arrays_best_path.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, f32p,
+            ctypes.c_int32, i32p, f32p,
+            i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib._bp_proto_set = True
+    src, dst, ol, w, fin_s, fin_w, _times = arrays
+    L = int(lat.num_states)
+    cap = L + 1
+    out = np.empty(cap, np.int32)
+    score = ctypes.c_double(0.0)
+    n = lib.tt_lattice_arrays_best_path(
+        L, src.shape[0], src, dst, ol, w,
+        fin_s.shape[0], fin_s, fin_w, out, cap, ctypes.byref(score),
+    )
+    if n < 0:
+        return None
+    return out[:n].tolist(), float(score.value)
 
 
 def native_lattice(
@@ -397,27 +493,20 @@ def native_lattice(
             state_times = [int(t) for t in times]
     finally:
         lib.tt_lattice_free(handle)
-    from torchain_tpu.fstkit import Fst
-
-    fst = Fst()
-    fst.add_states(int(n_states.value))
-    arcs = fst._arcs  # direct append: NA can be large, add_arc checks cost
-    from torchain_tpu.fstkit.fst import Arc
-
-    asrc = arc_src.tolist()
-    for i, a in enumerate(
-        map(Arc, arc_ol.tolist(), arc_w.tolist(), arc_dst.tolist(),
-            arc_am.tolist())
-    ):
-        arcs[asrc[i]].append(a)
-    for i in range(NF):
-        fst.set_final(int(fin_s[i]), float(fin_w[i]))
+    fst = NativeLattice(
+        int(n_states.value), arc_src, arc_dst, arc_ol, arc_w, arc_am,
+        fin_s, fin_w,
+    )
     if state_times is not None:
         fst.state_times = state_times
-    # raw arrays for the vectorized best-path fast path
-    # (eval/lattice.lattice_best_path); boundary-batched DP needs times
-    if times is not None and not num_eps:
+    # raw arrays for the vectorized/native best-path fast paths
+    # (eval/lattice.lattice_best_path); the numpy boundary-batched DP is
+    # only valid when every arc crosses a frame boundary, so eps lattices
+    # are flagged (the C sweep handles both — arcs are topologically
+    # ordered either way)
+    if times is not None:
         fst._lattice_arrays = (
             arc_src, arc_dst, arc_ol, arc_w, fin_s, fin_w, times
         )
+        fst._eps_arrays = bool(num_eps)
     return fst
