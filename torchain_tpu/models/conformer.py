@@ -64,6 +64,17 @@ class ConformerConfig:
     #: softmax glue were ~1.8 ms of the 10 ms trigram step, round-3
     #: trace), "einsum" = the XLA formulation (reference; CPU-friendly)
     attn_impl: str = "fused"
+    #: feed-forward lowering: "dense" = stock nn.Dense chain (DEFAULT —
+    #: device-measured FASTER), "fused" = one Pallas kernel per FFN
+    #: half-step (ops/fused_ffn.py — hidden activations VMEM-resident,
+    #: recomputed in the backward).  The fused kernel is an honestly-kept
+    #: NEGATIVE result at conformer shapes: 10.45 vs 9.09 ms/step at the
+    #: trigram headline (BENCH_NOTES r5) — XLA's own lowering already
+    #: fuses the swish chain and overlaps the matmuls, and the kernel's
+    #: dim0-contraction weight-grad dots cost more than the [N, 4*dim]
+    #: round-trip they save.  Parameter trees are identical either way,
+    #: so checkpoints interchange
+    ffn_impl: str = "dense"
 
     @property
     def context(self) -> tuple[int, int]:
@@ -141,6 +152,28 @@ class DepthwiseShift(nn.Module):
         return y + bias
 
 
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's tree (kernel/bias, f32,
+    lecun-normal/zeros) for the fused-FFN lowering — checkpoints
+    interchange with the stock nn.Dense path bit-for-bit."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
+
+
 class ConformerBlock(nn.Module):
     cfg: ConformerConfig
 
@@ -154,12 +187,22 @@ class ConformerBlock(nn.Module):
                 return FusedLayerNorm(dtype=cfg.dtype, name=name)(h)
             return nn.LayerNorm(dtype=jnp.float32, name=name)(h).astype(cfg.dtype)
 
+        def ffn_half(h, res, tag):
+            # half-step FFN: res + 0.5 * (swish(h @ W1 + b1) @ W2 + b2)
+            F = cfg.dim * cfg.ffn_mult
+            if cfg.ffn_impl == "fused":
+                from torchain_tpu.ops.fused_ffn import ffn_apply
+
+                w1, b1 = _DenseParams(F, cfg.dim, name=f"{tag}_in")()
+                w2, b2 = _DenseParams(cfg.dim, F, name=f"{tag}_out")()
+                return ffn_apply(h, res, w1, b1, w2, b2, 0.5)
+            h = nn.Dense(F, dtype=cfg.dtype, name=f"{tag}_in")(h)
+            h = nn.swish(h)
+            h = nn.Dense(cfg.dim, dtype=cfg.dtype, name=f"{tag}_out")(h)
+            return res + 0.5 * h
+
         # FFN half-step 1
-        h = ln(x, "ln_ffn1")
-        h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn1_in")(h)
-        h = nn.swish(h)
-        h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn1_out")(h)
-        x = x + 0.5 * h
+        x = ffn_half(ln(x, "ln_ffn1"), x, "ffn1")
 
         # self-attention with relative position bias
         h = ln(x, "ln_attn")
@@ -232,11 +275,7 @@ class ConformerBlock(nn.Module):
         x = x + h
 
         # FFN half-step 2
-        h = ln(x, "ln_ffn2")
-        h = nn.Dense(cfg.dim * cfg.ffn_mult, dtype=cfg.dtype, name="ffn2_in")(h)
-        h = nn.swish(h)
-        h = nn.Dense(cfg.dim, dtype=cfg.dtype, name="ffn2_out")(h)
-        x = x + 0.5 * h
+        x = ffn_half(ln(x, "ln_ffn2"), x, "ffn2")
         return ln(x, "ln_out")
 
 
