@@ -42,10 +42,15 @@ class ConformerConfig:
     #: runs as explicit f32 islands with bf16 matmuls between them, the
     #: pattern that makes bf16 pay on MXU
     dtype: Any = jnp.float32
-    #: keep the depthwise conv in f32 even for bf16 trunks: measured on
-    #: v5e, the bf16 grouped conv lowers catastrophically (122 ms vs
-    #: 2.8 ms full step) — it is bandwidth-trivial anyway
-    depthwise_f32: bool = True
+    #: depthwise conv dtype island.  The r1-era default (True) guarded
+    #: against the bf16 grouped-CONV lowering catastrophe (122 ms vs
+    #: 2.8 ms full step on v5e); the "shift" impl below has no grouped
+    #: conv, and bf16 taps measure 8.91 vs 9.09 ms/step at the trigram
+    #: headline with a 40-step trajectory that tracks f32 (slightly
+    #: ahead at step 40 — chaotic drift, same pattern as the bf16-V A/B,
+    #: BENCH_NOTES r5).  Set True to restore the f32 island (forced
+    #: automatically for depthwise_impl="conv" in bf16)
+    depthwise_f32: bool = False
     #: depthwise lowering: "shift" = kernel-tap shifted multiply-adds
     #: (pure VPU elementwise, no grouped-conv lowering), "conv" =
     #: lax.conv feature_group_count — numerically identical
@@ -248,7 +253,15 @@ class ConformerBlock(nn.Module):
         h = ln(x, "ln_conv")
         h = nn.Dense(2 * cfg.dim, dtype=cfg.dtype, name="conv_in")(h)
         h = nn.glu(h, axis=-1)
-        dw_dtype = jnp.float32 if cfg.depthwise_f32 else cfg.dtype
+        # the grouped-CONV lowering stays an f32 island in bf16 trunks
+        # regardless of depthwise_f32 (its bf16 lowering is the r1-era
+        # 122 ms catastrophe); only the shift impl runs bf16 taps
+        dw_dtype = (
+            jnp.float32
+            if cfg.depthwise_f32
+            or (cfg.depthwise_impl == "conv" and cfg.dtype == jnp.bfloat16)
+            else cfg.dtype
+        )
         if cfg.depthwise_impl == "shift":
             h = DepthwiseShift(
                 cfg.dim,

@@ -226,6 +226,12 @@ def _attention_fwd_impl(qkv, bias, num_heads, scale):
         out_specs=pl.BlockSpec((Bc, HT, dh), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, HT, dh), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((HT, dh), jnp.float32)] * 3,
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            # ROWS_PER_PROGRAM blocks above 16 exceed Mosaic's 16 MB
+            # default scoped limit; the device budget is far higher
+            # (ops/den_resident.vmem_budget)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(qkv, _stacked_bias(bias, Tp))
     # head re-merge in XLA: [B, H, Tp, dh] -> crop pad rows -> [B, T, D]
@@ -266,6 +272,12 @@ def _attention_bwd(num_heads, scale, residuals, g):
             jax.ShapeDtypeStruct((HT, HT), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((HT, dh), jnp.float32)] * 4,
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            # ROWS_PER_PROGRAM blocks above 16 exceed Mosaic's 16 MB
+            # default scoped limit; the device budget is far higher
+            # (ops/den_resident.vmem_budget)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(qkv, _stacked_bias(bias, Tp), g)
     # bias grad = the diagonal blocks of the stacked-bias grad (off-diag

@@ -186,18 +186,23 @@ def _chain_logprobs_bwd(leaky, residuals, cts):
     g_num, g_den, _g_gamma_dropped = cts
     gamma_den = _den_backward(y, den, leaky, den_logz, den_res)
     # numeric-failure containment: zero the gradient of any sequence whose
-    # occupancies went non-finite (chain-training.cc failure path)
+    # occupancies went non-finite (chain-training.cc failure path, which
+    # checks the summed nnet_output_deriv).  The check rides the COMBINED
+    # tensor so the combine and the reduction fuse into one [B, T, P]
+    # pass (two standalone gamma reductions cost ~0.2 ms/step of the
+    # trigram headline's 0.85 ms loss glue, BENCH_NOTES r5): a non-finite
+    # occupancy surfaces in the combined sum (inf propagates; inf-inf and
+    # 0*inf produce nan), and non-finite upstream cotangents are checked
+    # directly.
+    raw = (
+        g_num[:, None, None] * gamma_num + g_den[:, None, None] * gamma_den
+    )
     ok = (
-        jnp.isfinite(jnp.sum(gamma_den, axis=(1, 2)))
-        & jnp.isfinite(jnp.sum(gamma_num, axis=(1, 2)))
+        jnp.isfinite(jnp.sum(raw, axis=(1, 2)))
         & jnp.isfinite(g_num)
         & jnp.isfinite(g_den)
     )
-    dy = jnp.where(
-        ok[:, None, None],
-        g_num[:, None, None] * gamma_num + g_den[:, None, None] * gamma_den,
-        0.0,
-    )
+    dy = jnp.where(ok[:, None, None], raw, 0.0)
     # deriv_weights parity ([K] nnet-chain-training.cc ApplyDerivWeights):
     # per-frame weights scale the derivative rows, never the objf
     fw = getattr(sup, "frame_weights", None)
