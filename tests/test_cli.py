@@ -96,3 +96,17 @@ def test_cli_word_decode_lmwt_sweep():
     )
     assert "wer" in out
     assert 1 <= out["best_lmwt"] <= 3
+
+
+def test_cli_steps_oversized_batch_errors():
+    """A --steps run whose batch size no length bucket can fill must fail
+    loudly instead of spinning through empty epochs forever (r5 fix: the
+    while-not-done loop re-entered dataset.batches indefinitely)."""
+    with pytest.raises(SystemExit, match="no full minibatch"):
+        run_cli(
+            [
+                "--synthetic", "--num-utts", "8", "--num-phones", "5",
+                "--hidden-dim", "32", "--num-layers", "2", "--epochs", "1",
+                "--no-ivector", "--steps", "2",
+            ]
+        )

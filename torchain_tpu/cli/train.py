@@ -781,7 +781,9 @@ def main(argv=None) -> dict:
         done = False
         with trainer.mesh:
             while not done:
+                got_any = False
                 for batch in dataset.batches(args.batch_size):
+                    got_any = True
                     feats, sup = trainer._put_batch(batch)
                     trainer.state, metrics = trainer.train_step(
                         trainer.state, feats, trainer.den, sup
@@ -796,6 +798,16 @@ def main(argv=None) -> dict:
                     if step >= args.steps:
                         done = True
                         break
+                if not done and not got_any:
+                    # batching groups chunks by length and drops partial
+                    # minibatches; a batch size no bucket can fill would
+                    # otherwise spin through empty epochs forever
+                    raise SystemExit(
+                        f"no full minibatch produced: --batch-size "
+                        f"{args.batch_size} exceeds every same-length "
+                        f"chunk bucket of this dataset — reduce "
+                        f"--batch-size (or add data)"
+                    )
         results = trainer.results
     else:
         results = trainer.fit(dataset)

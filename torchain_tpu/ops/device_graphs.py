@@ -182,7 +182,16 @@ def auto_den_graph(
                 return gr
         except ValueError:
             pass  # fall through to the XLA paths
-    if phone_lm is not None and tree is not None:
+    # the de Bruijn lift exists for the MXU (gather-free dense recursion);
+    # on the CPU backend its XLA lowering compiles pathologically slowly
+    # (>10 min for a T=30 toy train step vs seconds for dense/scan), so
+    # auto-selection considers it on TPU only — explicit construction via
+    # DeviceDeBruijnDenGraph.from_host stays available everywhere
+    if (
+        phone_lm is not None
+        and tree is not None
+        and _jax.default_backend() == "tpu"
+    ):
         if getattr(phone_lm, "debruijn_compatible", False):
             from torchain_tpu.graphs.debruijn import make_debruijn_den_graph
             from torchain_tpu.graphs.topology import ChainTopology
